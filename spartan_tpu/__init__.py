@@ -1,0 +1,63 @@
+"""spartan-tpu: a TPU-native distributed array framework.
+
+A from-scratch rebuild of the capabilities of the reference distributed
+array framework (spartan-array/spartan — lazy NumPy-like expression DAG
+over tiled arrays; see SURVEY.md): user code builds a lazy expression
+graph; an optimizer fuses chains of tile ops and picks shardings ("smart
+tiling"); fused regions compile once with ``jax.jit`` and execute SPMD over
+a ``jax.sharding.Mesh``, with XLA collectives over ICI/DCN replacing the
+reference's master/worker RPC layer.
+
+Public surface mirrors the reference's top-level API (reference:
+``spartan/__init__.py`` — ``initialize``/``shutdown`` + re-exported expr
+builtins; SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from spartan_tpu.config import FLAGS
+from spartan_tpu import util
+from spartan_tpu.core import (TileExtent, Tiling, SpartanArray, get_mesh,
+                              make_mesh, set_default_mesh, with_mesh)
+
+__version__ = "0.1.0"
+
+_initialized = False
+
+
+def initialize(argv: Optional[List[str]] = None, mesh=None) -> None:
+  """Parse flags and install the default mesh.
+
+  The reference's ``initialize`` parses flags, boots the master/worker
+  cluster and installs a BlobCtx (SURVEY.md §3.1); on TPU the whole cluster
+  bring-up collapses into mesh construction — sharding is placement.
+  """
+  global _initialized
+  FLAGS.parse(argv)
+  util.set_log_level(FLAGS.log_level)
+  if mesh is None:
+    mesh = make_mesh()
+  set_default_mesh(mesh)
+  _initialized = True
+
+
+def shutdown() -> None:
+  global _initialized
+  set_default_mesh(None)
+  _initialized = False
+
+
+# NumPy-style builtins (lazy expr constructors) — populated by the expr
+# layer; imported late to avoid cycles.
+from spartan_tpu.expr.builtins import *  # noqa: F401,F403,E402
+from spartan_tpu.expr.builtins import __all__ as _builtin_all  # noqa: E402
+from spartan_tpu.expr.base import Expr, evaluate, force, lazify  # noqa: E402
+from spartan_tpu.expr.map import map, map_with_location  # noqa: E402
+from spartan_tpu.expr.shuffle import shuffle  # noqa: E402
+
+__all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
+           "SpartanArray", "get_mesh", "make_mesh", "with_mesh", "Expr",
+           "evaluate", "force", "lazify", "map", "map_with_location",
+           "shuffle"] + list(_builtin_all)

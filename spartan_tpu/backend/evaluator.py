@@ -1,0 +1,185 @@
+"""Region evaluator: lazy DAG → fused jitted XLA computations.
+
+TPU-native rebuild of the reference's evaluation engine (reference:
+``spartan/expr/base.py`` ``Expr.evaluate`` → optimizer → topological eval
+with a per-expr cache, dispatching per-tile kernels through
+``blob_ctx.map`` RPC fan-out; SURVEY.md §3.2).  The entire dashed region of
+that call stack — kernel fan-out, per-tile evaluation, combiner merges —
+becomes ONE ``jax.jit``-compiled XLA program over sharded arrays:
+
+* materialization points (eval-cache hits, ``glom``, data-dependent
+  shapes, checkpoints) cut the DAG into regions;
+* each region compiles once, cached by structural signature (the
+  reference's expr-eval cache, hoisted to compiled-computation granularity
+  so iterative workloads hit the XLA compile cache every step);
+* ``out_shardings`` comes from the AutoTiling pass — sharding is
+  placement, XLA inserts the ICI collectives.
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from spartan_tpu.config import FLAGS
+from spartan_tpu.core.array import SpartanArray
+from spartan_tpu.core.tiling import Tiling
+from spartan_tpu.expr import optimize as opt_mod
+from spartan_tpu.expr.base import (DictExpr, EmitCtx, Expr, ListExpr,
+                                   NotShapeable, Val)
+from spartan_tpu.util import Timer, log_debug, log_info
+
+# structural signature → compiled callable
+_jit_cache: "OrderedDict[Tuple, Callable]" = OrderedDict()
+
+# simple counters surfaced for profiling/tests
+stats = {"compiles": 0, "evals": 0, "cache_hits": 0}
+
+
+def clear_cache() -> None:
+  _jit_cache.clear()
+
+
+def _materialize_unshapeable(expr: Expr) -> None:
+  """Eagerly evaluate nodes whose output shape is data-dependent (boolean
+  masks) so the remaining DAG is fully traceable."""
+
+  def visit(e: Expr):
+    if e._cache is not None:
+      return
+    eager = getattr(e, "evaluate_eager", None)
+    if eager is not None:
+      try:
+        e.aval()
+        return  # shapeable after all
+      except NotShapeable:
+        pass
+      e._cache = eager()
+
+  expr.visit(visit)
+
+
+def _collect_leaves(root: Expr) -> List[Val]:
+  leaves: List[Val] = []
+  seen = set()
+
+  def go(e: Expr):
+    if e.expr_id in seen:
+      return
+    seen.add(e.expr_id)
+    if isinstance(e, Val):
+      leaves.append(e)
+      return
+    for c in e.children():
+      go(c)
+
+  go(root)
+  return leaves
+
+
+def _make_runner(root: Expr, leaf_index: Dict[int, int]) -> Callable:
+  ctx = EmitCtx(abstract=False)
+
+  def run(*args):
+    env: Dict[int, Any] = {}
+
+    def emit(e: Expr):
+      if e.expr_id in env:
+        return env[e.expr_id]
+      if isinstance(e, Val):
+        v = args[leaf_index[e.expr_id]]
+      else:
+        v = e._emit(ctx, [emit(c) for c in e.children()])
+      env[e.expr_id] = v
+      return v
+
+    return emit(root)
+
+  return run
+
+
+def _out_shardings(root: Expr):
+  def sh(e: Expr):
+    if e.tiling_hint is not None:
+      return e.tiling_hint.sharding
+    return None
+
+  if isinstance(root, DictExpr):
+    out = {k: sh(v) for k, v in zip(root.keys, root.vals)}
+    return None if any(v is None for v in out.values()) else out
+  if isinstance(root, ListExpr):
+    out = tuple(sh(v) for v in root.vals)
+    return None if any(v is None for v in out) else out
+  return sh(root)
+
+
+def _wrap(root: Expr, value) -> Any:
+  """Wrap jit outputs back into SpartanArrays with their tilings."""
+  def wrap_one(e: Optional[Expr], v):
+    tiling = e.tiling_hint if e is not None else None
+    return SpartanArray(v, tiling)
+
+  if isinstance(root, DictExpr):
+    return {k: wrap_one(c, value[k]) for k, c in zip(root.keys, root.vals)}
+  if isinstance(root, ListExpr):
+    return [wrap_one(c, v) for c, v in zip(root.vals, value)]
+  return wrap_one(root, value)
+
+
+def evaluate(expr: Expr):
+  """Evaluate ``expr`` to SpartanArray(s), compiling its region on miss."""
+  if expr._cache is not None:
+    return expr._cache
+  if isinstance(expr, Val):
+    v = expr.value
+    if isinstance(v, SpartanArray):
+      return v
+    result = SpartanArray(expr.leaf_value())
+    expr._cache = result
+    return result
+
+  stats["evals"] += 1
+  _materialize_unshapeable(expr)
+  root = opt_mod.optimize(expr)
+
+  leaves = _collect_leaves(root)
+  leaf_index = {leaf.expr_id: i for i, leaf in enumerate(leaves)}
+  sig = root.signature({})
+  key = (sig,)
+
+  compiled = _jit_cache.get(key)
+  if compiled is None:
+    stats["compiles"] += 1
+    runner = _make_runner(root, leaf_index)
+    shardings = _out_shardings(root)
+    if shardings is not None:
+      compiled = jax.jit(runner, out_shardings=shardings)
+    else:
+      compiled = jax.jit(runner)
+    _jit_cache[key] = compiled
+    while len(_jit_cache) > FLAGS.max_expr_cache:
+      _jit_cache.popitem(last=False)
+    log_debug("compiled region for %s (%d leaves)", type(expr).__name__,
+              len(leaves))
+  else:
+    stats["cache_hits"] += 1
+    # rebind: a cache hit reuses the compiled fn with fresh leaf args, but
+    # the runner closed over the *old* DAG's leaf order. The signature
+    # includes structure, so leaf order is deterministic and identical —
+    # only the argument values differ.
+
+  args = [leaf.leaf_value() for leaf in leaves]
+  if FLAGS.profile_kernels:
+    with Timer("region") as t:
+      out = compiled(*args)
+      jax.block_until_ready(out)
+    log_info("region %s: %.4fs", type(expr).__name__, t.elapsed)
+  else:
+    out = compiled(*args)
+
+  result = _wrap(root, out)
+  expr._cache = result
+  return result

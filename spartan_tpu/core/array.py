@@ -1,0 +1,181 @@
+"""SpartanArray: the distributed array object.
+
+TPU-native rebuild of the reference's DistArray (reference:
+``spartan/array/distarray.py`` — extent→blob map with
+``create/fetch/update/foreach_tile/glom/select`` and a ``Broadcast``
+wrapper; SURVEY.md §2.1, §3.4).  Here the extent→blob map *is* a sharded
+``jax.Array``: XLA owns placement and movement, so
+
+- ``glom()``      → ``jax.device_get`` of the global value,
+- ``fetch(ext)``  → a (jitted) slice + gather,
+- ``update(...)`` → a functional scatter-merge (``.at[].op``) producing a
+  new array — combiners (`np.add`-style reducers) become scatter ops that
+  XLA lowers to ``psum``/``reduce_scatter`` when shards overlap,
+- ``foreach_tile``→ host-side iteration over logical tile extents (debug /
+  IO paths only; compute never routes through it).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spartan_tpu.core import extent as extent_mod
+from spartan_tpu.core.extent import TileExtent
+from spartan_tpu.core.mesh import get_mesh
+from spartan_tpu.core.tiling import Tiling, auto_tiling, replicated_tiling
+
+# reducer registry: the reference passes raw np ufuncs (np.add, np.maximum)
+# as tile-merge combiners; map them to jnp scatter ops / ufuncs.
+_REDUCERS = {
+    None: "set",
+    "set": "set",
+    np.add: "add", jnp.add: "add", "add": "add", "sum": "add",
+    np.multiply: "mul", jnp.multiply: "mul", "mul": "mul",
+    np.maximum: "max", jnp.maximum: "max", "max": "max",
+    np.minimum: "min", jnp.minimum: "min", "min": "min",
+}
+
+
+def canonical_reducer(reducer: Any) -> str:
+  try:
+    if reducer in _REDUCERS:
+      return _REDUCERS[reducer]
+  except TypeError:
+    pass
+  if callable(reducer):
+    name = getattr(reducer, "__name__", "")
+    if name in _REDUCERS:
+      return _REDUCERS[name]
+  raise ValueError(f"unsupported reducer {reducer!r}; expected one of "
+                   "None/np.add/np.multiply/np.maximum/np.minimum")
+
+
+class SpartanArray:
+  """A sharded device array plus its logical tiling metadata."""
+
+  __slots__ = ("data", "tiling")
+
+  def __init__(self, data: jax.Array, tiling: Optional[Tiling] = None):
+    if tiling is None:
+      sh = getattr(data, "sharding", None)
+      if sh is not None and hasattr(sh, "mesh") and hasattr(sh, "spec"):
+        tiling = Tiling(sh.mesh, sh.spec)
+      else:
+        tiling = replicated_tiling()
+    self.data = data
+    self.tiling = tiling
+
+  # -- basic properties -----------------------------------------------------
+
+  @property
+  def shape(self) -> Tuple[int, ...]:
+    return tuple(self.data.shape)
+
+  @property
+  def dtype(self):
+    return self.data.dtype
+
+  @property
+  def ndim(self) -> int:
+    return self.data.ndim
+
+  @property
+  def size(self) -> int:
+    return int(self.data.size)
+
+  @property
+  def sharding(self):
+    return self.tiling.sharding
+
+  def tile_extents(self) -> List[TileExtent]:
+    return self.tiling.extents(self.shape)
+
+  @property
+  def tile_shape(self) -> Tuple[int, ...]:
+    return self.tiling.tile_shape(self.shape)
+
+  # -- data movement --------------------------------------------------------
+
+  def glom(self) -> np.ndarray:
+    """Gather the full array to the host (reference ``DistArray.glom``)."""
+    return np.asarray(jax.device_get(self.data))
+
+  def fetch(self, region) -> np.ndarray:
+    """Gather an arbitrary rectangle to the host (reference
+    ``DistArray.fetch(extent)``)."""
+    if isinstance(region, TileExtent):
+      idx = region.to_slice()
+    else:
+      idx = region
+    return np.asarray(jax.device_get(self.data[idx]))
+
+  def update(self, region, value, reducer: Any = None) -> "SpartanArray":
+    """Functional scatter-merge of ``value`` into ``region`` with a
+    combiner (reference ``DistArray.update`` + ``Tile.merge``)."""
+    op = canonical_reducer(reducer)
+    idx = region.to_slice() if isinstance(region, TileExtent) else region
+    value = jnp.asarray(value, dtype=self.dtype)
+    at = self.data.at[idx]
+    new = getattr(at, "set" if op == "set" else op)(value)
+    new = jax.device_put(new, self.sharding)
+    return SpartanArray(new, self.tiling)
+
+  def foreach_tile(self, fn: Callable[[TileExtent, np.ndarray], None]) -> None:
+    """Host-side visit of every logical tile (debug/IO only)."""
+    host = self.glom()
+    for ext in self.tile_extents():
+      fn(ext, host[ext.to_slice()])
+
+  def reshard(self, tiling: Tiling) -> "SpartanArray":
+    """Move to a new tiling — XLA plans the minimal resharding collective."""
+    return SpartanArray(jax.device_put(self.data, tiling.sharding), tiling)
+
+  # -- conversion -----------------------------------------------------------
+
+  def __array__(self, dtype=None):
+    out = self.glom()
+    return out.astype(dtype) if dtype is not None else out
+
+  def astype(self, dtype) -> "SpartanArray":
+    return SpartanArray(self.data.astype(dtype), self.tiling)
+
+  def __repr__(self):
+    return (f"SpartanArray(shape={self.shape}, dtype={self.dtype}, "
+            f"spec={self.tiling.spec})")
+
+
+# ---------------------------------------------------------------------------
+# Construction
+# ---------------------------------------------------------------------------
+
+def from_numpy(arr, tile_hint: Optional[Sequence[int]] = None,
+               mesh=None, tiling: Optional[Tiling] = None) -> SpartanArray:
+  """Distribute host data over the mesh (reference ``expr/fio.from_numpy``)."""
+  arr = np.asarray(arr)
+  if tiling is None:
+    tiling = auto_tiling(arr.shape, tile_hint, mesh or get_mesh())
+  data = jax.device_put(jnp.asarray(arr), tiling.sharding)
+  return SpartanArray(data, tiling)
+
+
+def from_jax(data: jax.Array, tiling: Optional[Tiling] = None) -> SpartanArray:
+  return SpartanArray(data, tiling)
+
+
+def create(shape: Sequence[int], dtype=np.float64,
+           tile_hint: Optional[Sequence[int]] = None, mesh=None,
+           fill: float = 0) -> SpartanArray:
+  """Allocate a distributed array (reference ``DistArray.create``)."""
+  tiling = auto_tiling(shape, tile_hint, mesh or get_mesh())
+  dt = jax.dtypes.canonicalize_dtype(np.dtype(dtype))
+
+  @jax.jit
+  def _alloc():
+    return jnp.full(tuple(shape), fill, dtype=dt)
+
+  data = jax.jit(_alloc, out_shardings=tiling.sharding)()
+  return SpartanArray(data, tiling)

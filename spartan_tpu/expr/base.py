@@ -1,0 +1,474 @@
+"""Lazy expression DAG.
+
+TPU-native rebuild of the reference's expr frontend (reference:
+``spartan/expr/base.py`` — ``Expr`` base with unique ``expr_id``, deferred
+shape inference, eval cache, operator overloads, ``Val``/``AsArray``/
+container wrappers, ``lazify``/``evaluate``; SURVEY.md §2.1, §3.2).
+
+Differences by design (TPU-first): a node does not know how to execute
+itself per-tile; it knows how to *emit* jax ops into a traced region
+(:meth:`Expr._emit`).  The evaluator partitions the DAG at materialization
+points, compiles each region once with ``jax.jit`` (cached by structural
+signature), and runs it SPMD over the mesh — the jitted region plays the
+role of the reference's fused ``LocalExpr`` kernels dispatched over tiles.
+
+Shape/dtype inference is uniform: ``jax.eval_shape`` over the node's own
+emitter (the emitter is the single source of truth).  Nodes whose output
+shape depends on data (boolean masks) raise :class:`NotShapeable` and force
+eager materialization, mirroring the reference's ``NotShapeable``.
+"""
+
+from __future__ import annotations
+
+import functools
+import itertools
+import threading
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spartan_tpu.config import FLAGS
+from spartan_tpu.core.array import SpartanArray, from_numpy
+from spartan_tpu.core.tiling import Tiling
+
+_counter = itertools.count()
+
+
+class NotShapeable(Exception):
+  """Raised when a node's shape cannot be known before evaluation."""
+
+
+def fn_key(fn: Any) -> Tuple:
+  """Stable-ish structural identity for a kernel function, so that
+  semantically-identical lambdas recreated across loop iterations still hit
+  the compiled-region cache."""
+  if fn is None:
+    return ("none",)
+  if isinstance(fn, functools.partial):
+    return ("partial", fn_key(fn.func), _safe_repr(fn.args),
+            _safe_repr(tuple(sorted(fn.keywords.items()))))
+  if isinstance(fn, np.ufunc):
+    return ("ufunc", fn.__name__)
+  code = getattr(fn, "__code__", None)
+  if code is not None:
+    closure = getattr(fn, "__closure__", None) or ()
+    cells = tuple(_safe_repr(c.cell_contents) for c in closure)
+    return ("fn", fn.__qualname__, code.co_code, _safe_repr(code.co_consts),
+            cells)
+  return ("obj", getattr(fn, "__module__", ""), getattr(fn, "__name__",
+                                                        repr(fn)))
+
+
+def _safe_repr(obj: Any) -> str:
+  """Bounded repr for cache keys; large arrays key by identity."""
+  if isinstance(obj, (np.ndarray, jax.Array)):
+    if obj.size <= 16:
+      return f"arr{obj.shape}{obj.dtype}{np.asarray(obj).tolist()}"
+    return f"arr{obj.shape}{obj.dtype}@{id(obj)}"
+  if isinstance(obj, SpartanArray):
+    return f"sp{obj.shape}{obj.dtype}@{id(obj)}"
+  if isinstance(obj, Expr):
+    return f"expr@{obj.expr_id}"
+  if isinstance(obj, tuple):
+    return "(" + ",".join(_safe_repr(x) for x in obj) + ")"
+  if callable(obj):
+    return str(fn_key(obj))
+  r = repr(obj)
+  return r if len(r) <= 256 else r[:256] + f"...@{id(obj)}"
+
+
+class Expr:
+  """Base lazy node.
+
+  Subclasses define:
+    * ``_members``: names of child-expression slots (DAG edges),
+    * ``_params``:  names of non-expr attributes (part of the cache key),
+    * ``_emit(ctx, deps)``: build jax ops from dep values.
+  """
+
+  _members: Tuple[str, ...] = ()
+  _params: Tuple[str, ...] = ()
+
+  def __init__(self, **kw):
+    self.expr_id = next(_counter)
+    self._cache: Optional[SpartanArray] = None
+    self._aval = None
+    self.tiling_hint: Optional[Tiling] = None  # set by the AutoTiling pass
+    for name in self._members:
+      setattr(self, name, kw.pop(name))
+    for name in self._params:
+      setattr(self, name, kw.pop(name))
+    if kw:
+      raise TypeError(f"unexpected args for {type(self).__name__}: {kw}")
+    if FLAGS.eager:
+      self.force()
+
+  # -- DAG structure --------------------------------------------------------
+
+  def children(self) -> List["Expr"]:
+    out: List[Expr] = []
+    for name in self._members:
+      v = getattr(self, name)
+      if isinstance(v, Expr):
+        out.append(v)
+      elif isinstance(v, (list, tuple)):
+        out.extend(c for c in v if isinstance(c, Expr))
+    return out
+
+  def replace(self, **kw) -> "Expr":
+    """Copy with some members/params replaced (used by optimizer passes)."""
+    args = {name: getattr(self, name) for name in self._members + self._params}
+    args.update(kw)
+    new = type(self)(**args)
+    return new
+
+  def visit(self, fn: Callable[["Expr"], None],
+            memo: Optional[set] = None) -> None:
+    memo = memo if memo is not None else set()
+    if self.expr_id in memo:
+      return
+    memo.add(self.expr_id)
+    for c in self.children():
+      c.visit(fn, memo)
+    fn(self)
+
+  def signature(self, memo: Dict[int, Tuple]) -> Tuple:
+    """Structural cache key (shape/dtype of leaves, ops/params of interior
+    nodes) — the jit-region cache is keyed on this."""
+    hit = memo.get(self.expr_id)
+    if hit is not None:
+      return hit
+    parts: List[Any] = [type(self).__name__]
+    for name in self._params:
+      parts.append((name, _safe_repr(getattr(self, name))))
+    for name in self._members:
+      v = getattr(self, name)
+      if isinstance(v, Expr):
+        parts.append(v.signature(memo))
+      elif isinstance(v, (list, tuple)):
+        parts.append(tuple(c.signature(memo) if isinstance(c, Expr)
+                           else _safe_repr(c) for c in v))
+      else:
+        parts.append(_safe_repr(v))
+    sig = tuple(parts)
+    memo[self.expr_id] = sig
+    return sig
+
+  # -- shape/dtype inference ------------------------------------------------
+
+  def _emit(self, ctx: "EmitCtx", deps: List[Any]):
+    raise NotImplementedError(type(self).__name__)
+
+  def aval(self) -> jax.ShapeDtypeStruct:
+    """Abstract value via ``jax.eval_shape`` over the node's emitter."""
+    if self._aval is None:
+      dep_avals = [c.aval() for c in self.children()]
+      ctx = EmitCtx(abstract=True)
+      self._aval = jax.eval_shape(
+          lambda *deps: self._emit(ctx, list(deps)), *dep_avals)
+    return self._aval
+
+  @property
+  def shape(self) -> Tuple[int, ...]:
+    return tuple(self.aval().shape)
+
+  @property
+  def dtype(self):
+    return self.aval().dtype
+
+  @property
+  def ndim(self) -> int:
+    return len(self.shape)
+
+  @property
+  def size(self) -> int:
+    return int(np.prod(self.shape)) if self.shape else 1
+
+  # -- evaluation -----------------------------------------------------------
+
+  def evaluate(self) -> SpartanArray:
+    from spartan_tpu.backend import evaluator
+    return evaluator.evaluate(self)
+
+  force = evaluate
+
+  def optimized(self) -> "Expr":
+    from spartan_tpu.expr import optimize as opt
+    return opt.optimize(self)
+
+  def glom(self) -> np.ndarray:
+    return self.evaluate().glom()
+
+  def __array__(self, dtype=None):
+    out = self.glom()
+    return out.astype(dtype) if dtype is not None else out
+
+  # -- numpy-flavoured conveniences (match reference Expr surface) ----------
+
+  def astype(self, dtype) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.astype(self, dtype)
+
+  @property
+  def T(self) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.transpose(self)
+
+  def transpose(self, *axes) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    if len(axes) == 1 and isinstance(axes[0], (tuple, list)):
+      axes = tuple(axes[0])
+    return B.transpose(self, axes or None)
+
+  def reshape(self, *shape) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
+      shape = tuple(shape[0])
+    return B.reshape(self, shape)
+
+  def ravel(self) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.ravel(self)
+
+  def sum(self, axis=None, keepdims=False) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.sum(self, axis=axis, keepdims=keepdims)
+
+  def prod(self, axis=None, keepdims=False) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.prod(self, axis=axis, keepdims=keepdims)
+
+  def mean(self, axis=None, keepdims=False) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.mean(self, axis=axis, keepdims=keepdims)
+
+  def std(self, axis=None) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.std(self, axis=axis)
+
+  def max(self, axis=None, keepdims=False) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.max(self, axis=axis, keepdims=keepdims)
+
+  def min(self, axis=None, keepdims=False) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.min(self, axis=axis, keepdims=keepdims)
+
+  def argmax(self, axis=None) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.argmax(self, axis=axis)
+
+  def argmin(self, axis=None) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.argmin(self, axis=axis)
+
+  def all(self, axis=None) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.all(self, axis=axis)
+
+  def any(self, axis=None) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.any(self, axis=axis)
+
+  def dot(self, other) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.dot(self, other)
+
+  def outer(self, other) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.outer(self, other)
+
+  # -- operators ------------------------------------------------------------
+
+  def _binop(self, other, ufunc, reverse=False):
+    from spartan_tpu.expr.map import map2
+    a, b = (other, self) if reverse else (self, other)
+    return map2(a, b, ufunc)
+
+  def __add__(self, o): return self._binop(o, jnp.add)
+  def __radd__(self, o): return self._binop(o, jnp.add, True)
+  def __sub__(self, o): return self._binop(o, jnp.subtract)
+  def __rsub__(self, o): return self._binop(o, jnp.subtract, True)
+  def __mul__(self, o): return self._binop(o, jnp.multiply)
+  def __rmul__(self, o): return self._binop(o, jnp.multiply, True)
+  def __truediv__(self, o): return self._binop(o, jnp.true_divide)
+  def __rtruediv__(self, o): return self._binop(o, jnp.true_divide, True)
+  def __floordiv__(self, o): return self._binop(o, jnp.floor_divide)
+  def __rfloordiv__(self, o): return self._binop(o, jnp.floor_divide, True)
+  def __mod__(self, o): return self._binop(o, jnp.mod)
+  def __rmod__(self, o): return self._binop(o, jnp.mod, True)
+  def __pow__(self, o): return self._binop(o, jnp.power)
+  def __rpow__(self, o): return self._binop(o, jnp.power, True)
+  def __matmul__(self, o): return self.dot(o)
+  def __neg__(self):
+    from spartan_tpu.expr.map import map1
+    return map1(self, jnp.negative)
+  def __abs__(self):
+    from spartan_tpu.expr.map import map1
+    return map1(self, jnp.abs)
+  def __lt__(self, o): return self._binop(o, jnp.less)
+  def __le__(self, o): return self._binop(o, jnp.less_equal)
+  def __gt__(self, o): return self._binop(o, jnp.greater)
+  def __ge__(self, o): return self._binop(o, jnp.greater_equal)
+  def __eq__(self, o):  # element-wise, like numpy
+    return self._binop(o, jnp.equal)
+  def __ne__(self, o): return self._binop(o, jnp.not_equal)
+  __hash__ = None  # type: ignore[assignment]  # like np.ndarray
+
+  def __getitem__(self, idx) -> "Expr":
+    from spartan_tpu.expr.slice import make_slice
+    return make_slice(self, idx)
+
+  def __repr__(self):
+    try:
+      sd = f"shape={self.shape}, dtype={self.dtype}"
+    except NotShapeable:
+      sd = "shape=<data-dependent>"
+    return f"{type(self).__name__}[{self.expr_id}]({sd})"
+
+
+# Expr intentionally unhashable via __eq__/__hash__ numpy semantics above;
+# DAG bookkeeping uses expr_id.  Restore identity-hash under a wrapper:
+class _ExprKey:
+  __slots__ = ("e",)
+
+  def __init__(self, e: Expr):
+    self.e = e
+
+  def __hash__(self):
+    return self.e.expr_id
+
+  def __eq__(self, other):
+    return isinstance(other, _ExprKey) and other.e is self.e
+
+
+class EmitCtx:
+  """Context threaded through region emission."""
+
+  def __init__(self, abstract: bool = False):
+    self.abstract = abstract
+
+
+class Val(Expr):
+  """Leaf wrapping a materialized value (SpartanArray / ndarray / scalar).
+
+  (Reference: ``Val`` / ``AsArray`` wrappers.)
+  """
+
+  _members = ()
+  _params = ("value",)
+
+  def __init__(self, value):
+    super().__init__(value=value)
+
+  def _emit(self, ctx, deps):
+    # The evaluator binds leaf arguments positionally; _emit is only used
+    # for aval inference on the raw value.
+    v = self.value
+    if isinstance(v, SpartanArray):
+      return jax.ShapeDtypeStruct(v.shape, v.dtype) if ctx.abstract else v.data
+    return jnp.asarray(v)
+
+  def aval(self):
+    if self._aval is None:
+      v = self.value
+      if isinstance(v, (SpartanArray, jax.Array, np.ndarray)):
+        self._aval = jax.ShapeDtypeStruct(
+            v.shape, jax.dtypes.canonicalize_dtype(v.dtype))
+      else:
+        self._aval = jax.eval_shape(lambda: jnp.asarray(v))
+    return self._aval
+
+  def leaf_value(self):
+    """The jax array to bind as a jit argument."""
+    v = self.value
+    if isinstance(v, SpartanArray):
+      return v.data
+    return jnp.asarray(v)
+
+  def signature(self, memo):
+    hit = memo.get(self.expr_id)
+    if hit is not None:
+      return hit
+    a = self.aval()
+    v = self.value
+    spec = None
+    if isinstance(v, SpartanArray):
+      spec = str(v.tiling.spec)
+    sig = ("Val", tuple(a.shape), str(a.dtype), spec)
+    memo[self.expr_id] = sig
+    return sig
+
+
+class ListExpr(Expr):
+  """A list of sub-expressions evaluated together (one fused region,
+  multiple outputs)."""
+
+  _members = ("vals",)
+  _params = ()
+
+  def __init__(self, vals):
+    super().__init__(vals=[lazify(v) for v in vals])
+
+  def _emit(self, ctx, deps):
+    return tuple(deps)
+
+  def aval(self):
+    return tuple(v.aval() for v in self.vals)
+
+  def __iter__(self):
+    return iter(self.vals)
+
+  def __len__(self):
+    return len(self.vals)
+
+
+class TupleExpr(ListExpr):
+  pass
+
+
+class DictExpr(Expr):
+  """A dict of sub-expressions evaluated together."""
+
+  _members = ("vals",)
+  _params = ("keys",)
+
+  def __init__(self, d: Dict[str, Any]):
+    keys = tuple(d.keys())
+    super().__init__(vals=[lazify(d[k]) for k in keys], keys=keys)
+
+  def _emit(self, ctx, deps):
+    return dict(zip(self.keys, deps))
+
+  def aval(self):
+    return {k: v.aval() for k, v in zip(self.keys, self.vals)}
+
+  def __getitem__(self, k):
+    return self.vals[self.keys.index(k)]
+
+
+def lazify(v: Any) -> Expr:
+  """Wrap a concrete value as a leaf expr (reference ``lazify``)."""
+  if isinstance(v, Expr):
+    return v
+  return Val(v)
+
+
+def evaluate(expr: Any):
+  """Evaluate an expr (or container of exprs) to SpartanArray(s)."""
+  if isinstance(expr, Expr):
+    return expr.evaluate()
+  if isinstance(expr, (list, tuple)):
+    return type(expr)(evaluate(e) for e in expr)
+  if isinstance(expr, dict):
+    return {k: evaluate(v) for k, v in expr.items()}
+  return expr
+
+
+force = evaluate
+
+
+def glom(expr: Any) -> np.ndarray:
+  return lazify(expr).glom()

@@ -1,0 +1,505 @@
+"""The NumPy-compatible builtin surface (~70 functions).
+
+TPU-native rebuild of the reference's builtins (reference:
+``spartan/expr/builtins.py`` + per-op files — the NumPy-style API built
+from the five primitives map/reduce/scan/dot/shuffle, re-exported from
+``spartan/__init__.py``; SURVEY.md §2.1).  Everything here is a thin lazy
+constructor: creation ops become :class:`CreationExpr` (folded into fused
+regions — ``ones(...) + x`` never materializes the ones), elementwise math
+becomes map kernels over jnp ufuncs, reductions carry the reference's
+float64-accumulation semantics, and shape ops stay lazy until forced.
+"""
+
+from __future__ import annotations
+
+import builtins as _py
+import functools
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spartan_tpu.core.array import SpartanArray
+from spartan_tpu.core.array import from_numpy as _from_numpy_arr
+# ``import a.b as m`` resolves via sys.modules, immune to the package
+# __init__ re-binding these names to the same-named functions.
+import spartan_tpu.expr.dot as dot_mod
+import spartan_tpu.expr.reduce as reduce_mod
+import spartan_tpu.expr.scan as scan_mod
+from spartan_tpu.expr.base import Expr, ListExpr, NotShapeable, Val, lazify
+from spartan_tpu.expr.map import map, map1, map2, map_with_location
+from spartan_tpu.expr.ndarray import CreationExpr, _next_seed, ndarray, set_random_seed
+from spartan_tpu.expr.reshape import (ConcatenateExpr, RavelExpr, ReshapeExpr,
+                                      StackExpr, TileExpr, TransposeExpr)
+from spartan_tpu.expr.shuffle import shuffle
+from spartan_tpu.expr.slice import make_slice
+from spartan_tpu.expr.sort_expr import PercentileExpr, SortExpr
+from spartan_tpu.expr.stencil import avgpool, maxpool, stencil
+from spartan_tpu.expr.write import assign, write
+
+_DEFAULT_FLOAT = np.float64  # canonicalized to f32 when x64 is off (TPU)
+
+
+# -- creation ---------------------------------------------------------------
+
+def zeros(shape, dtype=_DEFAULT_FLOAT, tile_hint=None) -> Expr:
+  return CreationExpr("full", _tuplify(shape), dtype, {"fill": 0}, tile_hint)
+
+
+def ones(shape, dtype=_DEFAULT_FLOAT, tile_hint=None) -> Expr:
+  return CreationExpr("full", _tuplify(shape), dtype, {"fill": 1}, tile_hint)
+
+
+def full(shape, fill_value, dtype=None, tile_hint=None) -> Expr:
+  if dtype is None:
+    dtype = np.asarray(fill_value).dtype
+  return CreationExpr("full", _tuplify(shape), dtype, {"fill": fill_value},
+                      tile_hint)
+
+
+empty = zeros  # XLA arrays are always defined; empty == zeros
+
+
+def zeros_like(v) -> Expr:
+  v = lazify(v)
+  return zeros(v.shape, v.dtype)
+
+
+def ones_like(v) -> Expr:
+  v = lazify(v)
+  return ones(v.shape, v.dtype)
+
+
+def full_like(v, fill_value) -> Expr:
+  v = lazify(v)
+  return full(v.shape, fill_value, v.dtype)
+
+
+def arange(start, stop=None, step=1, dtype=None, tile_hint=None) -> Expr:
+  if stop is None:
+    start, stop = 0, start
+  n = _py.max(0, int(np.ceil((stop - start) / step)))
+  if dtype is None:
+    dtype = np.arange(start, stop, step).dtype if n else np.int64
+  return CreationExpr("arange", (n,), dtype,
+                      {"start": start, "stop": stop, "step": step}, tile_hint)
+
+
+def linspace(start, stop, num=50, dtype=_DEFAULT_FLOAT) -> Expr:
+  return CreationExpr("linspace", (num,), dtype,
+                      {"start": start, "stop": stop, "num": num}, None)
+
+
+def eye(n, m=None, k=0, dtype=_DEFAULT_FLOAT, tile_hint=None) -> Expr:
+  m = n if m is None else m
+  return CreationExpr("eye", (n, m), dtype, {"k": k}, tile_hint)
+
+
+def identity(n, dtype=_DEFAULT_FLOAT) -> Expr:
+  return eye(n, dtype=dtype)
+
+
+def rand(*shape, tile_hint=None) -> Expr:
+  return CreationExpr("rand", shape, _DEFAULT_FLOAT, {"seed": _next_seed()},
+                      tile_hint)
+
+
+def randn(*shape, tile_hint=None) -> Expr:
+  return CreationExpr("randn", shape, _DEFAULT_FLOAT, {"seed": _next_seed()},
+                      tile_hint)
+
+
+def randint(low, high=None, size=(), dtype=np.int64, tile_hint=None) -> Expr:
+  if high is None:
+    low, high = 0, low
+  return CreationExpr("randint", _tuplify(size), dtype,
+                      {"low": low, "high": high, "seed": _next_seed()},
+                      tile_hint)
+
+
+def _tuplify(shape) -> tuple:
+  if isinstance(shape, (int, np.integer)):
+    return (int(shape),)
+  return tuple(int(s) for s in shape)
+
+
+def from_numpy(arr, tile_hint=None) -> Expr:
+  """Wrap host data as a distributed leaf."""
+  return Val(_from_numpy_arr(np.asarray(arr), tile_hint))
+
+
+as_array = from_numpy
+
+
+# -- elementwise math -------------------------------------------------------
+
+def _unary(jfn, name):
+  def op(v):
+    return map1(lazify(v), jfn)
+  op.__name__ = name
+  op.__doc__ = f"Lazy elementwise {name} (maps to jnp.{name})."
+  return op
+
+
+sqrt = _unary(jnp.sqrt, "sqrt")
+exp = _unary(jnp.exp, "exp")
+exp2 = _unary(jnp.exp2, "exp2")
+expm1 = _unary(jnp.expm1, "expm1")
+log = _unary(jnp.log, "log")
+log2 = _unary(jnp.log2, "log2")
+log10 = _unary(jnp.log10, "log10")
+log1p = _unary(jnp.log1p, "log1p")
+abs = _unary(jnp.abs, "abs")
+absolute = abs
+sign = _unary(jnp.sign, "sign")
+negative = _unary(jnp.negative, "negative")
+reciprocal = _unary(jnp.reciprocal, "reciprocal")
+square = _unary(jnp.square, "square")
+sin = _unary(jnp.sin, "sin")
+cos = _unary(jnp.cos, "cos")
+tan = _unary(jnp.tan, "tan")
+arcsin = _unary(jnp.arcsin, "arcsin")
+arccos = _unary(jnp.arccos, "arccos")
+arctan = _unary(jnp.arctan, "arctan")
+sinh = _unary(jnp.sinh, "sinh")
+cosh = _unary(jnp.cosh, "cosh")
+tanh = _unary(jnp.tanh, "tanh")
+ceil = _unary(jnp.ceil, "ceil")
+floor = _unary(jnp.floor, "floor")
+rint = _unary(jnp.rint, "rint")
+trunc = _unary(jnp.trunc, "trunc")
+isnan = _unary(jnp.isnan, "isnan")
+isinf = _unary(jnp.isinf, "isinf")
+isfinite = _unary(jnp.isfinite, "isfinite")
+logical_not = _unary(jnp.logical_not, "logical_not")
+conj = _unary(jnp.conj, "conj")
+
+
+def _binary(jfn, name):
+  def op(a, b):
+    return map2(a, b, jfn)
+  op.__name__ = name
+  return op
+
+
+add = _binary(jnp.add, "add")
+subtract = _binary(jnp.subtract, "subtract")
+multiply = _binary(jnp.multiply, "multiply")
+divide = _binary(jnp.true_divide, "divide")
+true_divide = divide
+floor_divide = _binary(jnp.floor_divide, "floor_divide")
+mod = _binary(jnp.mod, "mod")
+power = _binary(jnp.power, "power")
+maximum = _binary(jnp.maximum, "maximum")
+minimum = _binary(jnp.minimum, "minimum")
+arctan2 = _binary(jnp.arctan2, "arctan2")
+hypot = _binary(jnp.hypot, "hypot")
+equal = _binary(jnp.equal, "equal")
+not_equal = _binary(jnp.not_equal, "not_equal")
+less = _binary(jnp.less, "less")
+less_equal = _binary(jnp.less_equal, "less_equal")
+greater = _binary(jnp.greater, "greater")
+greater_equal = _binary(jnp.greater_equal, "greater_equal")
+logical_and = _binary(jnp.logical_and, "logical_and")
+logical_or = _binary(jnp.logical_or, "logical_or")
+logical_xor = _binary(jnp.logical_xor, "logical_xor")
+
+
+def round(v, decimals=0) -> Expr:
+  return map([lazify(v)], jnp.round, fn_kw={"decimals": decimals})
+
+
+def clip(v, a_min=None, a_max=None) -> Expr:
+  return map([lazify(v)], jnp.clip, fn_kw={"min": a_min, "max": a_max})
+
+
+def where(cond, a, b) -> Expr:
+  return map([lazify(cond), lazify(a), lazify(b)], jnp.where)
+
+
+def _astype_fn(x, dtype):
+  return x.astype(dtype)
+
+
+def astype(v, dtype) -> Expr:
+  dt = jax.dtypes.canonicalize_dtype(np.dtype(dtype))
+  return map([lazify(v)], _astype_fn, fn_kw={"dtype": dt})
+
+
+# -- reductions -------------------------------------------------------------
+
+def sum(v, axis=None, keepdims=False, dtype=None) -> Expr:
+  return reduce_mod.reduce(v, "sum", axis=axis, keepdims=keepdims,
+                           out_dtype=dtype)
+
+
+def prod(v, axis=None, keepdims=False, dtype=None) -> Expr:
+  return reduce_mod.reduce(v, "prod", axis=axis, keepdims=keepdims,
+                           out_dtype=dtype)
+
+
+def mean(v, axis=None, keepdims=False, dtype=None) -> Expr:
+  return reduce_mod.reduce(v, "mean", axis=axis, keepdims=keepdims,
+                           out_dtype=dtype)
+
+
+def std(v, axis=None, ddof=0) -> Expr:
+  return reduce_mod.reduce(v, "std", axis=axis, ddof=ddof)
+
+
+def var(v, axis=None, ddof=0) -> Expr:
+  return reduce_mod.reduce(v, "var", axis=axis, ddof=ddof)
+
+
+def max(v, axis=None, keepdims=False) -> Expr:
+  return reduce_mod.reduce(v, "max", axis=axis, keepdims=keepdims)
+
+
+def min(v, axis=None, keepdims=False) -> Expr:
+  return reduce_mod.reduce(v, "min", axis=axis, keepdims=keepdims)
+
+
+def argmax(v, axis=None) -> Expr:
+  return reduce_mod.reduce(v, "argmax", axis=axis)
+
+
+def argmin(v, axis=None) -> Expr:
+  return reduce_mod.reduce(v, "argmin", axis=axis)
+
+
+def all(v, axis=None) -> Expr:
+  return reduce_mod.reduce(v, "all", axis=axis)
+
+
+def any(v, axis=None) -> Expr:
+  return reduce_mod.reduce(v, "any", axis=axis)
+
+
+def count_nonzero(v, axis=None) -> Expr:
+  return reduce_mod.reduce(v, "count_nonzero", axis=axis)
+
+
+def nansum(v, axis=None) -> Expr:
+  return reduce_mod.reduce(v, "nansum", axis=axis)
+
+
+def norm(v, ord=2, axis=None) -> Expr:
+  """Vector 2-norm / matrix Frobenius norm (numpy.linalg.norm defaults)."""
+  v = lazify(v)
+  if ord in (2, "fro", None):
+    return sqrt(sum(abs(v) ** 2, axis=axis))
+  if ord == 1:
+    return sum(abs(v), axis=axis)
+  if ord == np.inf:
+    return max(abs(v), axis=axis)
+  return sum(abs(v) ** ord, axis=axis) ** (1.0 / ord)
+
+
+def ptp(v, axis=None) -> Expr:
+  return max(v, axis=axis) - min(v, axis=axis)
+
+
+# -- scans ------------------------------------------------------------------
+
+def cumsum(v, axis=None) -> Expr:
+  return scan_mod.scan(v, "sum", axis=axis)
+
+
+def cumprod(v, axis=None) -> Expr:
+  return scan_mod.scan(v, "prod", axis=axis)
+
+
+scan = scan_mod.scan
+
+
+# -- linear algebra ---------------------------------------------------------
+
+dot = dot_mod.dot
+outer = dot_mod.outer
+tensordot = dot_mod.tensordot
+
+
+def matmul(a, b) -> Expr:
+  return dot_mod.dot(a, b)
+
+
+def vdot(a, b) -> Expr:
+  return sum(multiply(ravel(a), ravel(b)))
+
+
+def diag(v, k=0) -> Expr:
+  return map([lazify(v)], jnp.diag, fn_kw={"k": k})
+
+
+def diagonal(v, offset=0) -> Expr:
+  return map([lazify(v)], jnp.diagonal, fn_kw={"offset": offset})
+
+
+def trace(v, offset=0) -> Expr:
+  return sum(diagonal(v, offset))
+
+
+def tril(v, k=0) -> Expr:
+  return map([lazify(v)], jnp.tril, fn_kw={"k": k})
+
+
+def triu(v, k=0) -> Expr:
+  return map([lazify(v)], jnp.triu, fn_kw={"k": k})
+
+
+# -- shape manipulation -----------------------------------------------------
+
+def reshape(v, shape) -> Expr:
+  return ReshapeExpr(lazify(v), _tuplify(shape))
+
+
+def ravel(v) -> Expr:
+  return RavelExpr(lazify(v))
+
+
+flatten = ravel
+
+
+def transpose(v, axes=None) -> Expr:
+  return TransposeExpr(lazify(v), axes)
+
+
+def swapaxes(v, a, b) -> Expr:
+  v = lazify(v)
+  axes = list(range(v.ndim))
+  axes[a], axes[b] = axes[b], axes[a]
+  return TransposeExpr(v, axes)
+
+
+def concatenate(arrays, axis=0) -> Expr:
+  return ConcatenateExpr([lazify(a) for a in arrays], axis)
+
+
+def stack(arrays, axis=0) -> Expr:
+  return StackExpr([lazify(a) for a in arrays], axis)
+
+
+def vstack(arrays) -> Expr:
+  arrays = [lazify(a) for a in arrays]
+  if arrays[0].ndim == 1:
+    return StackExpr(arrays, 0)
+  return ConcatenateExpr(arrays, 0)
+
+
+def hstack(arrays) -> Expr:
+  arrays = [lazify(a) for a in arrays]
+  if arrays[0].ndim == 1:
+    return ConcatenateExpr(arrays, 0)
+  return ConcatenateExpr(arrays, 1)
+
+
+def tile(v, reps) -> Expr:
+  return TileExpr(lazify(v), reps)
+
+
+def expand_dims(v, axis) -> Expr:
+  return map([lazify(v)], jnp.expand_dims, fn_kw={"axis": axis})
+
+
+def squeeze(v, axis=None) -> Expr:
+  return map([lazify(v)], jnp.squeeze, fn_kw={"axis": axis})
+
+
+def take(v, indices, axis=None) -> Expr:
+  return map([lazify(v), lazify(indices)], jnp.take, fn_kw={"axis": axis})
+
+
+# -- sorting & searching ----------------------------------------------------
+
+def sort(v, axis=-1) -> Expr:
+  return SortExpr(lazify(v), axis, "sort")
+
+
+def argsort(v, axis=-1) -> Expr:
+  return SortExpr(lazify(v), axis, "argsort")
+
+
+def percentile(v, q, axis=None) -> Expr:
+  return PercentileExpr(lazify(v), q, axis)
+
+
+def median(v, axis=None) -> Expr:
+  return PercentileExpr(lazify(v), 50.0, axis)
+
+
+def bincount(v, minlength=None, weights=None) -> Expr:
+  """Traced when ``minlength`` bounds the output; eager otherwise
+  (data-dependent length, the reference's NotShapeable boundary)."""
+  v = lazify(v)
+  if minlength is not None:
+    w = lazify(weights) if weights is not None else None
+    ins = [v] + ([w] if w is not None else [])
+
+    def _bc(x, *rest):
+      weights_ = rest[0] if rest else None
+      return jnp.bincount(x, weights=weights_, length=minlength)
+
+    return map(ins, _bc)
+  from spartan_tpu.expr.fio import HostExpr
+  return HostExpr([v] + ([lazify(weights)] if weights is not None else []),
+                  np.bincount)
+
+
+def unique(v) -> Expr:
+  from spartan_tpu.expr.fio import HostExpr
+  return HostExpr([lazify(v)], np.unique)
+
+
+def nonzero(v) -> Expr:
+  from spartan_tpu.expr.fio import HostExpr
+  return HostExpr([lazify(v)], lambda x: np.stack(np.nonzero(x)))
+
+
+# -- misc -------------------------------------------------------------------
+
+def allclose(a, b, rtol=1e-05, atol=1e-08) -> bool:
+  return bool(np.allclose(lazify(a).glom(), lazify(b).glom(),
+                          rtol=rtol, atol=atol))
+
+
+def array_equal(a, b) -> bool:
+  return bool(np.array_equal(lazify(a).glom(), lazify(b).glom()))
+
+
+__all__ = [
+    # creation
+    "zeros", "ones", "full", "empty", "zeros_like", "ones_like", "full_like",
+    "arange", "linspace", "eye", "identity", "rand", "randn", "randint",
+    "from_numpy", "as_array", "ndarray", "set_random_seed",
+    # elementwise
+    "sqrt", "exp", "exp2", "expm1", "log", "log2", "log10", "log1p", "abs",
+    "absolute", "sign", "negative", "reciprocal", "square", "sin", "cos",
+    "tan", "arcsin", "arccos", "arctan", "sinh", "cosh", "tanh", "ceil",
+    "floor", "rint", "trunc", "isnan", "isinf", "isfinite", "logical_not",
+    "conj", "add", "subtract", "multiply", "divide", "true_divide",
+    "floor_divide", "mod", "power", "maximum", "minimum", "arctan2", "hypot",
+    "equal", "not_equal", "less", "less_equal", "greater", "greater_equal",
+    "logical_and", "logical_or", "logical_xor", "round", "clip", "where",
+    "astype",
+    # reductions
+    "sum", "prod", "mean", "std", "var", "max", "min", "argmax", "argmin",
+    "all", "any", "count_nonzero", "nansum", "norm", "ptp",
+    # scans
+    "cumsum", "cumprod", "scan",
+    # linalg
+    "dot", "outer", "tensordot", "matmul", "vdot", "diag", "diagonal",
+    "trace", "tril", "triu",
+    # shape
+    "reshape", "ravel", "flatten", "transpose", "swapaxes", "concatenate",
+    "stack", "vstack", "hstack", "tile", "expand_dims", "squeeze", "take",
+    # sort/search
+    "sort", "argsort", "percentile", "median", "bincount", "unique",
+    "nonzero",
+    # stencil
+    "stencil", "maxpool", "avgpool",
+    # write
+    "write", "assign",
+    # misc
+    "allclose", "array_equal",
+]

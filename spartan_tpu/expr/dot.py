@@ -1,0 +1,94 @@
+"""Distributed matmul / outer product.
+
+TPU-native rebuild of the reference's dot (reference: ``spartan/expr/dot.py``
+— per-A-tile kernels fetch matching B blocks and accumulate partial
+products into C via an add-reducer, the "dot shuffle"; SURVEY.md §2.1,
+§3.3).  Here the contraction is one traced ``dot_general``: XLA's SPMD
+partitioner emits the all-gather of B / reduce-scatter of C over ICI that
+the reference hand-rolled as RPC fetches + combiner updates.  MXU targeting
+comes from ``preferred_element_type`` and the AutoTiling pass keeping both
+operands and the result 2-D-sharded over the mesh.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spartan_tpu.config import FLAGS
+from spartan_tpu.expr.base import EmitCtx, Expr, lazify
+
+
+def _acc_type(a_dtype, b_dtype):
+  out = np.promote_types(a_dtype, b_dtype)
+  if out.kind == "f":
+    # f32 accumulation for f32/bf16 inputs (MXU native); f64 when the
+    # reference's float64 semantics are on and x64 is live.
+    if FLAGS.float64_reductions:
+      return jax.dtypes.canonicalize_dtype(np.promote_types(out, np.float64))
+    return jax.dtypes.canonicalize_dtype(np.promote_types(out, np.float32))
+  return jax.dtypes.canonicalize_dtype(out)
+
+
+class DotExpr(Expr):
+  """Matrix/vector contraction of the trailing/leading dims."""
+
+  _members = ("inputs",)
+  _params = ()
+
+  def __init__(self, a, b):
+    super().__init__(inputs=[lazify(a), lazify(b)])
+
+  def _emit(self, ctx: EmitCtx, deps: List[Any]):
+    a, b = deps
+    acc = _acc_type(a.dtype, b.dtype)
+    out = jnp.matmul(a, b, preferred_element_type=acc) if (
+        a.ndim >= 1 and b.ndim >= 1) else a * b
+    # numpy semantics: result dtype is the promotion of the inputs, unless
+    # f64 accumulation promoted it (reference returns the accumulator type)
+    return out
+
+
+class OuterExpr(Expr):
+  """Outer product of two 1-D arrays (reference ``expr/outer.py``)."""
+
+  _members = ("inputs",)
+  _params = ()
+
+  def __init__(self, a, b):
+    super().__init__(inputs=[lazify(a), lazify(b)])
+
+  def _emit(self, ctx: EmitCtx, deps: List[Any]):
+    a, b = deps
+    return jnp.outer(a, b)
+
+
+class TensorDotExpr(Expr):
+  """General tensordot (axes-based contraction)."""
+
+  _members = ("inputs",)
+  _params = ("axes",)
+
+  def __init__(self, a, b, axes):
+    super().__init__(inputs=[lazify(a), lazify(b)], axes=axes)
+
+  def _emit(self, ctx: EmitCtx, deps: List[Any]):
+    a, b = deps
+    acc = _acc_type(a.dtype, b.dtype)
+    return jnp.tensordot(a, b, axes=self.axes,
+                         preferred_element_type=acc)
+
+
+def dot(a, b) -> Expr:
+  return DotExpr(a, b)
+
+
+def outer(a, b) -> Expr:
+  return OuterExpr(a, b)
+
+
+def tensordot(a, b, axes=2) -> Expr:
+  return TensorDotExpr(a, b, axes)

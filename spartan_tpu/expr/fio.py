@@ -1,0 +1,136 @@
+"""File IO, checkpointing, and host-side escape hatches.
+
+TPU-native rebuild of the reference's IO layer (reference:
+``spartan/expr/fio.py`` — per-tile pickle/npy save/load, ``from_numpy`` /
+``from_file`` — and ``spartan/expr/checkpoint.py`` — persisting a
+sub-DAG's result so lineage re-execution restarts from it; SURVEY.md §2.1,
+§5).  The rebuild stores one ``.npy`` per logical shard plus a JSON
+manifest (shape, dtype, mesh shape, PartitionSpec) and restores into an
+identical NamedSharding — sharding-aware checkpoint/resume.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from spartan_tpu.core.array import SpartanArray, from_numpy as _from_numpy
+from spartan_tpu.core.extent import TileExtent
+from spartan_tpu.core.mesh import get_mesh
+from spartan_tpu.core.tiling import Tiling
+from spartan_tpu.expr.base import Expr, NotShapeable, Val, lazify
+from spartan_tpu.util import log_info
+
+
+class HostExpr(Expr):
+  """Host-side numpy computation — a materialization boundary for ops whose
+  output shape is data-dependent (unique/nonzero/unbounded bincount)."""
+
+  _members = ("inputs",)
+  _params = ("fn",)
+
+  def __init__(self, inputs, fn: Callable):
+    super().__init__(inputs=[lazify(v) for v in inputs], fn=fn)
+
+  def aval(self):
+    raise NotShapeable(f"host op {self.fn} has data-dependent shape")
+
+  def _emit(self, ctx, deps):
+    raise NotShapeable("host op must be evaluated eagerly")
+
+  def evaluate_eager(self) -> SpartanArray:
+    args = [c.evaluate().glom() for c in self.inputs]
+    return _from_numpy(np.asarray(self.fn(*args)))
+
+
+class CheckpointExpr(Expr):
+  """Persist the child's result on first evaluation; later evaluations (and
+  fresh processes) restore from disk instead of recomputing the lineage."""
+
+  _members = ("inputs",)
+  _params = ("path",)
+
+  def __init__(self, child, path: str):
+    super().__init__(inputs=[lazify(child)], path=path)
+
+  def aval(self):
+    return self.inputs[0].aval()
+
+  def _emit(self, ctx, deps):
+    return deps[0]
+
+  def evaluate_eager(self) -> SpartanArray:
+    if os.path.exists(os.path.join(self.path, "manifest.json")):
+      log_info("checkpoint restore: %s", self.path)
+      return load(self.path)
+    result = self.inputs[0].evaluate()
+    save(result, self.path)
+    return result
+
+  def evaluate(self):
+    if self._cache is None:
+      self._cache = self.evaluate_eager()
+    return self._cache
+
+
+def checkpoint(v, path: str) -> CheckpointExpr:
+  return CheckpointExpr(v, path)
+
+
+# ---------------------------------------------------------------------------
+# save / load: one npy per logical shard + JSON manifest
+# ---------------------------------------------------------------------------
+
+def save(v, path: str) -> None:
+  """Write a SpartanArray (or expr) as per-shard .npy files + manifest."""
+  arr = v.evaluate() if isinstance(v, Expr) else v
+  os.makedirs(path, exist_ok=True)
+  extents = arr.tile_extents()
+  host = arr.glom()
+  manifest = {
+      "shape": list(arr.shape),
+      "dtype": str(arr.dtype),
+      "mesh_shape": {k: int(s) for k, s in arr.tiling.mesh.shape.items()},
+      "spec": [list(e) if isinstance(e, (tuple, list)) else e
+               for e in tuple(arr.tiling.spec)],
+      "num_shards": len(extents),
+      "shards": [{"ul": list(e.ul), "lr": list(e.lr)} for e in extents],
+  }
+  with open(os.path.join(path, "manifest.json"), "w") as f:
+    json.dump(manifest, f)
+  for i, ext in enumerate(extents):
+    np.save(os.path.join(path, f"shard_{i:05d}.npy"), host[ext.to_slice()])
+
+
+def load(path: str, mesh=None) -> SpartanArray:
+  """Restore an array saved by :func:`save` into an identical sharding."""
+  with open(os.path.join(path, "manifest.json")) as f:
+    manifest = json.load(f)
+  shape = tuple(manifest["shape"])
+  dtype = np.dtype(manifest["dtype"])
+  out = np.empty(shape, dtype=dtype)
+  for i, sh in enumerate(manifest["shards"]):
+    ext = TileExtent(sh["ul"], sh["lr"], shape)
+    out[ext.to_slice()] = np.load(os.path.join(path, f"shard_{i:05d}.npy"))
+  mesh = mesh or get_mesh()
+  from jax.sharding import PartitionSpec
+  entries = tuple(tuple(e) if isinstance(e, list) else e
+                  for e in manifest["spec"])
+  # only restore the saved spec when the mesh still matches
+  if {k: int(s) for k, s in mesh.shape.items()} == manifest["mesh_shape"]:
+    tiling = Tiling(mesh, PartitionSpec(*entries))
+  else:
+    from spartan_tpu.core.tiling import auto_tiling
+    tiling = auto_tiling(shape, None, mesh)
+  return _from_numpy(out, tiling=tiling)
+
+
+def from_file(path: str, tile_hint=None) -> Expr:
+  """Lazy-load a .npy file / saved checkpoint dir as a leaf."""
+  if os.path.isdir(path):
+    return Val(load(path))
+  return Val(_from_numpy(np.load(path), tile_hint))

@@ -1,0 +1,102 @@
+"""Elementwise / broadcast map over distributed arrays.
+
+TPU-native rebuild of the reference's map op (reference:
+``spartan/expr/map.py`` — ``MapExpr``/``map``/``map_with_location`` with a
+per-tile ``tile_mapper`` kernel: the largest input chooses the output
+tiling, other inputs are fetched/broadcast per tile; SURVEY.md §2.1, §3.2).
+
+TPU-first: the mapper runs over *global* traced arrays inside the fused
+jitted region — NumPy broadcasting is jnp broadcasting, cross-tile fetches
+of broadcast operands become XLA's sharding propagation, and the
+"largest input chooses tiling" rule survives as the AutoTiling pass copying
+the dominant input's PartitionSpec to the output.
+
+``map_with_location`` gives kernels access to global coordinates: instead
+of the reference's per-tile ``(tile, extent)`` pair, the kernel receives
+``(values, coords)`` where ``coords[d]`` is the global index grid along dim
+``d`` (built with ``lax.broadcasted_iota``, which XLA partitions for free).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from spartan_tpu.expr import local as local_mod
+from spartan_tpu.expr.base import EmitCtx, Expr, Val, lazify
+from spartan_tpu.expr.local import FnCallExpr, LocalExpr, LocalInput
+
+
+class MapExpr(Expr):
+  """Apply a fused local kernel elementwise over N inputs."""
+
+  _members = ("inputs",)
+  _params = ("op",)  # a LocalExpr tree
+
+  def __init__(self, inputs: Sequence[Expr], op: LocalExpr):
+    super().__init__(inputs=list(inputs), op=op)
+
+  def _emit(self, ctx: EmitCtx, deps: List[Any]):
+    return self.op.evaluate(deps)
+
+  def signature(self, memo):
+    hit = memo.get(self.expr_id)
+    if hit is not None:
+      return hit
+    sig = ("MapExpr", self.op.signature(),
+           tuple(c.signature(memo) for c in self.inputs))
+    memo[self.expr_id] = sig
+    return sig
+
+  def pretty_op(self) -> str:
+    return self.op.pretty()
+
+
+class MapWithLocationExpr(Expr):
+  """Map with access to global coordinates."""
+
+  _members = ("inputs",)
+  _params = ("fn", "fn_kw")
+
+  def __init__(self, inputs: Sequence[Expr], fn: Callable, fn_kw=None):
+    super().__init__(inputs=list(inputs), fn=fn, fn_kw=dict(fn_kw or {}))
+
+  def _emit(self, ctx: EmitCtx, deps: List[Any]):
+    shape = deps[0].shape
+    coords = tuple(
+        jax.lax.broadcasted_iota(jnp.int32, shape, d)
+        for d in range(len(shape)))
+    return self.fn(*deps, coords, **self.fn_kw)
+
+
+def map(inputs, fn: Callable, fn_kw=None, numpy_expr=None) -> MapExpr:
+  """Lazy elementwise map: ``fn(*inputs)`` per element with broadcasting.
+
+  ``numpy_expr`` is accepted for reference-API compatibility and ignored
+  (the kernel itself is jax-traceable; there is no separate numpy path).
+  """
+  del numpy_expr
+  if isinstance(inputs, Expr) or not isinstance(inputs, (list, tuple)):
+    inputs = [inputs]
+  exprs = [lazify(v) for v in inputs]
+  op = FnCallExpr(fn, [LocalInput(i) for i in range(len(exprs))],
+                  fn_kw)
+  return MapExpr(inputs=exprs, op=op)
+
+
+def map1(a, fn: Callable, **kw) -> MapExpr:
+  return map([a], fn, fn_kw=kw or None)
+
+
+def map2(a, b, fn: Callable) -> MapExpr:
+  """Binary map; scalar operands stay inline as leaf values."""
+  return map([a, b], fn)
+
+
+def map_with_location(inputs, fn: Callable, fn_kw=None) -> MapWithLocationExpr:
+  """Lazy map where ``fn(*values, coords)`` sees global index grids."""
+  if isinstance(inputs, Expr) or not isinstance(inputs, (list, tuple)):
+    inputs = [inputs]
+  return MapWithLocationExpr([lazify(v) for v in inputs], fn, fn_kw)

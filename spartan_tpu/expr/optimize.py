@@ -1,0 +1,363 @@
+"""DAG optimizer.
+
+TPU-native rebuild of the reference's optimizer (reference:
+``spartan/expr/optimize.py`` — flag-gated rewrite passes: ``MapMapFusion``,
+``ReduceMapFusion``, ``CollapsedCachedExprs``, ``ParakeetGeneration``, and
+the smart/auto-tiling cost-model search — the ATC'15 paper's core
+contribution; SURVEY.md §2.1, §3.2).
+
+Division of labor in the rebuild: XLA already fuses everything inside a
+jitted region, so the passes here optimize what XLA *cannot* see:
+
+* ``CollapsedCachedExprs`` — cut the DAG at already-materialized results
+  (the region boundary = the reference's eval-cache hits);
+* ``MapMapFusion`` / ``ReduceMapFusion`` — collapse map chains into one
+  LocalExpr kernel: fewer nodes → smaller traces, a stable structural
+  signature for the jit cache, and the fused kernel is what the Pallas
+  backend lowers directly;
+* ``AutoTiling`` ("smart tiling") — choose PartitionSpecs for region
+  *outputs* to minimize resharding collectives between regions; intra-
+  region propagation is XLA's job, the boundary layout decision is ours.
+  The pass propagates specs bottom-up with a bytes-moved cost model:
+  elementwise ops inherit the dominant input's tiling (the reference's
+  "largest input chooses"), reductions drop the reduced axes, contractions
+  get mesh-2-D outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+from jax.sharding import PartitionSpec
+
+from spartan_tpu.config import FLAGS
+from spartan_tpu.core.mesh import get_mesh
+from spartan_tpu.core.tiling import Tiling, auto_tiling, choose_spec
+from spartan_tpu.expr import local as local_mod
+from spartan_tpu.expr.base import Expr, ListExpr, NotShapeable, Val
+from spartan_tpu.expr.dot import DotExpr, OuterExpr, TensorDotExpr
+from spartan_tpu.expr.map import MapExpr, MapWithLocationExpr
+from spartan_tpu.expr.ndarray import CreationExpr
+from spartan_tpu.expr.reduce import ReduceExpr
+from spartan_tpu.expr.reshape import RavelExpr, ReshapeExpr, TransposeExpr
+from spartan_tpu.expr.slice import SliceExpr
+
+
+# ---------------------------------------------------------------------------
+# Generic bottom-up rewriter
+# ---------------------------------------------------------------------------
+
+def _rebuild(expr: Expr, child_map: Dict[int, Expr]) -> Expr:
+  """Copy ``expr`` with rewritten children (no-op when nothing changed)."""
+  changed = False
+  updates = {}
+  for name in expr._members:
+    v = getattr(expr, name)
+    if isinstance(v, Expr):
+      nv = child_map.get(v.expr_id, v)
+      changed |= nv is not v
+      updates[name] = nv
+    elif isinstance(v, (list, tuple)):
+      nv = [child_map.get(c.expr_id, c) if isinstance(c, Expr) else c
+            for c in v]
+      changed |= any(a is not b for a, b in zip(v, nv))
+      updates[name] = type(v)(nv) if isinstance(v, tuple) else nv
+  if not changed:
+    return expr
+  return expr.replace(**updates)
+
+
+def rewrite_bottom_up(root: Expr, fn: Callable[[Expr], Expr]) -> Expr:
+  """Apply ``fn`` to every node after its children have been rewritten."""
+  memo: Dict[int, Expr] = {}
+
+  def go(e: Expr) -> Expr:
+    hit = memo.get(e.expr_id)
+    if hit is not None:
+      return hit
+    for c in e.children():
+      go(c)
+    rebuilt = _rebuild(e, {c.expr_id: memo[c.expr_id] for c in e.children()})
+    out = fn(rebuilt)
+    memo[e.expr_id] = out
+    return out
+
+  return go(root)
+
+
+def count_refs(root: Expr) -> Dict[int, int]:
+  refs: Dict[int, int] = {}
+  seen = set()
+
+  def go(e: Expr):
+    if e.expr_id in seen:
+      return
+    seen.add(e.expr_id)
+    for c in e.children():
+      refs[c.expr_id] = refs.get(c.expr_id, 0) + 1
+      go(c)
+
+  go(root)
+  return refs
+
+
+# ---------------------------------------------------------------------------
+# Passes
+# ---------------------------------------------------------------------------
+
+class CollapsedCachedExprs:
+  """Replace already-evaluated sub-DAGs with leaf values — region cuts."""
+
+  def run(self, root: Expr) -> Expr:
+    if root._cache is not None:
+      return Val(root._cache)
+
+    def fn(e: Expr) -> Expr:
+      if e._cache is not None and not isinstance(e, Val):
+        return Val(e._cache)
+      return e
+
+    # collapse must happen *before* children are recursed into, so walk
+    # top-down via the bottom-up rewriter on a pre-collapsed view:
+    memo: Dict[int, Expr] = {}
+
+    def go(e: Expr) -> Expr:
+      hit = memo.get(e.expr_id)
+      if hit is not None:
+        return hit
+      if e._cache is not None and not isinstance(e, Val):
+        out = Val(e._cache)
+      else:
+        for c in e.children():
+          go(c)
+        out = _rebuild(e, {c.expr_id: memo[c.expr_id]
+                           for c in e.children()})
+      memo[e.expr_id] = out
+      return out
+
+    return go(root)
+
+
+class MapMapFusion:
+  """Fuse chains of MapExprs into one LocalExpr kernel."""
+
+  def run(self, root: Expr) -> Expr:
+    refs = count_refs(root)
+
+    def fuse(e: Expr) -> Expr:
+      if not isinstance(e, MapExpr):
+        return e
+      if not any(isinstance(c, MapExpr) and refs.get(c.expr_id, 1) == 1
+                 for c in e.inputs):
+        return e
+      new_inputs: List[Expr] = []
+      slot_of: Dict[int, int] = {}
+
+      def slot(child: Expr) -> int:
+        s = slot_of.get(child.expr_id)
+        if s is None:
+          s = len(new_inputs)
+          slot_of[child.expr_id] = s
+          new_inputs.append(child)
+        return s
+
+      mapping: Dict[int, local_mod.LocalExpr] = {}
+      for i, child in enumerate(e.inputs):
+        if isinstance(child, MapExpr) and refs.get(child.expr_id, 1) == 1:
+          inner_map = {j: local_mod.LocalInput(slot(gc))
+                       for j, gc in enumerate(child.inputs)}
+          mapping[i] = local_mod.substitute_inputs(child.op, inner_map)
+        else:
+          mapping[i] = local_mod.LocalInput(slot(child))
+      fused = local_mod.substitute_inputs(e.op, mapping)
+      return MapExpr(inputs=new_inputs, op=fused)
+
+    out = root
+    # iterate to fixpoint over chains (a+b+c+d)
+    for _ in range(16):
+      new = rewrite_bottom_up(out, fuse)
+      if new is out:
+        break
+      out = new
+      refs = count_refs(out)
+    return out
+
+
+class ReduceMapFusion:
+  """Splice a feeding MapExpr's kernel into the reduction."""
+
+  def run(self, root: Expr) -> Expr:
+    refs = count_refs(root)
+
+    def fuse(e: Expr) -> Expr:
+      if (isinstance(e, ReduceExpr) and e.local_op is None
+          and len(e.inputs) == 1 and isinstance(e.inputs[0], MapExpr)
+          and refs.get(e.inputs[0].expr_id, 1) == 1):
+        m = e.inputs[0]
+        return e.replace(inputs=list(m.inputs), local_op=m.op)
+      return e
+
+    return rewrite_bottom_up(root, fuse)
+
+
+class ParakeetGeneration:
+  """Reference-parity no-op: fused kernels always compile through XLA
+  (the role Parakeet played for the reference's per-tile Python kernels)."""
+
+  def run(self, root: Expr) -> Expr:
+    return root
+
+
+class AutoTiling:
+  """Smart tiling: pick region-output PartitionSpecs minimizing resharding.
+
+  Bottom-up spec propagation with a bytes-moved cost model; the chosen spec
+  lands in ``expr.tiling_hint`` and becomes the jit ``out_shardings``.
+  """
+
+  def run(self, root: Expr) -> Expr:
+    mesh = get_mesh()
+    specs: Dict[int, Optional[PartitionSpec]] = {}
+
+    def spec_of(e: Expr) -> Optional[PartitionSpec]:
+      hit = specs.get(e.expr_id, "miss")
+      if hit != "miss":
+        return hit
+      s = self._infer(e, mesh, spec_of)
+      specs[e.expr_id] = s
+      return s
+
+    def annotate(e: Expr):
+      s = spec_of(e)
+      if s is not None:
+        e.tiling_hint = Tiling(mesh, s)
+
+    root.visit(annotate)
+    return root
+
+  @staticmethod
+  def _fits(spec: Optional[PartitionSpec], shape, mesh) -> bool:
+    """A spec fits when every sharded dim is evenly divisible."""
+    if spec is None:
+      return False
+    entries = tuple(spec)
+    if len(entries) > len(shape):
+      return False
+    for dim, entry in zip(shape, entries):
+      if entry is None:
+        continue
+      axes = entry if isinstance(entry, (tuple, list)) else (entry,)
+      n = 1
+      for a in axes:
+        n *= mesh.shape[a]
+      if n == 0 or dim % n != 0:
+        return False
+    return True
+
+  def _fit_or_choose(self, spec, shape, mesh) -> PartitionSpec:
+    if self._fits(spec, shape, mesh):
+      return spec
+    return choose_spec(shape, mesh)
+
+  def _infer(self, e: Expr, mesh, spec_of) -> Optional[PartitionSpec]:
+    try:
+      shape = e.shape
+    except NotShapeable:
+      return None
+    if isinstance(e, Val):
+      v = e.value
+      from spartan_tpu.core.array import SpartanArray
+      if isinstance(v, SpartanArray):
+        return v.tiling.spec
+      return PartitionSpec()
+    if isinstance(e, CreationExpr):
+      return auto_tiling(shape, e.tile_hint, mesh).spec
+    if isinstance(e, (MapExpr, MapWithLocationExpr)):
+      # largest input chooses the output tiling (reference map rule)
+      best, best_size = None, -1
+      for c in e.inputs:
+        try:
+          if c.size > best_size and len(c.shape) == len(shape):
+            cand = spec_of(c)
+            if cand is not None:
+              best, best_size = cand, c.size
+        except NotShapeable:
+          continue
+      if best is not None and self._fits(best, shape, mesh):
+        return best
+      return choose_spec(shape, mesh)
+    if isinstance(e, ReduceExpr):
+      if e.op in ("argmax", "argmin") and e.axis is None:
+        return PartitionSpec()
+      child_spec = spec_of(e.inputs[0])
+      if e.axis is None:
+        return PartitionSpec()
+      try:
+        cshape = e.inputs[0].shape
+      except NotShapeable:
+        return choose_spec(shape, mesh)
+      if child_spec is None:
+        return choose_spec(shape, mesh)
+      entries = list(tuple(child_spec)) + [None] * (
+          len(cshape) - len(tuple(child_spec)))
+      axis = e.axis % len(cshape) if isinstance(e.axis, int) else None
+      if axis is None:
+        return PartitionSpec()
+      if e.keepdims:
+        entries[axis] = None
+      else:
+        entries = entries[:axis] + entries[axis + 1:]
+      while entries and entries[-1] is None:
+        entries.pop()
+      return self._fit_or_choose(PartitionSpec(*entries), shape, mesh)
+    if isinstance(e, (DotExpr, TensorDotExpr)):
+      return choose_spec(shape, mesh)
+    if isinstance(e, OuterExpr):
+      return choose_spec(shape, mesh)
+    if isinstance(e, TransposeExpr):
+      child_spec = spec_of(e.inputs[0])
+      if child_spec is None:
+        return choose_spec(shape, mesh)
+      try:
+        cnd = len(e.inputs[0].shape)
+      except NotShapeable:
+        return choose_spec(shape, mesh)
+      axes = e.axes if e.axes is not None else tuple(reversed(range(cnd)))
+      entries = list(tuple(child_spec)) + [None] * (cnd - len(tuple(child_spec)))
+      out = [entries[a] for a in axes]
+      while out and out[-1] is None:
+        out.pop()
+      return self._fit_or_choose(PartitionSpec(*out), shape, mesh)
+    if isinstance(e, (ReshapeExpr, RavelExpr)):
+      return choose_spec(shape, mesh)
+    if isinstance(e, SliceExpr):
+      # slices usually shrink: keep it simple, re-derive
+      return choose_spec(shape, mesh)
+    # default: shard the big dims
+    if int(np.prod(shape) if shape else 1) <= 1 << 12:
+      return PartitionSpec()
+    return choose_spec(shape, mesh)
+
+
+# ---------------------------------------------------------------------------
+# Driver
+# ---------------------------------------------------------------------------
+
+def optimize(expr: Expr) -> Expr:
+  """Run the flag-gated pass pipeline (reference ``optimize``)."""
+  if not FLAGS.optimization:
+    if FLAGS.opt_auto_tiling:
+      expr = AutoTiling().run(expr)
+    return expr
+  if FLAGS.opt_collapse_cached:
+    expr = CollapsedCachedExprs().run(expr)
+  if FLAGS.opt_fusion:
+    expr = MapMapFusion().run(expr)
+  if FLAGS.opt_reduce_fusion:
+    expr = ReduceMapFusion().run(expr)
+  if FLAGS.opt_parakeet_gen:
+    expr = ParakeetGeneration().run(expr)
+  if FLAGS.opt_auto_tiling:
+    expr = AutoTiling().run(expr)
+  return expr

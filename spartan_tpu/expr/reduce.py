@@ -1,0 +1,139 @@
+"""Axis reductions with reference accumulation semantics.
+
+TPU-native rebuild of the reference's reduce op (reference:
+``spartan/expr/reduce.py`` — per-tile local reduce + combiner-merge into
+output tiles, with dtype promotion / float64 accumulation; SURVEY.md §2.1,
+§3.2).  The per-tile/combiner split collapses into a single traced
+``jnp.<op>(x, axis, dtype=acc)`` — XLA's SPMD partitioner emits the
+cross-shard combine (psum / reduce-scatter over ICI) that the reference
+implemented as ``Tile.merge`` RPC updates.
+
+Accumulation dtype rules (``dtype_for_reduction`` in the reference):
+float inputs accumulate (and return) float64, integer/bool inputs
+accumulate in the platform default int — gated by
+``FLAGS.float64_reductions`` so the TPU fast path can stay in f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spartan_tpu.config import FLAGS
+from spartan_tpu.expr.base import EmitCtx, Expr, lazify
+from spartan_tpu.expr.local import LocalExpr
+
+
+def dtype_for_reduction(dtype) -> np.dtype:
+  """Accumulator/result dtype for additive reductions."""
+  dtype = np.dtype(dtype)
+  if dtype.kind == "b":
+    return np.dtype(np.int64)
+  if dtype.kind in "iu":
+    # numpy promotes sub-word ints to the default int accumulator
+    return np.promote_types(dtype, np.int64)
+  if dtype.kind == "f" and FLAGS.float64_reductions:
+    return np.promote_types(dtype, np.float64)
+  if dtype.kind == "c" and FLAGS.float64_reductions:
+    return np.promote_types(dtype, np.complex128)
+  return dtype
+
+
+def _canon(dtype) -> np.dtype:
+  return jax.dtypes.canonicalize_dtype(np.dtype(dtype))
+
+
+# op → (jnp reducer, needs accumulation promotion)
+_ADDITIVE = {"sum", "prod", "mean", "var", "std"}
+
+
+class ReduceExpr(Expr):
+  """Reduce ``child`` along ``axis`` with named ``op``.
+
+  ``local_op`` (optional LocalExpr) is a fused pre-map spliced in by
+  ReduceMapFusion — the reduction reads the fused kernel's output without a
+  materialized intermediate.
+  """
+
+  _members = ("inputs",)
+  _params = ("op", "axis", "keepdims", "out_dtype", "local_op", "ddof")
+
+  def __init__(self, inputs, op: str, axis=None, keepdims=False,
+               out_dtype=None, local_op: Optional[LocalExpr] = None,
+               ddof: int = 0):
+    if isinstance(inputs, Expr):
+      inputs = [inputs]
+    super().__init__(inputs=[lazify(v) for v in inputs], op=op, axis=axis,
+                     keepdims=keepdims, out_dtype=out_dtype,
+                     local_op=local_op, ddof=ddof)
+
+  def _value(self, deps: List[Any]):
+    if self.local_op is not None:
+      return self.local_op.evaluate(deps)
+    return deps[0]
+
+  def _emit(self, ctx: EmitCtx, deps: List[Any]):
+    x = self._value(deps)
+    op, axis, keepdims = self.op, self.axis, self.keepdims
+    if self.out_dtype is not None:
+      acc = _canon(self.out_dtype)
+    elif op in _ADDITIVE:
+      acc = _canon(dtype_for_reduction(x.dtype))
+    else:
+      acc = None
+
+    if op == "sum":
+      return jnp.sum(x, axis=axis, dtype=acc, keepdims=keepdims)
+    if op == "prod":
+      return jnp.prod(x, axis=axis, dtype=acc, keepdims=keepdims)
+    if op == "mean":
+      if acc is not None and np.dtype(acc).kind in "iu":
+        acc = _canon(np.float64)
+      return jnp.mean(x, axis=axis, dtype=acc, keepdims=keepdims)
+    if op in ("var", "std"):
+      if acc is not None and np.dtype(acc).kind in "iu":
+        acc = _canon(np.float64)
+      xa = x.astype(acc) if acc is not None else x
+      v = jnp.var(xa, axis=axis, ddof=self.ddof, keepdims=keepdims)
+      return jnp.sqrt(v) if op == "std" else v
+    if op == "max":
+      return jnp.max(x, axis=axis, keepdims=keepdims)
+    if op == "min":
+      return jnp.min(x, axis=axis, keepdims=keepdims)
+    if op == "argmax":
+      return jnp.argmax(x, axis=axis)
+    if op == "argmin":
+      return jnp.argmin(x, axis=axis)
+    if op == "all":
+      return jnp.all(x, axis=axis, keepdims=keepdims)
+    if op == "any":
+      return jnp.any(x, axis=axis, keepdims=keepdims)
+    if op == "count_nonzero":
+      return jnp.count_nonzero(x, axis=axis)
+    if op == "nanmax":
+      return jnp.nanmax(x, axis=axis, keepdims=keepdims)
+    if op == "nanmin":
+      return jnp.nanmin(x, axis=axis, keepdims=keepdims)
+    if op == "nansum":
+      return jnp.nansum(x, axis=axis, dtype=acc, keepdims=keepdims)
+    raise ValueError(f"unknown reduction {op!r}")
+
+  def signature(self, memo):
+    hit = memo.get(self.expr_id)
+    if hit is not None:
+      return hit
+    sig = ("ReduceExpr", self.op, self.axis, self.keepdims,
+           str(self.out_dtype), self.ddof,
+           self.local_op.signature() if self.local_op is not None else None,
+           tuple(c.signature(memo) for c in self.inputs))
+    memo[self.expr_id] = sig
+    return sig
+
+
+def reduce(v, op: str, axis=None, keepdims=False, out_dtype=None,
+           ddof: int = 0) -> ReduceExpr:
+  return ReduceExpr(v, op=op, axis=axis, keepdims=keepdims,
+                    out_dtype=out_dtype, ddof=ddof)

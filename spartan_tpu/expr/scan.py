@@ -1,0 +1,51 @@
+"""Prefix scans.
+
+TPU-native rebuild of the reference's scan op (reference:
+``spartan/expr/scan.py`` — per-tile local scan, cross-tile carry, offset
+fix-up map; SURVEY.md §2.1).  The three-phase tile algorithm collapses into
+one traced ``jax.lax.associative_scan`` / ``jnp.cumsum`` — XLA partitions
+the work-efficient scan across shards, with the cross-shard carry riding
+ICI collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spartan_tpu.config import FLAGS
+from spartan_tpu.expr.base import EmitCtx, Expr, lazify
+from spartan_tpu.expr.reduce import dtype_for_reduction
+
+
+class ScanExpr(Expr):
+  _members = ("inputs",)
+  _params = ("op", "axis")
+
+  def __init__(self, src, op: str = "sum", axis: Optional[int] = None):
+    super().__init__(inputs=[lazify(src)], op=op, axis=axis)
+
+  def _emit(self, ctx: EmitCtx, deps: List[Any]):
+    x = deps[0]
+    axis = self.axis
+    if axis is None:
+      x = jnp.ravel(x)
+      axis = 0
+    if self.op == "sum":
+      acc = jax.dtypes.canonicalize_dtype(dtype_for_reduction(x.dtype))
+      return jnp.cumsum(x, axis=axis, dtype=acc)
+    if self.op == "prod":
+      acc = jax.dtypes.canonicalize_dtype(dtype_for_reduction(x.dtype))
+      return jnp.cumprod(x, axis=axis, dtype=acc)
+    if self.op == "max":
+      return jax.lax.associative_scan(jnp.maximum, x, axis=axis)
+    if self.op == "min":
+      return jax.lax.associative_scan(jnp.minimum, x, axis=axis)
+    raise ValueError(f"unknown scan op {self.op!r}")
+
+
+def scan(v, op: str = "sum", axis: Optional[int] = None) -> ScanExpr:
+  return ScanExpr(v, op=op, axis=axis)

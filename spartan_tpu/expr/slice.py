@@ -1,0 +1,98 @@
+"""Lazy basic slicing and fancy/boolean indexing.
+
+TPU-native rebuild of the reference's slicing layer (reference:
+``spartan/expr/slice.py`` — lazy ``SliceExpr`` via extent intersection, no
+copy until forced — plus the fancy/boolean indexing module; SURVEY.md
+§2.1, §3.4).  Basic slices and integer-array gathers stay inside the
+traced region (a forced cross-shard slice is just a resharding XLA plans);
+boolean-mask selection has a data-dependent output shape, so it raises
+:class:`NotShapeable` and the evaluator materializes it eagerly — the same
+boundary the reference drew.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from spartan_tpu.expr.base import EmitCtx, Expr, NotShapeable, Val, lazify
+
+
+def _is_basic(idx) -> bool:
+  if isinstance(idx, (int, np.integer, slice)) or idx is None or idx is Ellipsis:
+    return True
+  if isinstance(idx, tuple):
+    return all(_is_basic(i) for i in idx)
+  return False
+
+
+def _is_bool_mask(idx) -> bool:
+  if isinstance(idx, Expr):
+    try:
+      return np.dtype(idx.dtype).kind == "b"
+    except NotShapeable:
+      return False
+  arr = np.asarray(idx) if isinstance(idx, (np.ndarray, list)) else None
+  return arr is not None and arr.dtype.kind == "b"
+
+
+class SliceExpr(Expr):
+  """Basic (rect) slicing — stays lazy and traced."""
+
+  _members = ("inputs",)
+  _params = ("idx",)
+
+  def __init__(self, src, idx):
+    super().__init__(inputs=[lazify(src)], idx=idx)
+
+  def _emit(self, ctx: EmitCtx, deps: List[Any]):
+    return deps[0][self.idx]
+
+
+class FancyIndexExpr(Expr):
+  """Integer-array gather — traced (static output shape)."""
+
+  _members = ("inputs",)
+  _params = ()
+
+  def __init__(self, src, indices):
+    super().__init__(inputs=[lazify(src), lazify(indices)])
+
+  def _emit(self, ctx: EmitCtx, deps: List[Any]):
+    src, idx = deps
+    return src[idx.astype(jnp.int32) if idx.dtype.kind == "i" else idx]
+
+
+class BooleanMaskExpr(Expr):
+  """Boolean-mask selection — data-dependent shape ⇒ eager boundary."""
+
+  _members = ("inputs",)
+  _params = ()
+
+  def __init__(self, src, mask):
+    super().__init__(inputs=[lazify(src), lazify(mask)])
+
+  def aval(self):
+    raise NotShapeable(f"boolean mask selection has data-dependent shape")
+
+  def _emit(self, ctx, deps):
+    raise NotShapeable("boolean mask selection must be evaluated eagerly")
+
+  def evaluate_eager(self):
+    """Host-side evaluation (the materialization boundary)."""
+    from spartan_tpu.core.array import from_numpy
+    src = self.inputs[0].evaluate().glom()
+    mask = self.inputs[1].evaluate().glom()
+    return from_numpy(src[mask])
+
+
+def make_slice(src, idx) -> Expr:
+  """Dispatch ``src[idx]`` to the right expr node (reference
+  ``Expr.__getitem__``)."""
+  if _is_bool_mask(idx):
+    return BooleanMaskExpr(src, idx)
+  if _is_basic(idx):
+    return SliceExpr(src, idx)
+  return FancyIndexExpr(src, idx)

@@ -1,0 +1,98 @@
+"""2-D stencil / convolution / pooling with cross-tile halos.
+
+TPU-native rebuild of the reference's stencil module (reference:
+``spartan/expr/stencil.py`` — 2-D stencil/convolution/maxpool whose
+per-tile kernels fetch halo borders from neighbor tiles, used by the CNN
+example; SURVEY.md §2.1, §2.3).  Two execution paths:
+
+* the default traced path: ``lax.conv_general_dilated`` /
+  ``lax.reduce_window`` — when the spatial dims are sharded, XLA's SPMD
+  partitioner inserts the halo exchanges on ICI automatically;
+* an explicit ``shard_map`` + ``lax.ppermute`` ring halo exchange
+  (``spartan_tpu.parallel.halo``) — the CP/ring-attention primitive applied
+  to stencils, for when you want the comm schedule in your own hands.
+
+Data layout is NCHW (batch, channel, height, width), filters OIHW.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spartan_tpu.expr.base import EmitCtx, Expr, lazify
+
+
+def _pair(v) -> Tuple[int, int]:
+  if isinstance(v, (tuple, list)):
+    return (int(v[0]), int(v[1]))
+  return (int(v), int(v))
+
+
+class StencilExpr(Expr):
+  """2-D convolution (cross-correlation) of NCHW images with OIHW filters."""
+
+  _members = ("inputs",)
+  _params = ("stride", "padding")
+
+  def __init__(self, images, filters, stride=1, padding="SAME"):
+    super().__init__(inputs=[lazify(images), lazify(filters)],
+                     stride=_pair(stride), padding=padding)
+
+  def _emit(self, ctx: EmitCtx, deps: List[Any]):
+    x, w = deps
+    acc = jnp.promote_types(x.dtype, w.dtype)
+    return jax.lax.conv_general_dilated(
+        x, w.astype(acc),
+        window_strides=self.stride,
+        padding=self.padding,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        preferred_element_type=acc if acc != jnp.float64 else None,
+    ).astype(acc)
+
+
+class PoolExpr(Expr):
+  """Max/avg pooling over NCHW spatial dims."""
+
+  _members = ("inputs",)
+  _params = ("op", "pool", "stride", "padding")
+
+  def __init__(self, images, pool_size=2, stride=None, op="max",
+               padding="SAME"):
+    pool = _pair(pool_size)
+    stride = _pair(stride) if stride is not None else pool
+    super().__init__(inputs=[lazify(images)], op=op, pool=pool,
+                     stride=stride, padding=padding)
+
+  def _emit(self, ctx: EmitCtx, deps: List[Any]):
+    x = deps[0]
+    window = (1, 1) + self.pool
+    strides = (1, 1) + self.stride
+    if self.op == "max":
+      init = -jnp.inf if x.dtype.kind == "f" else jnp.iinfo(x.dtype).min
+      return jax.lax.reduce_window(x, jnp.array(init, x.dtype),
+                                   jax.lax.max, window, strides,
+                                   self.padding)
+    if self.op == "avg":
+      s = jax.lax.reduce_window(x, jnp.array(0, x.dtype), jax.lax.add,
+                                window, strides, self.padding)
+      ones = jnp.ones_like(x)
+      n = jax.lax.reduce_window(ones, jnp.array(0, x.dtype), jax.lax.add,
+                                window, strides, self.padding)
+      return s / n
+    raise ValueError(self.op)
+
+
+def stencil(images, filters, stride=1, padding="SAME") -> StencilExpr:
+  return StencilExpr(images, filters, stride, padding)
+
+
+def maxpool(images, pool_size=2, stride=None, padding="SAME") -> PoolExpr:
+  return PoolExpr(images, pool_size, stride, "max", padding)
+
+
+def avgpool(images, pool_size=2, stride=None, padding="SAME") -> PoolExpr:
+  return PoolExpr(images, pool_size, stride, "avg", padding)

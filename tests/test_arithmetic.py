@@ -1,0 +1,109 @@
+"""Elementwise arithmetic vs NumPy oracle (reference: test_arithmetic.py,
+universal assertion pattern ``Assert.all_eq(result.glom(), numpy)`` —
+SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import spartan_tpu as sp
+from spartan_tpu.util import Assert
+
+
+@pytest.fixture
+def ab(rng):
+  a = rng.standard_normal((16, 24))
+  b = np.abs(rng.standard_normal((16, 24))) + 0.5  # strictly positive
+  return a, b
+
+
+def test_add_sub_mul_div(ab):
+  a, b = ab
+  sa, sb = sp.from_numpy(a), sp.from_numpy(b)
+  Assert.all_eq(sa + sb, a + b)
+  Assert.all_eq(sa - sb, a - b)
+  Assert.all_eq(sa * sb, a * b)
+  Assert.all_close(sa / sb, a / b, rtol=1e-12)
+
+
+def test_scalar_ops(ab):
+  a, _ = ab
+  sa = sp.from_numpy(a)
+  Assert.all_eq(sa + 3.5, a + 3.5)
+  Assert.all_eq(2.0 * sa, 2.0 * a)
+  Assert.all_eq(1.0 - sa, 1.0 - a)
+  Assert.all_close(sa ** 2, a ** 2, rtol=1e-12)
+  Assert.all_close(10.0 / (sa + 10.0), 10.0 / (a + 10.0), rtol=1e-12)
+
+
+def test_unary(ab):
+  a, b = ab
+  sa, sb = sp.from_numpy(a), sp.from_numpy(b)
+  Assert.all_eq(-sa, -a)
+  Assert.all_eq(abs(sa), np.abs(a))
+  Assert.all_close(sp.sqrt(sb), np.sqrt(b), rtol=1e-13)
+  Assert.all_close(sp.exp(sa), np.exp(a), rtol=1e-13)
+  Assert.all_close(sp.log(sb), np.log(b), rtol=1e-13)
+  Assert.all_close(sp.tanh(sa), np.tanh(a), rtol=1e-13)
+  Assert.all_eq(sp.sign(sa), np.sign(a))
+  Assert.all_eq(sp.floor(sa), np.floor(a))
+  Assert.all_eq(sp.ceil(sa), np.ceil(a))
+
+
+def test_comparisons(ab):
+  a, b = ab
+  sa, sb = sp.from_numpy(a), sp.from_numpy(b)
+  Assert.all_eq(sa < sb, a < b)
+  Assert.all_eq(sa >= sb, a >= b)
+  Assert.all_eq(sa == sa, a == a)
+  Assert.all_eq(sa != sb, a != b)
+
+
+def test_chained_expression(ab):
+  a, b = ab
+  sa, sb = sp.from_numpy(a), sp.from_numpy(b)
+  expr = (sa + sb) * (sa - sb) + 2.0 * sa
+  Assert.all_close(expr, (a + b) * (a - b) + 2.0 * a, rtol=1e-12)
+
+
+def test_where_clip(ab):
+  a, b = ab
+  sa, sb = sp.from_numpy(a), sp.from_numpy(b)
+  Assert.all_eq(sp.where(sa > 0, sa, sb), np.where(a > 0, a, b))
+  Assert.all_eq(sp.clip(sa, -0.5, 0.5), np.clip(a, -0.5, 0.5))
+
+
+def test_int_ops(rng):
+  a = rng.integers(1, 100, (12, 12))
+  b = rng.integers(1, 100, (12, 12))
+  sa, sb = sp.from_numpy(a), sp.from_numpy(b)
+  Assert.all_eq(sa + sb, a + b)
+  Assert.all_eq(sa // sb, a // b)
+  Assert.all_eq(sa % sb, a % b)
+  assert np.asarray((sa + sb).glom()).dtype == (a + b).dtype
+
+
+def test_astype(ab):
+  a, _ = ab
+  sa = sp.from_numpy(a)
+  r = sp.astype(sa, np.float32).glom()
+  assert r.dtype == np.float32
+  Assert.all_close(r, a.astype(np.float32), rtol=1e-6, atol=1e-6)
+
+
+def test_creation_ops(cluster):
+  Assert.all_eq(sp.ones((8, 8)), np.ones((8, 8)))
+  Assert.all_eq(sp.zeros((8, 8)), np.zeros((8, 8)))
+  Assert.all_eq(sp.full((4, 4), 7.0), np.full((4, 4), 7.0))
+  Assert.all_eq(sp.arange(10), np.arange(10))
+  Assert.all_eq(sp.arange(2, 20, 3), np.arange(2, 20, 3))
+  Assert.all_eq(sp.eye(6), np.eye(6))
+  Assert.all_close(sp.linspace(0, 1, 11), np.linspace(0, 1, 11), rtol=1e-12)
+
+
+def test_rand_reproducible(cluster):
+  sp.set_random_seed(7)
+  a = sp.rand(8, 8).glom()
+  sp.set_random_seed(7)
+  b = sp.rand(8, 8).glom()
+  np.testing.assert_array_equal(a, b)
+  assert (a >= 0).all() and (a < 1).all()

@@ -1,0 +1,115 @@
+"""Optimizer pass tests (reference: test_optimization.py — run the same
+expr with each pass on/off and compare; SURVEY.md §4).  Also checks that
+fusion really rewrites the DAG and that the compiled-region cache hits on
+structurally-identical iterations."""
+
+import numpy as np
+import pytest
+
+import spartan_tpu as sp
+from spartan_tpu.backend import evaluator
+from spartan_tpu.config import FLAGS
+from spartan_tpu.expr.map import MapExpr
+from spartan_tpu.expr.optimize import (AutoTiling, MapMapFusion,
+                                       ReduceMapFusion, optimize)
+from spartan_tpu.expr.reduce import ReduceExpr
+from spartan_tpu.util import Assert
+
+
+@pytest.fixture
+def toggle():
+  saved = FLAGS.snapshot()
+  yield FLAGS
+  for k, v in saved.items():
+    FLAGS.lookup(k).set(v)
+
+
+def _expr(a, b):
+  return (a + b) * 2.0 - b / 4.0
+
+
+def test_results_invariant_under_passes(rng, toggle):
+  a_np = rng.standard_normal((16, 16))
+  b_np = rng.standard_normal((16, 16))
+  want = ((_expr(a_np, b_np)).sum(axis=0))
+  results = {}
+  for opt_on in (True, False):
+    for fuse in (True, False):
+      toggle.optimization = opt_on
+      toggle.opt_fusion = fuse
+      a, b = sp.from_numpy(a_np), sp.from_numpy(b_np)
+      got = _expr(a, b).sum(axis=0).glom()
+      np.testing.assert_allclose(got, want, rtol=1e-13)
+      results[(opt_on, fuse)] = got
+  base = results[(True, True)]
+  for v in results.values():
+    np.testing.assert_array_equal(v, base)
+
+
+def test_mapmap_fusion_rewrites(rng):
+  a = sp.from_numpy(rng.standard_normal((8, 8)))
+  b = sp.from_numpy(rng.standard_normal((8, 8)))
+  chain = ((a + b) * 2.0) - (a / 3.0)
+  fused = MapMapFusion().run(chain)
+  # the whole chain collapses into ONE MapExpr over the leaves
+  # (a, b, and the two scalar constants — with `a` deduplicated, not 5)
+  assert isinstance(fused, MapExpr)
+  assert len(fused.inputs) == 4
+  assert all(not isinstance(c, MapExpr) for c in fused.inputs)
+  # and its kernel pretty-prints as a nested call tree
+  assert "add" in fused.pretty_op()
+
+
+def test_reduce_map_fusion_rewrites(rng):
+  a = sp.from_numpy(rng.standard_normal((8, 8)))
+  expr = (a * 2.0).sum()
+  fused = ReduceMapFusion().run(MapMapFusion().run(expr))
+  assert isinstance(fused, ReduceExpr)
+  assert fused.local_op is not None  # the map kernel was spliced in
+
+
+def test_jit_cache_hits_across_iterations(rng):
+  """Structurally identical steps (fresh lambdas each iteration) must reuse
+  the compiled region — the reference's eval-cache at compile granularity."""
+  evaluator.clear_cache()
+  start = dict(evaluator.stats)
+  w = sp.from_numpy(rng.standard_normal((8,)))
+  x_np = rng.standard_normal((32, 8))
+  y_np = rng.standard_normal((32,))
+  for _ in range(4):
+    x, y = sp.from_numpy(x_np), sp.from_numpy(y_np)
+    grad = sp.dot(x.T, sp.dot(x, w) - y)
+    w = sp.from_numpy(grad.glom() * 0.01)  # materialize to cut regions
+  compiles = evaluator.stats["compiles"] - start["compiles"]
+  hits = evaluator.stats["cache_hits"] - start["cache_hits"]
+  assert compiles == 1 and hits == 3
+
+
+def test_collapse_cached(rng):
+  a = sp.from_numpy(rng.standard_normal((8, 8)))
+  mid = (a * 2.0)
+  mid.evaluate()  # materialize
+  top = mid + 1.0
+  opt = optimize(top)
+  # the cached mid subtree must have been collapsed to a leaf
+  from spartan_tpu.expr.base import Val
+  assert any(isinstance(c, Val) for c in opt.inputs)
+
+
+def test_auto_tiling_assigns_hints(rng):
+  a = sp.from_numpy(rng.standard_normal((16, 16)))
+  expr = (a + 1.0).sum(axis=0)
+  opt = optimize(expr)
+  assert opt.tiling_hint is not None
+  # reduced-away dim drops its mesh axes; output is 1-D sharded or replicated
+  assert len(tuple(opt.tiling_hint.spec)) <= 1
+
+
+def test_largest_input_chooses_tiling(rng):
+  """Reference map rule: output tiling follows the dominant input."""
+  big = sp.from_numpy(rng.standard_normal((16, 16)))
+  small = sp.from_numpy(rng.standard_normal((16,)))
+  expr = big + small
+  opt = optimize(expr)
+  big_spec = tuple(big.value.tiling.spec) if hasattr(big, "value") else None
+  assert tuple(opt.tiling_hint.spec) == big_spec

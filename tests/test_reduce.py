@@ -1,0 +1,95 @@
+"""Reductions vs NumPy oracle incl. float64 accumulation semantics
+(reference: test_reduce.py; SURVEY.md §2.1 reduce — "dtype promotion /
+float64 accumulation")."""
+
+import numpy as np
+import pytest
+
+import spartan_tpu as sp
+from spartan_tpu.util import Assert
+
+
+@pytest.fixture
+def a(rng):
+  return rng.standard_normal((12, 16))
+
+
+def test_sum_all(a):
+  Assert.all_close(sp.from_numpy(a).sum(), a.sum(), rtol=1e-13)
+
+
+def test_sum_axes(a):
+  sa = sp.from_numpy(a)
+  Assert.all_close(sa.sum(axis=0), a.sum(axis=0), rtol=1e-13)
+  Assert.all_close(sa.sum(axis=1), a.sum(axis=1), rtol=1e-13)
+  Assert.all_close(sa.sum(axis=1, keepdims=True), a.sum(axis=1, keepdims=True),
+                   rtol=1e-13)
+
+
+def test_float32_accumulates_in_f64(rng):
+  """The reference's headline numeric semantic: f32 inputs accumulate (and
+  return) float64."""
+  x = rng.standard_normal(100_000).astype(np.float32)
+  got = sp.from_numpy(x).sum().glom()
+  assert got.dtype == np.float64
+  np.testing.assert_allclose(got, x.astype(np.float64).sum(), rtol=1e-12)
+
+
+def test_int_promotion(rng):
+  x = rng.integers(0, 100, (50, 50), dtype=np.int32)
+  got = sp.from_numpy(x).sum().glom()
+  assert got.dtype == np.int64
+  assert got == x.astype(np.int64).sum()
+  b = np.array([[True, False], [True, True]])
+  assert sp.from_numpy(b).sum().glom() == 3
+
+
+def test_mean_std_var(a):
+  sa = sp.from_numpy(a)
+  Assert.all_close(sa.mean(), a.mean(), rtol=1e-13)
+  Assert.all_close(sa.mean(axis=0), a.mean(axis=0), rtol=1e-13)
+  Assert.all_close(sa.std(), a.std(), rtol=1e-12)
+  Assert.all_close(sp.var(sa, axis=1), a.var(axis=1), rtol=1e-12)
+  Assert.all_close(sp.std(sa, axis=0, ddof=1), a.std(axis=0, ddof=1),
+                   rtol=1e-12)
+
+
+def test_minmax_arg(a):
+  sa = sp.from_numpy(a)
+  Assert.all_eq(sa.max(), a.max())
+  Assert.all_eq(sa.min(axis=0), a.min(axis=0))
+  Assert.all_eq(sa.argmax(axis=1), a.argmax(axis=1))
+  Assert.all_eq(sa.argmin(axis=0), a.argmin(axis=0))
+  Assert.all_eq(sa.argmax(), a.argmax())
+
+
+def test_prod(rng):
+  x = rng.uniform(0.9, 1.1, (10, 10))
+  Assert.all_close(sp.prod(sp.from_numpy(x), axis=0), x.prod(axis=0),
+                   rtol=1e-12)
+
+
+def test_bool_reductions(a):
+  sa = sp.from_numpy(a)
+  Assert.all_eq(sp.all(sa > -10), np.all(a > -10))
+  Assert.all_eq(sp.any(sa > 100, axis=0), np.any(a > 100, axis=0))
+  Assert.all_eq(sp.count_nonzero(sa > 0), np.count_nonzero(a > 0))
+
+
+def test_norm(a):
+  sa = sp.from_numpy(a)
+  Assert.all_close(sp.norm(sa), np.linalg.norm(a), rtol=1e-12)
+  v = a[0]
+  Assert.all_close(sp.norm(sp.from_numpy(v), ord=1), np.linalg.norm(v, 1),
+                   rtol=1e-12)
+
+
+def test_nansum(a):
+  b = a.copy()
+  b[0, 0] = np.nan
+  Assert.all_close(sp.nansum(sp.from_numpy(b)), np.nansum(b), rtol=1e-12)
+
+
+def test_ptp(a):
+  Assert.all_close(sp.ptp(sp.from_numpy(a), axis=0), np.ptp(a, axis=0),
+                   rtol=1e-13)

@@ -1,0 +1,76 @@
+"""Slicing: basic, strided, fancy, boolean (reference: test_slice.py +
+fancy-index tests; SURVEY.md §3.4)."""
+
+import numpy as np
+import pytest
+
+import spartan_tpu as sp
+from spartan_tpu.util import Assert
+
+
+@pytest.fixture
+def a(rng):
+  return rng.standard_normal((16, 20))
+
+
+def test_basic_slices(a):
+  sa = sp.from_numpy(a)
+  Assert.all_eq(sa[2:7, 3:9], a[2:7, 3:9])
+  Assert.all_eq(sa[:5], a[:5])
+  Assert.all_eq(sa[:, 4:], a[:, 4:])
+  Assert.all_eq(sa[3], a[3])
+  Assert.all_eq(sa[-2:, -3:], a[-2:, -3:])
+  Assert.all_eq(sa[..., 0], a[..., 0])
+
+
+def test_strided(a):
+  sa = sp.from_numpy(a)
+  Assert.all_eq(sa[::2], a[::2])
+  Assert.all_eq(sa[1::3, ::2], a[1::3, ::2])
+  Assert.all_eq(sa[::-1], a[::-1])
+
+
+def test_slice_stays_lazy(a):
+  sa = sp.from_numpy(a)
+  expr = (sa[2:10, 2:10] * 2.0).sum()
+  Assert.all_close(expr, (a[2:10, 2:10] * 2.0).sum(), rtol=1e-13)
+
+
+def test_fancy_integer(a):
+  sa = sp.from_numpy(a)
+  idx = np.array([3, 1, 4, 1, 5])
+  Assert.all_eq(sa[idx], a[idx])
+  Assert.all_eq(sp.take(sa, sp.from_numpy(idx), axis=1), np.take(a, idx, axis=1))
+
+
+def test_fancy_2d_index(a):
+  sa = sp.from_numpy(a)
+  rows = np.array([0, 2, 4])
+  Assert.all_eq(sa[rows], a[rows])
+
+
+def test_boolean_mask(a):
+  sa = sp.from_numpy(a)
+  mask = a > 0
+  got = sa[sp.from_numpy(mask)].glom()
+  np.testing.assert_allclose(got, a[mask], atol=1e-12)
+
+
+def test_boolean_mask_lazy_pred(a):
+  sa = sp.from_numpy(a)
+  got = sa[sa > 0].glom()
+  np.testing.assert_allclose(got, a[a > 0], atol=1e-12)
+
+
+def test_write_assign(a):
+  sa = sp.from_numpy(a)
+  src = np.ones((3, 4))
+  out = sp.write(sa, (slice(2, 5), slice(3, 7)), sp.from_numpy(src),
+                 reducer=np.add)
+  want = a.copy()
+  want[2:5, 3:7] += src
+  Assert.all_close(out, want, rtol=1e-13)
+  out2 = sp.assign(sa, (slice(0, 3), slice(0, 4)), sp.from_numpy(src))
+  want2 = a.copy()
+  want2[0:3, 0:4] = src
+  Assert.all_eq(out2, want2)

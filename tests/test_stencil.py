@@ -1,0 +1,68 @@
+"""Stencil / conv / pooling with cross-tile halos (reference:
+expr/stencil.py used by the CNN example; SURVEY.md §2.1, §2.3)."""
+
+import numpy as np
+import pytest
+
+import spartan_tpu as sp
+from spartan_tpu.util import Assert
+
+
+def _conv2d_ref(x, w, stride=1):
+  """NCHW/OIHW SAME cross-correlation oracle in pure numpy (XLA SAME
+  semantics: total pad = max((out-1)*stride + k - in, 0), low = pad // 2)."""
+  n, c, h, wd = x.shape
+  o, i, kh, kw = w.shape
+  oh = -(-h // stride)
+  ow = -(-wd // stride)
+  pad_h = max((oh - 1) * stride + kh - h, 0)
+  pad_w = max((ow - 1) * stride + kw - wd, 0)
+  ph, pw = pad_h // 2, pad_w // 2
+  xp = np.zeros((n, c, h + pad_h, wd + pad_w))
+  xp[:, :, ph:ph + h, pw:pw + wd] = x
+  out = np.zeros((n, o, oh, ow))
+  for b in range(n):
+    for f in range(o):
+      for y in range(oh):
+        for z in range(ow):
+          patch = xp[b, :, y * stride:y * stride + kh,
+                     z * stride:z * stride + kw]
+          out[b, f, y, z] = (patch * w[f]).sum()
+  return out
+
+
+def test_conv_same(rng):
+  x = rng.standard_normal((2, 3, 8, 8))
+  w = rng.standard_normal((4, 3, 3, 3))
+  got = sp.stencil(sp.from_numpy(x), sp.from_numpy(w)).glom()
+  want = _conv2d_ref(x, w)
+  np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_conv_stride2(rng):
+  x = rng.standard_normal((1, 2, 8, 8))
+  w = rng.standard_normal((3, 2, 3, 3))
+  got = sp.stencil(sp.from_numpy(x), sp.from_numpy(w), stride=2).glom()
+  want = _conv2d_ref(x, w, stride=2)
+  np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-10)
+
+
+def test_maxpool(rng):
+  x = rng.standard_normal((2, 3, 8, 8))
+  got = sp.maxpool(sp.from_numpy(x), 2).glom()
+  want = x.reshape(2, 3, 4, 2, 4, 2).max(axis=(3, 5))
+  np.testing.assert_array_equal(got, want)
+
+
+def test_avgpool(rng):
+  x = rng.standard_normal((1, 2, 4, 4))
+  got = sp.avgpool(sp.from_numpy(x), 2).glom()
+  want = x.reshape(1, 2, 2, 2, 2, 2).mean(axis=(3, 5))
+  np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_stencil_feeds_lazy_chain(rng):
+  x = rng.standard_normal((1, 1, 8, 8))
+  w = rng.standard_normal((1, 1, 3, 3))
+  expr = sp.maxpool(sp.stencil(sp.from_numpy(x), sp.from_numpy(w)), 2).sum()
+  assert np.isfinite(expr.glom())
