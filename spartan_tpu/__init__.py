@@ -53,11 +53,13 @@ def shutdown() -> None:
 # layer; imported late to avoid cycles.
 from spartan_tpu.expr.builtins import *  # noqa: F401,F403,E402
 from spartan_tpu.expr.builtins import __all__ as _builtin_all  # noqa: E402
-from spartan_tpu.expr.base import Expr, evaluate, force, lazify  # noqa: E402
+from spartan_tpu.expr.base import (Expr, Val, ListExpr, TupleExpr, DictExpr,  # noqa: E402
+                                   NotShapeable, evaluate, force, lazify)
 from spartan_tpu.expr.map import map, map_with_location  # noqa: E402
 from spartan_tpu.expr.shuffle import shuffle  # noqa: E402
 
 __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "SpartanArray", "get_mesh", "make_mesh", "with_mesh", "Expr",
+           "Val", "ListExpr", "TupleExpr", "DictExpr", "NotShapeable",
            "evaluate", "force", "lazify", "map", "map_with_location",
            "shuffle"] + list(_builtin_all)

@@ -1,0 +1,70 @@
+"""k-means clustering.
+
+Reference: ``spartan/examples/kmeans.py`` (SURVEY.md §2.5 config 4, §3.5) —
+``map_with_location`` distances → argmin labels → scatter-add centroid
+update through a shuffle with an add reducer.  Here one lazy step evaluates
+as a single fused region: the distance matrix never fully materializes
+(XLA fuses it into the argmin), and the scatter-add lowers to the
+segment-sum collective pattern.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+import spartan_tpu as sp
+
+
+def assign_labels(points, centers):
+  """Nearest-centroid labels via ||p||² - 2 p·c + ||c||² (the ||p||² term
+  is constant per row and dropped)."""
+  d = (-2.0) * sp.dot(points, centers.T) + sp.sum(centers * centers, axis=1)
+  return sp.argmin(d, axis=1)
+
+
+def _emit_sums(p, l, coords):
+  rows = jnp.broadcast_to(l[:, None], p.shape)
+  return (rows, coords[1]), p
+
+
+def _emit_counts(l, coords):
+  return (l,), jnp.ones_like(l, dtype=jnp.float64)
+
+
+def update_centers(points, labels, k: int):
+  d = points.shape[1]
+  sums = sp.shuffle([points, labels], _emit_sums, (k, d), np.add)
+  counts = sp.shuffle(labels, _emit_counts, (k,), np.add)
+  safe = sp.maximum(counts, 1.0)
+  return sums / sp.expand_dims(safe, 1)
+
+
+def fit(points, k: int, iterations: int = 10, centers=None, seed: int = 0):
+  points = sp.lazify(points)
+  n, d = points.shape
+  if centers is None:
+    rng = np.random.default_rng(seed)
+    centers = sp.from_numpy(
+        np.asarray(points.evaluate().glom()[rng.choice(n, k, replace=False)]))
+  else:
+    centers = sp.lazify(centers)
+  labels = None
+  for _ in range(iterations):
+    labels = assign_labels(points, centers)
+    centers = sp.Val(update_centers(points, labels, k).evaluate())
+  return centers.evaluate(), labels.evaluate() if labels is not None else None
+
+
+def make_data(n: int = 4096, d: int = 8, k: int = 4, seed: int = 0):
+  rng = np.random.default_rng(seed)
+  true_centers = rng.standard_normal((k, d)) * 6.0
+  labels = rng.integers(0, k, n)
+  pts = true_centers[labels] + rng.standard_normal((n, d))
+  return sp.from_numpy(pts), true_centers
+
+
+def run(n: int = 4096, d: int = 8, k: int = 4, iterations: int = 10):
+  pts, true_centers = make_data(n, d, k)
+  centers, labels = fit(pts, k, iterations)
+  return centers, labels, true_centers

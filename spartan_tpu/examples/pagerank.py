@@ -1,0 +1,62 @@
+"""PageRank power iteration.
+
+Reference: ``spartan/examples/pagerank.py`` (SURVEY.md §2.5, config 5) —
+sparse adjacency tiles, repeated SpMV + renormalize.  Two paths:
+
+* ``fit(...)`` — dense column-stochastic matrix (correctness baseline,
+  SURVEY.md §7 "dense-fallback path first");
+* ``fit_sparse(...)`` — sparse tiles (:mod:`spartan_tpu.backend.sparse`),
+  the SpMV running through BCOO / the Pallas kernel on TPU.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import spartan_tpu as sp
+
+
+def step(M, r, damping: float = 0.85):
+  """One power iteration: ``d * M r + (1-d)/n`` (lazy)."""
+  n = r.shape[0]
+  return sp.dot(M, r) * damping + (1.0 - damping) / n
+
+
+def fit(M, iterations: int = 30, damping: float = 0.85):
+  """Dense power iteration; ``M`` is the column-stochastic link matrix."""
+  M = sp.lazify(M)
+  n = M.shape[0]
+  r = sp.ones((n,), dtype=np.float64) / n
+  for _ in range(iterations):
+    r = sp.Val(step(M, r, damping).evaluate())
+  return r.evaluate()
+
+
+def fit_sparse(A_sp, iterations: int = 30, damping: float = 0.85):
+  """Sparse power iteration over a SparseArray adjacency (column-stochastic
+  already applied); SpMV per step."""
+  from spartan_tpu.backend import sparse as sparse_mod
+  n = A_sp.shape[0]
+  r = (np.ones(n) / n)
+  for _ in range(iterations):
+    r = sparse_mod.spmv(A_sp, r) * damping + (1.0 - damping) / n
+  return r
+
+
+def make_link_matrix(n: int = 256, avg_degree: int = 8, seed: int = 0):
+  """Random column-stochastic dense link matrix (dangling nodes patched to
+  uniform)."""
+  rng = np.random.default_rng(seed)
+  A = (rng.random((n, n)) < (avg_degree / n)).astype(np.float64)
+  np.fill_diagonal(A, 0.0)
+  deg = A.sum(axis=0)
+  dangling = deg == 0
+  A[:, dangling] = 1.0 / n
+  deg = A.sum(axis=0)
+  return A / deg
+
+
+def run(n: int = 256, iterations: int = 30):
+  M = make_link_matrix(n)
+  r = fit(sp.from_numpy(M), iterations)
+  return r, M

@@ -118,10 +118,20 @@ class Expr:
     return out
 
   def replace(self, **kw) -> "Expr":
-    """Copy with some members/params replaced (used by optimizer passes)."""
-    args = {name: getattr(self, name) for name in self._members + self._params}
-    args.update(kw)
-    new = type(self)(**args)
+    """Copy with some members/params replaced (used by optimizer passes).
+
+    Bypasses ``__init__`` (subclasses have bespoke constructor signatures);
+    attributes are copied field-by-field with a fresh ``expr_id``.
+    """
+    new = type(self).__new__(type(self))
+    new.expr_id = next(_counter)
+    new._cache = None
+    new._aval = None
+    new.tiling_hint = None
+    for name in self._members + self._params:
+      setattr(new, name, kw.pop(name, getattr(self, name)))
+    if kw:
+      raise TypeError(f"unknown fields for {type(self).__name__}: {kw}")
     return new
 
   def visit(self, fn: Callable[["Expr"], None],
@@ -397,7 +407,12 @@ class Val(Expr):
     spec = None
     if isinstance(v, SpartanArray):
       spec = str(v.tiling.spec)
-    sig = ("Val", tuple(a.shape), str(a.dtype), spec)
+    # the leaf ordinal distinguishes aliasing structure: dot(r, r) (one
+    # leaf bound twice) must not share a compiled runner with dot(p, q)
+    # (two leaves) — the runner's positional binding differs
+    ordinal = memo.get("__leaf_counter__", 0)
+    memo["__leaf_counter__"] = ordinal + 1
+    sig = ("Val", ordinal, tuple(a.shape), str(a.dtype), spec)
     memo[self.expr_id] = sig
     return sig
 

@@ -261,6 +261,9 @@ class AutoTiling:
     return choose_spec(shape, mesh)
 
   def _infer(self, e: Expr, mesh, spec_of) -> Optional[PartitionSpec]:
+    from spartan_tpu.expr.base import DictExpr
+    if isinstance(e, (ListExpr, DictExpr)):
+      return None  # containers carry no spec; their elements are annotated
     try:
       shape = e.shape
     except NotShapeable:
@@ -288,22 +291,28 @@ class AutoTiling:
         return best
       return choose_spec(shape, mesh)
     if isinstance(e, ReduceExpr):
-      if e.op in ("argmax", "argmin") and e.axis is None:
-        return PartitionSpec()
-      child_spec = spec_of(e.inputs[0])
       if e.axis is None:
         return PartitionSpec()
-      try:
-        cshape = e.inputs[0].shape
-      except NotShapeable:
+      # after ReduceMapFusion the inputs are the fused map's inputs; the
+      # dominant (max rank, then max size) input stands in for the
+      # pre-reduction value when deriving the output spec
+      rep = None
+      for c in e.inputs:
+        try:
+          if rep is None or (c.ndim, c.size) > (rep.ndim, rep.size):
+            rep = c
+        except NotShapeable:
+          continue
+      if rep is None or rep.ndim == 0:
         return choose_spec(shape, mesh)
-      if child_spec is None:
+      child_spec = spec_of(rep)
+      cshape = rep.shape
+      if child_spec is None or len(cshape) != len(shape) + (0 if e.keepdims
+                                                            else 1):
         return choose_spec(shape, mesh)
       entries = list(tuple(child_spec)) + [None] * (
           len(cshape) - len(tuple(child_spec)))
-      axis = e.axis % len(cshape) if isinstance(e.axis, int) else None
-      if axis is None:
-        return PartitionSpec()
+      axis = e.axis % len(cshape)
       if e.keepdims:
         entries[axis] = None
       else:
