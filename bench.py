@@ -141,7 +141,9 @@ def bench_matmul(n: int = 8192, k_inner: int = 8):
     def body(i, carry):
       scaled = a * (1.0 + carry * 1e-30).astype(dt)
       out = jnp.matmul(scaled, b, preferred_element_type=jnp.float32)
-      return out[0, 0] * 1e-30
+      # depend on EVERY output element — out[0,0] alone lets XLA slice the
+      # matmul down to a single dot product
+      return jnp.sum(out) * 1e-30
     return lax.fori_loop(0, k_inner, body, jnp.zeros((), jnp.float32))
 
   sec = _run_loop(loop, a, b) / k_inner

@@ -37,6 +37,11 @@ def initialize(argv: Optional[List[str]] = None, mesh=None) -> None:
   global _initialized
   FLAGS.parse(argv)
   util.set_log_level(FLAGS.log_level)
+  if FLAGS.multihost:
+    import jax
+    # multi-host SPMD: one controller per host, all devices in one mesh
+    # (replaces the reference's ssh-spawned worker fleet)
+    jax.distributed.initialize()
   if mesh is None:
     mesh = make_mesh()
   set_default_mesh(mesh)

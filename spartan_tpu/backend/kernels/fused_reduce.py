@@ -34,14 +34,19 @@ def _pick_block(n_rows: int, n_cols: int, itemsize: int) -> int:
 
 
 def _kernel(f, acc_dtype, x_ref, out_ref):
+  # accumulate a (8, 128) VMEM partial-sum tile across sequential grid
+  # steps (VPU-lane-shaped — an SMEM scalar accumulator serializes the
+  # reduction tree and halves throughput)
   i = pl.program_id(0)
 
   @pl.when(i == 0)
   def _():
-    out_ref[0, 0] = jnp.zeros((), acc_dtype)
+    out_ref[:] = jnp.zeros_like(out_ref)
 
-  block = f(x_ref[:])
-  out_ref[0, 0] += jnp.sum(block.astype(acc_dtype))
+  block = f(x_ref[:]).astype(acc_dtype)
+  bm, m = block.shape
+  folded = block.reshape(bm, m // 128, 128).sum(axis=1)   # (bm, 128)
+  out_ref[:] += folded.reshape(bm // 8, 8, 128).sum(axis=0)
 
 
 def fused_sum(x: jax.Array, f: Callable = lambda v: v,
@@ -50,15 +55,26 @@ def fused_sum(x: jax.Array, f: Callable = lambda v: v,
   if x.ndim != 2:
     x = x.reshape(-1, x.shape[-1]) if x.ndim > 2 else x.reshape(1, -1)
   n, m = x.shape
-  bm = _pick_block(n, m, x.dtype.itemsize)
-  grid = (pl.cdiv(n, bm),)
+  if m % 128 == 0 and n % 8 == 0:
+    bm = _pick_block(n, m, x.dtype.itemsize)
+    grid = (pl.cdiv(n, bm),)
+    out = pl.pallas_call(
+        functools.partial(_kernel, f, acc_dtype),
+        grid=grid,
+        in_specs=[pl.BlockSpec((bm, m), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((8, 128), acc_dtype),
+        interpret=interpret,
+    )(x)
+    return jnp.sum(out)
+  # ragged fallback: single-block scalar reduction
   out = pl.pallas_call(
-      functools.partial(_kernel, f, acc_dtype),
-      grid=grid,
-      in_specs=[pl.BlockSpec((bm, m), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM)],
-      out_specs=pl.BlockSpec((1, 1), lambda i: (0, 0),
-                             memory_space=pltpu.SMEM),
+      lambda x_ref, o_ref: o_ref.__setitem__(
+          (0, 0), jnp.sum(f(x_ref[:]).astype(acc_dtype))),
+      in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+      out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
       out_shape=jax.ShapeDtypeStruct((1, 1), acc_dtype),
       interpret=interpret,
   )(x)

@@ -166,6 +166,9 @@ FLAGS.add(BoolFlag("opt_parakeet_gen", False,
                    "reference parity no-op: fused regions always compile "
                    "through XLA (the reference's Parakeet role)"))
 FLAGS.add(StrFlag("mesh_shape", "", "override mesh shape, e.g. '2x4'"))
+FLAGS.add(BoolFlag("multihost", False,
+                   "call jax.distributed.initialize() for multi-host SPMD "
+                   "(cross-slice DCN; replaces the reference's --hosts)"))
 FLAGS.add(BoolFlag("float64_reductions", True,
                    "accumulate reductions in float64 (reference semantics); "
                    "disable for TPU-speed f32 accumulation"))

@@ -7,4 +7,4 @@ from the lazy expr API so every iteration compiles to one fused SPMD region
 
 from spartan_tpu.examples import (als, cg, convnet, fuzzy_kmeans, kmeans,
                                   linear_reg, logistic_reg, naive_bayes,
-                                  pagerank, pca, ridge_reg, svm)
+                                  netflix_sgd, pagerank, pca, ridge_reg, svm)

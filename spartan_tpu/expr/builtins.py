@@ -410,6 +410,11 @@ def take(v, indices, axis=None) -> Expr:
   return map([lazify(v), lazify(indices)], jnp.take, fn_kw={"axis": axis})
 
 
+def broadcast_to(v, shape) -> Expr:
+  """Explicit broadcast (the reference's ``Broadcast`` wrapper, as an op)."""
+  return map([lazify(v)], jnp.broadcast_to, fn_kw={"shape": _tuplify(shape)})
+
+
 # -- sorting & searching ----------------------------------------------------
 
 def sort(v, axis=-1) -> Expr:
@@ -493,6 +498,7 @@ __all__ = [
     # shape
     "reshape", "ravel", "flatten", "transpose", "swapaxes", "concatenate",
     "stack", "vstack", "hstack", "tile", "expand_dims", "squeeze", "take",
+    "broadcast_to",
     # sort/search
     "sort", "argsort", "percentile", "median", "bincount", "unique",
     "nonzero",

@@ -1,0 +1,14 @@
+"""sklearn-flavoured estimator API.
+
+The reference ships a partial sklearn-API clone over its examples
+(SURVEY.md §2.5); same here: thin ``fit``/``predict``/``transform``
+estimator classes over :mod:`spartan_tpu.examples`, accepting numpy /
+SpartanArray / lazy-expr inputs.
+"""
+
+from spartan_tpu.learn.estimators import (KMeans, LinearRegression,
+                                          LogisticRegression, NaiveBayes,
+                                          PCA, Ridge, SVC)
+
+__all__ = ["KMeans", "LinearRegression", "LogisticRegression", "NaiveBayes",
+           "PCA", "Ridge", "SVC"]

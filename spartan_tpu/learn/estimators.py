@@ -1,0 +1,168 @@
+"""Estimator classes wrapping the example algorithms."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+import spartan_tpu as sp
+from spartan_tpu.examples import (kmeans as kmeans_mod, linear_reg,
+                                  logistic_reg, naive_bayes, pca as pca_mod,
+                                  ridge_reg, svm as svm_mod)
+
+
+def _lazy(X):
+  return sp.lazify(X if not isinstance(X, np.ndarray)
+                   else sp.from_numpy(X).value)
+
+
+class LinearRegression:
+  """Batch-GD linear regression (examples/linear_reg)."""
+
+  def __init__(self, iterations: int = 100, alpha: float = 0.05):
+    self.iterations = iterations
+    self.alpha = alpha
+    self.coef_ = None
+
+  def fit(self, X, y):
+    w = linear_reg.fit(_lazy(X), _lazy(y), self.iterations, self.alpha)
+    self.coef_ = np.asarray(w.glom())
+    return self
+
+  def predict(self, X):
+    return np.asarray(sp.dot(_lazy(X), sp.from_numpy(self.coef_)).glom())
+
+  def score(self, X, y):
+    pred = self.predict(X)
+    y = np.asarray(y)
+    ss_res = ((y - pred) ** 2).sum()
+    ss_tot = ((y - y.mean()) ** 2).sum()
+    return 1.0 - ss_res / ss_tot
+
+
+class Ridge:
+  """Closed-form ridge regression (examples/ridge_reg)."""
+
+  def __init__(self, alpha: float = 1.0):
+    self.alpha = alpha
+    self.coef_ = None
+
+  def fit(self, X, y):
+    self.coef_ = ridge_reg.fit(_lazy(X), _lazy(y), self.alpha)
+    return self
+
+  def predict(self, X):
+    return np.asarray(sp.dot(_lazy(X), sp.from_numpy(self.coef_)).glom())
+
+
+class LogisticRegression:
+  """Batch-GD logistic regression (examples/logistic_reg)."""
+
+  def __init__(self, iterations: int = 100, alpha: float = 1.0):
+    self.iterations = iterations
+    self.alpha = alpha
+    self.coef_ = None
+
+  def fit(self, X, y):
+    w = logistic_reg.fit(_lazy(X), _lazy(np.asarray(y, dtype=np.float64)),
+                         self.iterations, self.alpha)
+    self.coef_ = np.asarray(w.glom())
+    return self
+
+  def predict_proba(self, X):
+    return np.asarray(
+        logistic_reg.sigmoid(sp.dot(_lazy(X),
+                                    sp.from_numpy(self.coef_))).glom())
+
+  def predict(self, X):
+    return (self.predict_proba(X) > 0.5).astype(np.int64)
+
+
+class SVC:
+  """Linear SVM by hinge-loss subgradient descent (examples/svm)."""
+
+  def __init__(self, iterations: int = 200, alpha: float = 0.1,
+               C: float = 10.0):
+    self.iterations = iterations
+    self.alpha = alpha
+    self.C = C
+    self.coef_ = None
+
+  def fit(self, X, y):
+    y = np.where(np.asarray(y) > 0, 1.0, -1.0)
+    w = svm_mod.fit(_lazy(X), _lazy(y), self.iterations, self.alpha, self.C)
+    self.coef_ = np.asarray(w.glom())
+    return self
+
+  def predict(self, X):
+    return np.sign(np.asarray(
+        sp.dot(_lazy(X), sp.from_numpy(self.coef_)).glom()))
+
+
+class KMeans:
+  """Lloyd's k-means with scatter-add updates (examples/kmeans)."""
+
+  def __init__(self, n_clusters: int = 8, iterations: int = 20,
+               seed: int = 0):
+    self.n_clusters = n_clusters
+    self.iterations = iterations
+    self.seed = seed
+    self.cluster_centers_ = None
+
+  def fit(self, X):
+    centers, labels = kmeans_mod.fit(_lazy(X), self.n_clusters,
+                                     self.iterations, seed=self.seed)
+    self.cluster_centers_ = np.asarray(centers.glom())
+    self.labels_ = (np.asarray(labels.glom())
+                    if labels is not None else None)
+    return self
+
+  def predict(self, X):
+    labels = kmeans_mod.assign_labels(
+        _lazy(X), sp.from_numpy(self.cluster_centers_))
+    return np.asarray(labels.glom())
+
+
+class NaiveBayes:
+  """Multinomial naive Bayes (examples/naive_bayes)."""
+
+  def __init__(self, alpha: float = 1.0):
+    self.alpha = alpha
+
+  def fit(self, X, y):
+    y = np.asarray(y)
+    self.classes_ = np.unique(y)
+    remap = {c: i for i, c in enumerate(self.classes_)}
+    yi = np.vectorize(remap.get)(y)
+    lp, ll = naive_bayes.fit(_lazy(X), _lazy(yi), len(self.classes_),
+                             self.alpha)
+    self.log_prior_ = np.asarray(lp.glom())
+    self.log_likelihood_ = np.asarray(ll.glom())
+    return self
+
+  def predict(self, X):
+    idx = np.asarray(naive_bayes.predict(
+        _lazy(X), sp.from_numpy(self.log_prior_),
+        sp.from_numpy(self.log_likelihood_)).glom())
+    return self.classes_[idx]
+
+
+class PCA:
+  """Principal component analysis by subspace iteration (examples/pca)."""
+
+  def __init__(self, n_components: int = 2, iterations: int = 30):
+    self.n_components = n_components
+    self.iterations = iterations
+
+  def fit(self, X):
+    comps, evals = pca_mod.fit(_lazy(X), self.n_components, self.iterations)
+    self.components_ = comps.T          # sklearn layout: (k, d)
+    self.explained_variance_ = evals
+    return self
+
+  def transform(self, X):
+    return np.asarray(pca_mod.transform(_lazy(X), self.components_.T).glom())
+
+  def fit_transform(self, X):
+    return self.fit(X).transform(X)

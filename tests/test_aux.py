@@ -1,0 +1,128 @@
+"""Aux subsystems: profiling hooks, DAG visualization, sklearn-style
+estimators, netflix SGD, broadcast_to (SURVEY.md §5, §2.5)."""
+
+import numpy as np
+import pytest
+
+import spartan_tpu as sp
+from spartan_tpu import profiling
+from spartan_tpu.expr import visualize
+
+
+def test_region_stats_counters(rng):
+  profiling.reset_region_stats()
+  a = sp.from_numpy(rng.standard_normal((8, 8)))
+  (a + 1.0).evaluate()
+  s = profiling.region_stats()
+  assert s["evals"] >= 1 and s["compiles"] >= 1
+
+
+def test_step_timer():
+  t = profiling.StepTimer()
+  for _ in range(3):
+    with t.step("x", bytes_moved=1000):
+      pass
+  s = t.summary()
+  assert s["count"] == 3 and "median_gbps" in s
+
+
+def test_annotate_runs(rng):
+  with profiling.annotate("test-span"):
+    sp.from_numpy(rng.standard_normal((4, 4))).evaluate()
+
+
+def test_pretty_and_dot(rng):
+  a = sp.from_numpy(rng.standard_normal((8, 8)))
+  e = ((a + 1.0) * 2.0).sum()
+  txt = visualize.pretty(e)
+  assert "ReduceExpr" in txt and "Val" in txt
+  dot = visualize.to_dot(e)
+  assert dot.startswith("digraph") and "->" in dot
+
+
+def test_dump_dot(rng, tmp_path):
+  a = sp.from_numpy(rng.standard_normal((4, 4)))
+  p = visualize.dump_dot(a + 1.0, str(tmp_path / "g.dot"))
+  assert "digraph" in open(p).read()
+
+
+def test_broadcast_to(rng):
+  v = rng.standard_normal((1, 6))
+  got = sp.broadcast_to(sp.from_numpy(v), (4, 6)).glom()
+  np.testing.assert_array_equal(got, np.broadcast_to(v, (4, 6)))
+
+
+def test_netflix_sgd_learns():
+  from spartan_tpu.examples import netflix_sgd
+  err = netflix_sgd.run(n_users=64, n_items=32, k=4, n_ratings=2048,
+                        epochs=4)
+  assert err < 0.5  # noise floor is 0.05; untrained is ~1.1
+
+
+# --- sklearn-style estimators ---------------------------------------------
+
+def test_learn_linear_regression(rng):
+  from spartan_tpu.learn import LinearRegression
+  X = rng.standard_normal((512, 6))
+  w = rng.standard_normal(6)
+  y = X @ w + 0.01 * rng.standard_normal(512)
+  m = LinearRegression(iterations=200, alpha=0.1).fit(X, y)
+  assert m.score(X, y) > 0.99
+
+
+def test_learn_ridge(rng):
+  from spartan_tpu.learn import Ridge
+  X = rng.standard_normal((256, 4))
+  w = rng.standard_normal(4)
+  y = X @ w
+  m = Ridge(alpha=1e-8).fit(X, y)
+  np.testing.assert_allclose(m.coef_, w, atol=1e-6)
+
+
+def test_learn_logistic(rng):
+  from spartan_tpu.learn import LogisticRegression
+  X = rng.standard_normal((512, 4))
+  w = rng.standard_normal(4)
+  y = (X @ w > 0).astype(int)
+  m = LogisticRegression(iterations=100).fit(X, y)
+  assert (m.predict(X) == y).mean() > 0.9
+
+
+def test_learn_kmeans(rng):
+  from spartan_tpu.learn import KMeans
+  from spartan_tpu.examples.kmeans import make_data
+  pts, _ = make_data(512, 4, 3, seed=3)
+  m = KMeans(n_clusters=3, iterations=10, seed=3).fit(pts.value.glom())
+  pred = m.predict(pts.value.glom())
+  assert m.cluster_centers_.shape == (3, 4)
+  assert set(np.unique(pred)) <= {0, 1, 2}
+
+
+def test_learn_svc(rng):
+  from spartan_tpu.learn import SVC
+  X = rng.standard_normal((512, 4))
+  w = rng.standard_normal(4)
+  y = np.sign(X @ w + 1e-9)
+  m = SVC(iterations=100).fit(X, y)
+  assert (m.predict(X) == y).mean() > 0.95
+
+
+def test_learn_naive_bayes():
+  from spartan_tpu.learn import NaiveBayes
+  from spartan_tpu.examples.naive_bayes import make_data
+  X, slab, labels = make_data(512, 10, 3, seed=2)
+  # use string class labels to exercise the class remapping
+  str_labels = np.array(["a", "b", "c"])[labels]
+  m = NaiveBayes().fit(X.value.glom(), str_labels)
+  pred = m.predict(X.value.glom())
+  assert (pred == str_labels).mean() > 0.9
+
+
+def test_learn_pca(rng):
+  from spartan_tpu.learn import PCA
+  X = rng.standard_normal((512, 8)) * np.linspace(10, 1, 8)
+  m = PCA(n_components=2).fit(X)
+  assert m.components_.shape == (2, 8)
+  Z = m.transform(X)
+  assert Z.shape == (512, 2)
+  assert m.explained_variance_[0] > m.explained_variance_[1]
