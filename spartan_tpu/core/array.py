@@ -130,6 +130,10 @@ class SpartanArray:
     for ext in self.tile_extents():
       fn(ext, host[ext.to_slice()])
 
+  def select(self, idx) -> np.ndarray:
+    """Host gather of a sub-region (reference ``DistArray.select``)."""
+    return self.fetch(idx)
+
   def reshard(self, tiling: Tiling) -> "SpartanArray":
     """Move to a new tiling — XLA plans the minimal resharding collective."""
     return SpartanArray(jax.device_put(self.data, tiling.sharding), tiling)

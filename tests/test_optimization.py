@@ -113,3 +113,47 @@ def test_largest_input_chooses_tiling(rng):
   opt = optimize(expr)
   big_spec = tuple(big.value.tiling.spec) if hasattr(big, "value") else None
   assert tuple(opt.tiling_hint.spec) == big_spec
+
+
+def test_smart_tiling_known_dags(rng):
+  """The smart-tiler picks the expected shardings for canonical DAGs
+  (reference tiling tests; SURVEY.md §4)."""
+  from spartan_tpu.core.mesh import get_mesh
+  mesh = get_mesh()
+  a = sp.from_numpy(rng.standard_normal((16, 16)))
+  b = sp.from_numpy(rng.standard_normal((16, 16)))
+  # dot output: 2-D mesh-sharded (one axis per dim)
+  d = optimize(sp.dot(a, b))
+  entries = tuple(d.tiling_hint.spec)
+  axes_used = {e for e in entries if e is not None}
+  assert len(axes_used) == 2
+  # full reduction: replicated scalar
+  r = optimize(sp.sum(a))
+  assert tuple(r.tiling_hint.spec) == ()
+  # axis-reduction keeps the surviving dim's axes
+  r1 = optimize(sp.sum(a, axis=1))
+  surviving = tuple(r1.tiling_hint.spec)
+  assert len(surviving) <= 1
+  # transpose swaps the spec entries
+  t = optimize(a.T)
+  ta = tuple(optimize(sp.lazify(a.value) + 0.0).tiling_hint.spec)
+  assert tuple(t.tiling_hint.spec) == tuple(reversed(ta))
+
+
+def test_optimization_pass_counts(rng):
+  """Fusion shrinks the DAG (node-count assertion, not just semantics)."""
+  a = sp.from_numpy(rng.standard_normal((8, 8)))
+  chain = a
+  for i in range(6):
+    chain = chain * 2.0 + 1.0
+  def count(e):
+    n = [0]
+    e.visit(lambda _: n.__setitem__(0, n[0] + 1))
+    return n[0]
+  before = count(chain)
+  fused = MapMapFusion().run(chain)
+  after = count(fused)
+  assert after < before
+  # the 12 interior map nodes collapsed into ONE; only leaves remain below
+  assert isinstance(fused, MapExpr)
+  assert all(not isinstance(c, MapExpr) for c in fused.inputs)
