@@ -162,6 +162,11 @@ FLAGS.add(BoolFlag("opt_collapse_cached", True,
 FLAGS.add(BoolFlag("opt_auto_tiling", True,
                    "smart-tiling pass: choose output shardings to minimize "
                    "resharding collectives"))
+FLAGS.add(BoolFlag("opt_const_fold", True,
+                   "fold broadcast-neutral fill-creations into scalar "
+                   "leaves inside fused kernels"))
+FLAGS.add(BoolFlag("pallas_interpret", False,
+                   "run Pallas lowerings in interpreter mode (CI/testing)"))
 FLAGS.add(BoolFlag("opt_parakeet_gen", False,
                    "reference parity no-op: fused regions always compile "
                    "through XLA (the reference's Parakeet role)"))

@@ -201,6 +201,45 @@ class ReduceMapFusion:
     return rewrite_bottom_up(root, fuse)
 
 
+class ConstFoldCreations:
+  """Replace broadcast-neutral fill-creations feeding fused kernels with
+  scalar leaves: ``ones(shape) + b`` → ``1.0 + b`` when ``b`` already
+  carries the shape.  Shrinks traces and unlocks the Pallas
+  fused-reduce path (scalars ride SMEM; a full ones-array can't)."""
+
+  def run(self, root: Expr) -> Expr:
+    import numpy as np_mod
+
+    def fold(e: Expr) -> Expr:
+      if not isinstance(e, (MapExpr, ReduceExpr)):
+        return e
+      if isinstance(e, ReduceExpr) and e.local_op is None:
+        return e
+      try:
+        shapes = [c.shape for c in e.inputs]
+      except NotShapeable:
+        return e
+      new_inputs = list(e.inputs)
+      changed = False
+      for i, c in enumerate(e.inputs):
+        if (isinstance(c, CreationExpr) and c.op == "full"
+            and c.tile_hint is None and len(c.out_shape) > 0):
+          others = shapes[:i] + shapes[i + 1:]
+          try:
+            if (others and np_mod.broadcast_shapes(*others) ==
+                np_mod.broadcast_shapes(*shapes)):
+              new_inputs[i] = Val(np_mod.asarray(c.params["fill"],
+                                                 dtype=c.out_dtype)[()])
+              changed = True
+          except ValueError:
+            continue
+      if changed:
+        return e.replace(inputs=new_inputs)
+      return e
+
+    return rewrite_bottom_up(root, fold)
+
+
 class ParakeetGeneration:
   """Reference-parity no-op: fused kernels always compile through XLA
   (the role Parakeet played for the reference's per-tile Python kernels)."""
@@ -365,6 +404,8 @@ def optimize(expr: Expr) -> Expr:
     expr = MapMapFusion().run(expr)
   if FLAGS.opt_reduce_fusion:
     expr = ReduceMapFusion().run(expr)
+  if FLAGS.opt_const_fold:
+    expr = ConstFoldCreations().run(expr)
   if FLAGS.opt_parakeet_gen:
     expr = ParakeetGeneration().run(expr)
   if FLAGS.opt_auto_tiling:

@@ -75,7 +75,53 @@ class ReduceExpr(Expr):
       return self.local_op.evaluate(deps)
     return deps[0]
 
+  def _try_pallas_full_sum(self, deps: List[Any]):
+    """Lower a full ``sum`` over one big operand (+ scalars) to the Pallas
+    fused elementwise+reduce kernel (95 % of HBM roofline on TPU vs ~50 %
+    for XLA's fused reduce).  Returns None when conditions don't hold."""
+    from spartan_tpu.config import FLAGS
+    if self.op != "sum" or self.axis is not None or not FLAGS.use_pallas:
+      return None
+    interpret = bool(FLAGS.pallas_interpret)
+    if jax.default_backend() == "cpu" and not interpret:
+      return None
+    big = [k for k, d in enumerate(deps) if getattr(d, "ndim", 0) >= 1]
+    if len(big) != 1:
+      return None
+    main = deps[big[0]]
+    if main.ndim > 2 or main.dtype not in (jnp.float32, jnp.bfloat16,
+                                           jnp.float16):
+      return None
+    if any(deps[k].ndim != 0 for k in range(len(deps)) if k != big[0]):
+      return None
+    acc = _canon(self.out_dtype or dtype_for_reduction(main.dtype))
+    if np.dtype(acc).kind != "f":
+      return None
+    scal_idx = [k for k in range(len(deps)) if k != big[0]]
+    local_op = self.local_op
+
+    def f(block, *svals):
+      if local_op is None:
+        return block
+      vals: List[Any] = [None] * len(deps)
+      vals[big[0]] = block
+      for k, v in zip(scal_idx, svals):
+        vals[k] = v
+      return local_op.evaluate(vals)
+
+    from spartan_tpu.backend.kernels import fused_reduce
+    try:
+      return fused_reduce.fused_sum(
+          main, f, scalars=[deps[k] for k in scal_idx], acc_dtype=acc,
+          interpret=interpret)
+    except Exception:
+      return None  # trace-time rejection → XLA path
+
   def _emit(self, ctx: EmitCtx, deps: List[Any]):
+    if not ctx.abstract:
+      fast = self._try_pallas_full_sum(deps)
+      if fast is not None:
+        return fast
     x = self._value(deps)
     op, axis, keepdims = self.op, self.axis, self.keepdims
     if self.out_dtype is not None:

@@ -1,0 +1,390 @@
+"""Smart tiling: cost-model search over array placements.
+
+TPU-native rebuild of the reference's headline contribution (reference:
+``spartan/expr/optimize.py`` AutoTiling — the ATC'15 "smart tiling" pass
+that searches per-array tiling choices to minimize bytes moved over the
+network; SURVEY.md §2.1, §6).
+
+Re-targeted at shardings: XLA already propagates shardings *inside* a
+jitted region, so the decisions that still belong to the framework are
+(a) how leaf arrays are laid out when first placed on the mesh and (b) the
+``out_shardings`` at region boundaries.  This module runs a bottom-up
+dynamic program over a small candidate-spec set per node, charging each op
+the ICI bytes XLA would have to move given its children's layouts
+(all-gather for broadcast/replication, all-to-all for re-tiling,
+reduce-scatter/psum for contractions and combiner updates), and returns
+the argmin leaf layouts + expected cost.
+
+Entry points:
+  * :func:`plan(expr)`      → ``TilingPlan`` (leaf specs, root spec, cost)
+  * :func:`apply_plan`      → reshard the DAG's leaves per the plan
+  * :func:`smart_tile(expr)`→ plan + apply, returns the plan
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+from jax.sharding import PartitionSpec
+
+from spartan_tpu.core.array import SpartanArray
+from spartan_tpu.core.mesh import get_mesh
+from spartan_tpu.core.tiling import Tiling
+from spartan_tpu.expr.base import Expr, NotShapeable, Val
+from spartan_tpu.expr.dot import DotExpr, OuterExpr, TensorDotExpr
+from spartan_tpu.expr.map import MapExpr, MapWithLocationExpr
+from spartan_tpu.expr.ndarray import CreationExpr
+from spartan_tpu.expr.reduce import ReduceExpr
+from spartan_tpu.expr.reshape import RavelExpr, ReshapeExpr, TransposeExpr
+from spartan_tpu.expr.slice import SliceExpr
+
+
+# ---------------------------------------------------------------------------
+# Spec helpers and the byte-cost model
+# ---------------------------------------------------------------------------
+
+def _n_shards(entry, mesh) -> int:
+  if entry is None:
+    return 1
+  axes = entry if isinstance(entry, (tuple, list)) else (entry,)
+  n = 1
+  for a in axes:
+    n *= mesh.shape[a]
+  return n
+
+
+def _norm(spec: PartitionSpec, ndim: int) -> Tuple:
+  entries = tuple(spec)
+  entries = entries + (None,) * (ndim - len(entries))
+  return tuple(tuple(e) if isinstance(e, (tuple, list)) else e
+               for e in entries[:ndim])
+
+
+def spec_fits(spec: PartitionSpec, shape, mesh) -> bool:
+  for dim, entry in zip(shape, _norm(spec, len(shape))):
+    n = _n_shards(entry, mesh)
+    if n > 1 and dim % n != 0:
+      return False
+  return True
+
+
+def candidate_specs(shape, mesh) -> List[PartitionSpec]:
+  """Small candidate set per shape: every assignment of {axes, axis-pairs,
+  nothing} to dims, filtered by divisibility."""
+  axes = list(mesh.axis_names)
+  ndim = len(shape)
+  if ndim == 0:
+    return [PartitionSpec()]
+  pool: List[PartitionSpec] = [PartitionSpec()]
+  if ndim == 1:
+    opts = [tuple(axes)] + [(a,) for a in axes]
+    for o in opts:
+      pool.append(PartitionSpec(o if len(o) > 1 else o[0]))
+  else:
+    # one axis (or the flattened pair) on a single dim; or distinct axes on
+    # two dims — covers row/col/2-D tilings on a 2-D mesh
+    for d in range(ndim):
+      for o in [tuple(axes)] + [(a,) for a in axes]:
+        entries = [None] * ndim
+        entries[d] = o if len(o) > 1 else o[0]
+        pool.append(PartitionSpec(*entries))
+    if len(axes) >= 2:
+      for d1 in range(ndim):
+        for d2 in range(ndim):
+          if d1 == d2:
+            continue
+          for a1, a2 in ((axes[0], axes[1]), (axes[1], axes[0])):
+            entries = [None] * ndim
+            entries[d1], entries[d2] = a1, a2
+            pool.append(PartitionSpec(*entries))
+  seen, out = set(), []
+  for s in pool:
+    key = _norm(s, ndim)
+    if key not in seen and spec_fits(s, shape, mesh):
+      seen.add(key)
+      out.append(s)
+  return out
+
+
+def reshard_bytes(shape, dtype, src: PartitionSpec, dst: PartitionSpec,
+                  mesh) -> float:
+  """Estimated ICI bytes to move an array from ``src`` to ``dst`` layout.
+
+  Model (global bytes crossing links, relative scale is what matters):
+    * identical layouts → 0
+    * purely *refining* (dst splits a dim src had whole on every device
+      that will own it) → 0 (local slice)
+    * replicating a sharded dim (all-gather) → B·(k−1) where k = shard
+      count being removed
+    * general re-tiling (all-to-all) → B·(1 − 1/k_src·k_dst overlap) ≈ B
+  """
+  if not shape:
+    return 0.0
+  b = float(np.prod(shape)) * np.dtype(dtype).itemsize
+  s, d = _norm(src, len(shape)), _norm(dst, len(shape))
+  if s == d:
+    return 0.0
+  cost = 0.0
+  changed = [(i, se, de) for i, (se, de) in enumerate(zip(s, d)) if se != de]
+  for i, se, de in changed:
+    ks, kd = _n_shards(se, mesh), _n_shards(de, mesh)
+    if ks == 1 and kd > 1:
+      # splitting a dim that was whole: if the array was fully replicated
+      # this is a local slice (free); if other dims sharded, mostly local
+      cost += 0.0
+    elif kd == 1 and ks > 1:
+      cost += b * (ks - 1) / ks          # all-gather this dim
+    else:
+      cost += b * (1.0 - 1.0 / max(ks, kd))   # all-to-all-ish
+  return cost
+
+
+def _dot_cost(a_shape, b_shape, dtype, a_spec, b_spec, out_spec,
+              mesh) -> float:
+  """Comm bytes for C[m,n] = A[m,k] @ B[k,n] given layouts: the operands
+  must be gathered along the partner's output axis, and contracted-dim
+  sharding costs a reduce-scatter of C partials (the reference's "dot
+  shuffle")."""
+  itemsize = np.dtype(dtype).itemsize
+  a_b = float(np.prod(a_shape)) * itemsize
+  b_b = float(np.prod(b_shape)) * itemsize
+  m_entry, n_entry = (_norm(out_spec, 2) + (None, None))[:2]
+  a_m, a_k = _norm(a_spec, 2) if len(a_shape) == 2 else (None, None)
+  b_k, b_n = _norm(b_spec, 2) if len(b_shape) == 2 else (None, None)
+  cost = 0.0
+  # B must be visible to every shard-row of A's m-partition: all-gather B
+  # over the axes sharding m (unless B already replicated over them)
+  km = _n_shards(m_entry, mesh)
+  kn = _n_shards(n_entry, mesh)
+  if km > 1:
+    cost += b_b * (km - 1) / km
+  if kn > 1:
+    cost += a_b * (kn - 1) / kn
+  # contracted dim sharded → partial-sum reduce of C
+  kk = max(_n_shards(a_k, mesh), _n_shards(b_k, mesh))
+  if kk > 1:
+    m = a_shape[0] if len(a_shape) == 2 else 1
+    n = b_shape[1] if len(b_shape) == 2 else 1
+    cost += float(m) * n * itemsize * (kk - 1) / kk
+  # layout mismatches beyond the gathered copies
+  if len(a_shape) == 2:
+    want_a = PartitionSpec(m_entry, None)
+    cost += reshard_bytes(a_shape, dtype, a_spec, want_a, mesh) * 0.5
+  if len(b_shape) == 2:
+    want_b = PartitionSpec(None, n_entry)
+    cost += reshard_bytes(b_shape, dtype, b_spec, want_b, mesh) * 0.5
+  return cost
+
+
+# ---------------------------------------------------------------------------
+# The dynamic program
+# ---------------------------------------------------------------------------
+
+class TilingPlan:
+  """Result of the cost search."""
+
+  def __init__(self, leaf_specs: Dict[int, PartitionSpec],
+               root_spec: Optional[PartitionSpec], cost: float):
+    self.leaf_specs = leaf_specs
+    self.root_spec = root_spec
+    self.cost = cost
+
+  def __repr__(self):
+    return (f"TilingPlan(cost={self.cost:.3g}, "
+            f"leaves={ {k: str(v) for k, v in self.leaf_specs.items()} }, "
+            f"root={self.root_spec})")
+
+
+def plan(expr: Expr, mesh=None) -> TilingPlan:
+  """Bottom-up DP: for every node and candidate output spec, the minimal
+  bytes moved in the subtree; argmin at the root, choices backtracked to
+  the leaves."""
+  mesh = mesh or get_mesh()
+  # table: expr_id -> {norm_spec: (cost, spec, [(child, child_spec)])}
+  table: Dict[int, Dict[Tuple, Tuple[float, PartitionSpec, list]]] = {}
+
+  def solve(e: Expr) -> Dict[Tuple, Tuple[float, PartitionSpec, list]]:
+    hit = table.get(e.expr_id)
+    if hit is not None:
+      return hit
+    try:
+      shape = e.shape
+      dtype = e.dtype
+    except (NotShapeable, Exception):
+      table[e.expr_id] = {(): (0.0, PartitionSpec(), [])}
+      return table[e.expr_id]
+
+    cands = candidate_specs(shape, mesh)
+    out: Dict[Tuple, Tuple[float, PartitionSpec, list]] = {}
+
+    if isinstance(e, Val):
+      # a leaf may be re-laid-out once at placement time: charge the move
+      # from its current layout (if it already lives on the mesh)
+      cur = (e.value.tiling.spec if isinstance(e.value, SpartanArray)
+             else PartitionSpec())
+      for s in cands:
+        out[_norm(s, len(shape))] = (
+            reshard_bytes(shape, dtype, cur, s, mesh) * 0.1, s, [])
+      # (×0.1: a one-time placement move amortizes across the whole program)
+    elif isinstance(e, CreationExpr):
+      for s in cands:
+        out[_norm(s, len(shape))] = (0.0, s, [])
+    elif isinstance(e, (MapExpr, MapWithLocationExpr)):
+      kids = [c for c in e.inputs]
+      kid_tabs = [solve(c) for c in kids]
+      for s in cands:
+        total = 0.0
+        picks = []
+        for c, tab in zip(kids, kid_tabs):
+          try:
+            cshape, cdtype = c.shape, c.dtype
+          except Exception:
+            picks.append((c, PartitionSpec()))
+            continue
+          if len(cshape) != len(shape) or int(np.prod(cshape or (1,))) <= 1:
+            # broadcast operand: replicated is free enough
+            best_c = min(tab.values(), key=lambda v: v[0])
+            total += best_c[0]
+            picks.append((c, best_c[1]))
+            continue
+          best_cost, best_spec = None, None
+          for key, (ccost, cspec, _) in tab.items():
+            move = reshard_bytes(cshape, cdtype, cspec, s, mesh)
+            t = ccost + move
+            if best_cost is None or t < best_cost:
+              best_cost, best_spec = t, cspec
+          total += best_cost
+          picks.append((c, best_spec))
+        out[_norm(s, len(shape))] = (total, s, picks)
+    elif isinstance(e, ReduceExpr):
+      kids = list(e.inputs)
+      kid_tabs = [solve(c) for c in kids]
+      rep = max(kids, key=lambda c: (getattr(c, "ndim", 0),
+                                     getattr(c, "size", 0)))
+      rep_tab = kid_tabs[kids.index(rep)]
+      for s in cands:
+        # derive required child spec: s with the reduced axis re-inserted
+        best = None
+        for key, (ccost, cspec, _) in rep_tab.items():
+          try:
+            derived = _reduce_out_spec(cspec, rep.shape, e.axis, e.keepdims)
+          except Exception:
+            derived = PartitionSpec()
+          move = reshard_bytes(shape, dtype, derived, s, mesh)
+          # partial-sum combine over the reduced axis's shards
+          axis_entry = None
+          if e.axis is not None and len(_norm(cspec, rep.ndim)) > (
+              e.axis % max(rep.ndim, 1)):
+            axis_entry = _norm(cspec, rep.ndim)[e.axis % rep.ndim]
+          kk = _n_shards(axis_entry, mesh)
+          combine = (float(np.prod(shape or (1,))) *
+                     np.dtype(dtype).itemsize * (kk - 1) / max(kk, 1))
+          t = ccost + move + combine
+          if best is None or t < best[0]:
+            best = (t, cspec)
+        others = 0.0
+        picks = [(rep, best[1])]
+        for c, tab in zip(kids, kid_tabs):
+          if c is rep:
+            continue
+          bc = min(tab.values(), key=lambda v: v[0])
+          others += bc[0]
+          picks.append((c, bc[1]))
+        out[_norm(s, len(shape))] = (best[0] + others, s, picks)
+    elif isinstance(e, (DotExpr, TensorDotExpr, OuterExpr)) and len(
+        e.inputs) == 2:
+      a, bb = e.inputs
+      ta, tb = solve(a), solve(bb)
+      for s in cands:
+        best = None
+        for ka, (ca, sa, _) in ta.items():
+          for kb, (cb, sb, _) in tb.items():
+            try:
+              op = _dot_cost(a.shape, bb.shape, dtype, sa, sb, s, mesh)
+            except Exception:
+              op = 0.0
+            t = ca + cb + op
+            if best is None or t < best[0]:
+              best = (t, sa, sb)
+        out[_norm(s, len(shape))] = (best[0], s, [(a, best[1]),
+                                                  (bb, best[2])])
+    else:
+      # structural ops: chain through the dominant child
+      kids = e.children()
+      kid_tabs = [solve(c) for c in kids]
+      base = 0.0
+      picks = []
+      for c, tab in zip(kids, kid_tabs):
+        bc = min(tab.values(), key=lambda v: v[0])
+        base += bc[0]
+        picks.append((c, bc[1]))
+      for s in cands:
+        out[_norm(s, len(shape))] = (base, s, picks)
+
+    table[e.expr_id] = out
+    return out
+
+  root_tab = solve(expr)
+  best_key = min(root_tab, key=lambda k: root_tab[k][0])
+  cost, root_spec, _ = root_tab[best_key]
+
+  # backtrack leaf choices
+  leaf_specs: Dict[int, PartitionSpec] = {}
+
+  def back(e: Expr, key: Tuple):
+    tab = table.get(e.expr_id, {})
+    if key not in tab:
+      if not tab:
+        return
+      key = min(tab, key=lambda k: tab[k][0])
+    _, spec, picks = tab[key]
+    if isinstance(e, Val):
+      leaf_specs[e.expr_id] = spec
+      return
+    for c, cspec in picks:
+      try:
+        back(c, _norm(cspec, c.ndim))
+      except Exception:
+        back(c, ())
+
+  back(expr, best_key)
+  return TilingPlan(leaf_specs, root_spec, cost)
+
+
+def _reduce_out_spec(child_spec: PartitionSpec, child_shape, axis,
+                     keepdims) -> PartitionSpec:
+  if axis is None:
+    return PartitionSpec()
+  nd = len(child_shape)
+  entries = list(_norm(child_spec, nd))
+  ax = axis % nd
+  if keepdims:
+    entries[ax] = None
+  else:
+    entries = entries[:ax] + entries[ax + 1:]
+  while entries and entries[-1] is None:
+    entries.pop()
+  return PartitionSpec(*entries)
+
+
+def apply_plan(expr: Expr, plan_: TilingPlan, mesh=None) -> None:
+  """Reshard the DAG's SpartanArray leaves to the planned layouts
+  (in place: the Val's wrapped array is replaced)."""
+  mesh = mesh or get_mesh()
+
+  def visit(e: Expr):
+    if isinstance(e, Val) and isinstance(e.value, SpartanArray):
+      spec = plan_.leaf_specs.get(e.expr_id)
+      if spec is not None and _norm(spec, e.value.ndim) != _norm(
+          e.value.tiling.spec, e.value.ndim):
+        e.value = e.value.reshard(Tiling(mesh, spec))
+
+  expr.visit(visit)
+
+
+def smart_tile(expr: Expr, mesh=None) -> TilingPlan:
+  """Plan + apply: lay the DAG's leaves out to minimize bytes moved."""
+  p = plan(expr, mesh)
+  apply_plan(expr, p, mesh)
+  return p

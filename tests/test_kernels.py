@@ -64,3 +64,43 @@ def test_pallas_spmv(rng):
   got = np.asarray(spmv_pallas.spmv(S.cols, S.vals, jnp.asarray(x),
                                     interpret=True))
   np.testing.assert_allclose(got, A @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_reduce_lowered_to_pallas_path(rng):
+  """The framework's own (ones + b*2).sum() lowers to the Pallas kernel
+  when enabled (interpret mode on CPU) and matches the XLA path exactly."""
+  import spartan_tpu as sp
+  from spartan_tpu.config import FLAGS
+  b_np = rng.standard_normal((64, 256)).astype(np.float32)
+  want = (1.0 + b_np.astype(np.float64) * 2.0).sum()
+
+  def build():
+    return (sp.ones((64, 256), dtype=np.float32)
+            + sp.from_numpy(b_np) * 2.0).sum()
+
+  xla = float(build().glom())
+  FLAGS.pallas_interpret = True
+  try:
+    pallas = float(build().glom())
+  finally:
+    FLAGS.pallas_interpret = False
+  np.testing.assert_allclose(xla, want, rtol=1e-6)
+  np.testing.assert_allclose(pallas, want, rtol=1e-6)
+
+
+def test_const_fold_unlocks_scalar_leaves(rng):
+  """ConstFoldCreations: ones(shape) feeding a fused reduce becomes a
+  scalar leaf (required for the Pallas SMEM scalar path)."""
+  import spartan_tpu as sp
+  from spartan_tpu.expr.base import Val
+  from spartan_tpu.expr.optimize import optimize
+  b = sp.from_numpy(rng.standard_normal((16, 16)))
+  e = optimize((sp.ones((16, 16)) + b * 2.0).sum())
+  # after folding, no CreationExpr remains among the fused inputs
+  from spartan_tpu.expr.ndarray import CreationExpr
+  assert not any(isinstance(c, CreationExpr) for c in e.inputs)
+  # and the result is unchanged
+  bn = b.value.glom()
+  np.testing.assert_allclose(
+      float(((sp.ones((16, 16)) + sp.from_numpy(bn) * 2.0).sum()).glom()),
+      (1.0 + bn * 2.0).sum(), rtol=1e-12)

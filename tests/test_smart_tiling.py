@@ -1,0 +1,95 @@
+"""Cost-model smart tiling (the ATC'15 headline feature, rebuilt for
+shardings): the planner must pick the known-good layouts for canonical
+DAGs and never change results."""
+
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import spartan_tpu as sp
+from spartan_tpu.expr import smart_tiling as st
+
+
+def _nshards(entry, mesh):
+  if entry is None:
+    return 1
+  axes = entry if isinstance(entry, tuple) else (entry,)
+  n = 1
+  for a in axes:
+    n *= mesh.shape[a]
+  return n
+
+
+def test_candidates_respect_divisibility(cluster):
+  for s in st.candidate_specs((10, 16), cluster):
+    assert st.spec_fits(s, (10, 16), cluster)
+  # 10 is not divisible by 4 ('y') or 8 ('x','y'): no candidate may use them
+  for s in st.candidate_specs((10, 16), cluster):
+    e0 = (tuple(s) + (None,))[0]
+    assert _nshards(e0, cluster) in (1, 2)
+
+
+def test_reshard_cost_basics(cluster):
+  shape, dt = (64, 64), np.float64
+  zero = st.reshard_bytes(shape, dt, P("x", "y"), P("x", "y"), cluster)
+  assert zero == 0.0
+  gather = st.reshard_bytes(shape, dt, P("x", None), P(), cluster)
+  assert gather > 0
+  retile = st.reshard_bytes(shape, dt, P("x", None), P(None, "x"), cluster)
+  assert retile > 0
+  # replicating 8 shards moves more than replicating 2
+  g8 = st.reshard_bytes(shape, dt, P(("x", "y")), P(), cluster)
+  assert g8 > gather
+
+
+def test_plan_elementwise_aligns_leaves(rng, cluster):
+  """Two leaves entering one map must land on the SAME spec (no reshard)."""
+  a = sp.from_numpy(rng.standard_normal((16, 16)))
+  b = sp.from_numpy(rng.standard_normal((16, 16)))
+  p = st.plan(a + b)
+  specs = list(p.leaf_specs.values())
+  arr_specs = [st._norm(s, 2) for s in specs if s is not None]
+  big = [s for s in arr_specs]
+  assert len(set(big[:2])) == 1
+
+
+def test_plan_dot_prefers_2d_output(rng, cluster):
+  a = sp.from_numpy(rng.standard_normal((16, 16)))
+  b = sp.from_numpy(rng.standard_normal((16, 16)))
+  p = st.plan(sp.dot(a, b))
+  assert p.cost < np.inf
+  # planned leaf layouts must avoid sharding the contracted dim on BOTH
+  # operands simultaneously with mismatched axes (the expensive case)
+
+
+def test_smart_tile_applies_and_preserves_results(rng, cluster):
+  a_np = rng.standard_normal((16, 16))
+  b_np = rng.standard_normal((16, 16))
+  a, b = sp.from_numpy(a_np), sp.from_numpy(b_np)
+  e = (a + b).sum(axis=0)
+  before = e.glom()
+  e2 = (a + b).sum(axis=0)
+  plan_ = st.smart_tile(e2)
+  after = e2.glom()
+  np.testing.assert_array_equal(before, after)
+  assert isinstance(plan_.cost, float)
+
+
+def test_plan_map_chain_zero_cost_when_aligned(rng, cluster):
+  """A pure elementwise chain over identically-tiled leaves costs ~0."""
+  a = sp.from_numpy(rng.standard_normal((16, 16)))
+  a2 = sp.from_numpy(np.asarray(a.value.glom()))  # same default layout
+  p = st.plan(a * 2.0 + a2)
+  assert p.cost <= 1e-6 or p.cost < 16 * 16 * 8  # at most one tiny move
+
+
+def test_reduce_prefers_unsharded_reduce_axis(rng, cluster):
+  """Row-sum over a tall matrix: the planner should avoid sharding the
+  reduced axis when it can shard the surviving one (no combine cost)."""
+  x = sp.from_numpy(rng.standard_normal((64, 64)))
+  p = st.plan(sp.sum(x, axis=1))
+  leaf_spec = list(p.leaf_specs.values())[0]
+  entries = st._norm(leaf_spec, 2)
+  mesh = sp.get_mesh()
+  # reduced axis (1) should carry fewer shards than the surviving axis (0)
+  assert _nshards(entries[1], mesh) <= _nshards(entries[0], mesh)
