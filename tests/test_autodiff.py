@@ -76,3 +76,16 @@ def test_grad_through_fused_chain(rng):
   loss = ((x + 1.0) * (x - 2.0)).sum()
   (g,) = autodiff.grad(loss, [x])
   np.testing.assert_allclose(g.glom(), 2 * x_np - 1.0, atol=1e-12)
+
+
+def test_remat_preserves_value_and_grad(rng):
+  """sp.remat: identical forward value; gradient flows (recomputed)."""
+  x_np = rng.standard_normal((16, 16))
+  x = sp.from_numpy(x_np)
+  plain = sp.sum(sp.exp(x) * 2.0)
+  re = sp.sum(sp.remat(sp.exp(sp.from_numpy(x_np)) * 2.0))
+  np.testing.assert_allclose(re.glom(), plain.glom(), rtol=1e-12)
+  x2 = sp.from_numpy(x_np)
+  inner = sp.remat(sp.exp(x2) * 2.0)
+  (g,) = autodiff.grad(sp.sum(inner), [x2])
+  np.testing.assert_allclose(g.glom(), 2 * np.exp(x_np), rtol=1e-12)

@@ -126,3 +126,31 @@ def test_learn_pca(rng):
   Z = m.transform(X)
   assert Z.shape == (512, 2)
   assert m.explained_variance_[0] > m.explained_variance_[1]
+
+
+def test_multi_output_region(rng):
+  """ListExpr/DictExpr roots: several outputs from ONE fused region."""
+  from spartan_tpu.backend import evaluator
+  a = sp.from_numpy(rng.standard_normal((16, 16)))
+  evaluator.clear_cache()
+  start = evaluator.stats["compiles"]
+  out = sp.evaluate(sp.ListExpr([a.sum(axis=0), a.sum(axis=1), (a * 2).max()]))
+  assert evaluator.stats["compiles"] - start == 1  # one region, 3 outputs
+  np.testing.assert_allclose(out[0].glom(), a.value.glom().sum(0), atol=1e-12)
+  d = sp.evaluate(sp.DictExpr({"s": a.sum(), "m": a.mean()}))
+  np.testing.assert_allclose(np.asarray(d["s"].glom()),
+                             a.value.glom().sum(), rtol=1e-12)
+
+
+def test_graft_entry_contract():
+  """The driver's entry()/dryrun contract must keep working."""
+  import importlib.util
+  spec = importlib.util.spec_from_file_location(
+      "__graft_entry__", "/root/repo/__graft_entry__.py")
+  m = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(m)
+  import jax
+  fn, args = m.entry()
+  out = jax.jit(fn)(*args)
+  assert out.shape == (8, 10)
+  m.dryrun_multichip(8)
