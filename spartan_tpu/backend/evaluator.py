@@ -147,8 +147,10 @@ def evaluate(expr: Expr):
 
   leaves = _collect_leaves(root)
   leaf_index = {leaf.expr_id: i for i, leaf in enumerate(leaves)}
+  from spartan_tpu.expr.base import semantic_flags_fingerprint
   sig = root.signature({})
-  key = (sig,)
+  key = (sig, semantic_flags_fingerprint(), FLAGS.use_pallas,
+         FLAGS.pallas_interpret)
 
   compiled = _jit_cache.get(key)
   if compiled is None:

@@ -79,6 +79,14 @@ def _safe_repr(obj: Any) -> str:
   return r if len(r) <= 256 else r[:256] + f"...@{id(obj)}"
 
 
+_aval_cache: Dict[Tuple, Any] = {}
+
+
+def semantic_flags_fingerprint() -> Tuple:
+  """Flags that change result shapes/dtypes — part of every cache key."""
+  return (FLAGS.float64_reductions,)
+
+
 class Expr:
   """Base lazy node.
 
@@ -126,7 +134,9 @@ class Expr:
     new = type(self).__new__(type(self))
     new.expr_id = next(_counter)
     new._cache = None
-    new._aval = None
+    # optimizer rewrites preserve shape/dtype semantics — keep the aval to
+    # avoid re-running jax.eval_shape on every rebuilt node
+    new._aval = self._aval
     new.tiling_hint = None
     for name in self._members + self._params:
       setattr(new, name, kw.pop(name, getattr(self, name)))
@@ -172,12 +182,25 @@ class Expr:
     raise NotImplementedError(type(self).__name__)
 
   def aval(self) -> jax.ShapeDtypeStruct:
-    """Abstract value via ``jax.eval_shape`` over the node's emitter."""
+    """Abstract value via ``jax.eval_shape`` over the node's emitter.
+
+    Cached per node AND globally by structural signature, so iterative
+    workloads that rebuild the same DAG shapes every step skip the
+    (millisecond-scale) abstract trace entirely.
+    """
     if self._aval is None:
+      key = (self.signature({}), semantic_flags_fingerprint())
+      hit = _aval_cache.get(key)
+      if hit is not None:
+        self._aval = hit
+        return hit
       dep_avals = [c.aval() for c in self.children()]
       ctx = EmitCtx(abstract=True)
       self._aval = jax.eval_shape(
           lambda *deps: self._emit(ctx, list(deps)), *dep_avals)
+      if len(_aval_cache) > 4096:
+        _aval_cache.clear()
+      _aval_cache[key] = self._aval
     return self._aval
 
   @property
