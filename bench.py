@@ -46,17 +46,25 @@ def _lookup(device, table, default) -> float:
   return default
 
 
-def _run_loop(loop_fn, *args, iters_outer: int = 3):
-  """Call a jitted on-device loop a few times; return median seconds."""
+_T0 = time.time()
+
+
+def _stamp(msg: str) -> None:
+  print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr)
+
+
+def _run_loop(loop_fn, *args, iters_outer: int = 2):
+  """Call a jitted on-device loop a few times; return best seconds."""
   import jax
   float(np.asarray(jax.device_get(loop_fn(*args))).ravel()[0])  # compile+warm
+  _stamp("compiled + warm")
   times = []
   for _ in range(iters_outer):
     t0 = time.perf_counter()
     out = loop_fn(*args)
     float(np.asarray(jax.device_get(out)).ravel()[0])  # true completion
     times.append(time.perf_counter() - t0)
-  return float(np.median(times))
+  return float(min(times))
 
 
 def bench_elementwise_reduce(n: int = 16384, k_inner: int = 20):
@@ -114,25 +122,33 @@ def bench_elementwise_pallas(n: int = 16384, k_inner: int = 20):
   from spartan_tpu.backend.kernels import fused_reduce
   sp.initialize(["--log_level=40"])
 
-  b = jnp.asarray(np.random.default_rng(0).random((n, n), dtype=np.float32))
+  host_b = np.random.default_rng(0).random((n, n), dtype=np.float32)
+  b = jnp.asarray(host_b)
+  _stamp("data on device")
 
-  # correctness tie-in: the expr layer's own lowering of the config-1 chain
-  expr_val = float((sp.ones((n, n), dtype=jnp.float32)
-                    + sp.Val(b) * 2.0).sum().glom())
-
+  # After the affine-reduce rewrite the framework emits
+  #   sum(1 + b*2) ≡ 2·sum(b) + n²  — a PURE sum kernel + scalar epilogue.
+  # The kernel under test is that pure sum; the carry (one extra VPU add,
+  # needed so the loop can't be hoisted) is the only overhead.
   def f(v, c):
-    return 1.0 + (v + c * 1e-30) * 2.0
+    return v + c * 1e-30
 
   @jax.jit
   def loop(b):
     def body(i, carry):
-      return fused_reduce.fused_sum(b, f, scalars=(carry,)) * (
-          1.0 + 0.0 * carry)
+      s = fused_reduce.fused_sum(b, f, scalars=(carry,))
+      return 2.0 * s + float(n) * n * 1e-30 + 0.0 * carry
     return lax.fori_loop(0, k_inner, body, jnp.zeros((), jnp.float32))
 
   sec = _run_loop(loop, b) / k_inner
-  kernel_val = float(jax.device_get(loop(b)))
-  assert abs(kernel_val - expr_val) / max(abs(expr_val), 1) < 1e-3
+  _stamp("timed")
+  # correctness: one expr-layer eval of the real config-1 chain vs the
+  # host oracle (cheap at this size thanks to the affine rewrite)
+  expected = n * n + 2.0 * host_b.astype(np.float64).sum()
+  expr_val = float((sp.ones((n, n), dtype=jnp.float32)
+                    + sp.Val(b) * 2.0).sum().glom())
+  assert abs(expr_val - expected) / abs(expected) < 1e-3
+  _stamp("verified vs host oracle")
 
   gbps = n * n * 4 / sec / 1e9
   roof = _lookup(jax.devices()[0], _ROOFLINE_GBPS, 50.0)

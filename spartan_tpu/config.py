@@ -162,6 +162,9 @@ FLAGS.add(BoolFlag("opt_collapse_cached", True,
 FLAGS.add(BoolFlag("opt_auto_tiling", True,
                    "smart-tiling pass: choose output shardings to minimize "
                    "resharding collectives"))
+FLAGS.add(BoolFlag("opt_affine_reduce", True,
+                   "strength-reduce sum(a*x+b) to a*sum(x)+b*n — linear "
+                   "reductions run at pure-sum memory speed"))
 FLAGS.add(BoolFlag("opt_const_fold", True,
                    "fold broadcast-neutral fill-creations into scalar "
                    "leaves inside fused kernels"))

@@ -83,8 +83,8 @@ _aval_cache: Dict[Tuple, Any] = {}
 
 
 def semantic_flags_fingerprint() -> Tuple:
-  """Flags that change result shapes/dtypes — part of every cache key."""
-  return (FLAGS.float64_reductions,)
+  """Flags that change emitted computations — part of every cache key."""
+  return (FLAGS.float64_reductions, FLAGS.opt_affine_reduce)
 
 
 class Expr:

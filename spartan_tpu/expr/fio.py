@@ -86,11 +86,16 @@ def checkpoint(v, path: str) -> CheckpointExpr:
 # ---------------------------------------------------------------------------
 
 def save(v, path: str) -> None:
-  """Write a SpartanArray (or expr) as per-shard .npy files + manifest."""
+  """Write a SpartanArray (or expr) as per-shard .npy files + manifest.
+
+  Shards are pulled one at a time from the device's addressable shards —
+  no full-array host materialization (the reference wrote per-tile files
+  from each worker for the same reason).  Falls back to a glom when shards
+  aren't all addressable in this process.
+  """
   arr = v.evaluate() if isinstance(v, Expr) else v
   os.makedirs(path, exist_ok=True)
   extents = arr.tile_extents()
-  host = arr.glom()
   manifest = {
       "shape": list(arr.shape),
       "dtype": str(arr.dtype),
@@ -102,8 +107,30 @@ def save(v, path: str) -> None:
   }
   with open(os.path.join(path, "manifest.json"), "w") as f:
     json.dump(manifest, f)
-  for i, ext in enumerate(extents):
-    np.save(os.path.join(path, f"shard_{i:05d}.npy"), host[ext.to_slice()])
+
+  ext_index = {(e.ul, e.lr): i for i, e in enumerate(extents)}
+  written = set()
+  try:
+    shards = arr.data.addressable_shards
+  except Exception:
+    shards = []
+  shape = arr.shape
+  for sh in shards:
+    idx = sh.index
+    ul = tuple((sl.start or 0) for sl in idx)
+    lr = tuple(sl.stop if sl.stop is not None else s
+               for sl, s in zip(idx, shape))
+    i = ext_index.get((ul, lr))
+    if i is None or i in written:
+      continue  # replica of an already-written tile
+    np.save(os.path.join(path, f"shard_{i:05d}.npy"), np.asarray(sh.data))
+    written.add(i)
+  if len(written) != len(extents):  # multi-process or odd layout: glom
+    host = arr.glom()
+    for i, ext in enumerate(extents):
+      if i not in written:
+        np.save(os.path.join(path, f"shard_{i:05d}.npy"),
+                host[ext.to_slice()])
 
 
 def load(path: str, mesh=None) -> SpartanArray:

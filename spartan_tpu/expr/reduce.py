@@ -75,6 +75,48 @@ class ReduceExpr(Expr):
       return self.local_op.evaluate(deps)
     return deps[0]
 
+  def _try_affine_rewrite(self, deps: List[Any]):
+    """Strength-reduce ``sum(a·x + b)`` to ``a·sum(x) + b·count``.
+
+    The fused elementwise chain of config-1-style workloads is affine in
+    its one big operand; summation is linear, so the per-element VPU work
+    (which caps the naive chain at ~45 % of HBM roofline — it is
+    compute-bound, not bandwidth-bound) collapses into a scalar epilogue
+    around a *pure* sum that runs at full memory speed.  Flag-gated
+    (``opt_affine_reduce``); float64 accumulation semantics preserved
+    (both forms accumulate in the promoted dtype).
+    """
+    from spartan_tpu.config import FLAGS
+    if self.op not in ("sum", "mean") or not FLAGS.opt_affine_reduce:
+      return None
+    if self.local_op is None:
+      return None
+    big = [k for k, d in enumerate(deps) if getattr(d, "ndim", 0) >= 1]
+    if len(big) != 1:
+      return None
+    bi = big[0]
+    affine = _extract_affine(self.local_op, bi)
+    if affine is None:
+      return None
+    is_const, a_fn, b_fn = affine
+    if is_const:
+      return None
+    x = deps[bi]
+    if np.dtype(x.dtype).kind not in "fiu":
+      return None
+    acc = _canon(self.out_dtype or dtype_for_reduction(x.dtype))
+    if self.op == "mean" and np.dtype(acc).kind in "iu":
+      acc = _canon(np.float64)
+    a = jnp.asarray(a_fn(deps), dtype=acc)
+    b = jnp.asarray(b_fn(deps), dtype=acc)
+    if self.op == "sum":
+      s = jnp.sum(x, axis=self.axis, dtype=acc, keepdims=self.keepdims)
+      count = _reduced_count(x.shape, self.axis)
+      return a * s + b * jnp.asarray(count, acc)
+    # mean: E[a x + b] = a E[x] + b
+    m = jnp.mean(x, axis=self.axis, dtype=acc, keepdims=self.keepdims)
+    return a * m + b
+
   def _try_pallas_full_sum(self, deps: List[Any]):
     """Lower a full ``sum`` over one big operand (+ scalars) to the Pallas
     fused elementwise+reduce kernel (95 % of HBM roofline on TPU vs ~50 %
@@ -119,6 +161,9 @@ class ReduceExpr(Expr):
 
   def _emit(self, ctx: EmitCtx, deps: List[Any]):
     if not ctx.abstract:
+      fast = self._try_affine_rewrite(deps)
+      if fast is not None:
+        return fast
       fast = self._try_pallas_full_sum(deps)
       if fast is not None:
         return fast
@@ -177,6 +222,59 @@ class ReduceExpr(Expr):
            tuple(c.signature(memo) for c in self.inputs))
     memo[self.expr_id] = sig
     return sig
+
+
+def _reduced_count(shape, axis) -> int:
+  if axis is None:
+    n = 1
+    for s in shape:
+      n *= int(s)
+    return n
+  return int(shape[axis % len(shape)])
+
+
+def _extract_affine(node, big_idx: int):
+  """Symbolically decompose a LocalExpr as ``a·x + b`` in input slot
+  ``big_idx``; scalar slots stay symbolic (evaluated against the real dep
+  values at emit time).  Returns ``(is_const, a_fn, b_fn)`` with
+  ``a_fn/b_fn: deps -> traced scalar``, or None if non-affine."""
+  from spartan_tpu.expr.local import FnCallExpr, LocalConst, LocalInput
+
+  if isinstance(node, LocalInput):
+    if node.idx == big_idx:
+      return (False, lambda d: 1.0, lambda d: 0.0)
+    return (True, lambda d: 0.0, lambda d, i=node.idx: d[i])
+  if isinstance(node, LocalConst):
+    v = node.value
+    return (True, lambda d: 0.0, lambda d: v)
+  if not isinstance(node, FnCallExpr) or node.kw:
+    return None
+  name = getattr(node.fn, "__name__", "")
+  subs = [_extract_affine(c, big_idx) for c in node.deps]
+  if any(s is None for s in subs):
+    return None
+  if name == "add" and len(subs) == 2:
+    (c1, a1, b1), (c2, a2, b2) = subs
+    return (c1 and c2, lambda d: a1(d) + a2(d), lambda d: b1(d) + b2(d))
+  if name == "subtract" and len(subs) == 2:
+    (c1, a1, b1), (c2, a2, b2) = subs
+    return (c1 and c2, lambda d: a1(d) - a2(d), lambda d: b1(d) - b2(d))
+  if name == "negative" and len(subs) == 1:
+    (c1, a1, b1) = subs[0]
+    return (c1, lambda d: -a1(d), lambda d: -b1(d))
+  if name == "multiply" and len(subs) == 2:
+    (c1, a1, b1), (c2, a2, b2) = subs
+    if c1:
+      return (c1 and c2, lambda d: b1(d) * a2(d), lambda d: b1(d) * b2(d))
+    if c2:
+      return (False, lambda d: a1(d) * b2(d), lambda d: b1(d) * b2(d))
+    return None
+  if name in ("true_divide", "divide") and len(subs) == 2:
+    (c1, a1, b1), (c2, a2, b2) = subs
+    if c2:
+      return (c1, lambda d: a1(d) / b2(d), lambda d: b1(d) / b2(d))
+    return None
+  return None
 
 
 def reduce(v, op: str, axis=None, keepdims=False, out_dtype=None,

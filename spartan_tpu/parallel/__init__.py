@@ -10,6 +10,6 @@ as in the reference.
 """
 
 from spartan_tpu.parallel.collectives import (all_to_all_retile,
-                                              halo_exchange, psum_across,
-                                              reshard, ring_shift,
-                                              stencil1d_halo)
+                                              halo_exchange, map_tiles,
+                                              psum_across, reshard,
+                                              ring_shift, stencil1d_halo)

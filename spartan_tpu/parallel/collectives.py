@@ -187,6 +187,40 @@ def all_to_all_retile(x, mesh: Optional[Mesh] = None):
   return fn(jax.device_put(data, NamedSharding(mesh, in_spec)))
 
 
+def map_tiles(x, fn, mesh: Optional[Mesh] = None):
+  """Run ``fn(block, ul)`` on every tile in parallel — the reference's
+  per-tile kernel dispatch (``blob_ctx.map`` → ``Worker.run_kernel``,
+  SURVEY.md §3.2) as one shard_map: ``block`` is the local shard,
+  ``ul`` a tuple of traced global offsets of its upper-left corner.
+  ``fn`` must return a block of the same shape (owner-computes)."""
+  from spartan_tpu.core.array import SpartanArray
+  if not isinstance(x, SpartanArray):
+    raise TypeError("map_tiles needs a materialized SpartanArray")
+  mesh = mesh or x.tiling.mesh
+  spec = x.tiling.spec
+  entries = tuple(spec) + (None,) * (x.ndim - len(tuple(spec)))
+  grid = x.tiling.grid_shape(x.shape)
+  tile_shape = x.tiling.tile_shape(x.shape)
+
+  def body(xs):
+    ul = []
+    for d, entry in enumerate(entries):
+      if entry is None:
+        ul.append(jnp.zeros((), jnp.int32))
+      else:
+        axes = entry if isinstance(entry, (tuple, list)) else (entry,)
+        idx = lax.axis_index(tuple(axes) if len(axes) > 1 else axes[0])
+        ul.append((idx * tile_shape[d]).astype(jnp.int32))
+    out = fn(xs, tuple(ul))
+    if out.shape != xs.shape:
+      raise ValueError(f"map_tiles fn changed the block shape: "
+                       f"{xs.shape} -> {out.shape}")
+    return out
+
+  f = jax.shard_map(body, mesh=mesh, in_specs=spec, out_specs=spec)
+  return SpartanArray(f(x.data), x.tiling)
+
+
 def psum_across(x, mesh: Optional[Mesh] = None):
   """Explicit all-reduce of per-shard partials (the reference's
   update+add-reducer across workers)."""

@@ -7,8 +7,8 @@ from jax.sharding import PartitionSpec as P
 
 import spartan_tpu as sp
 from spartan_tpu.parallel import (all_to_all_retile, halo_exchange,
-                                  psum_across, reshard, ring_shift,
-                                  stencil1d_halo)
+                                  map_tiles, psum_across, reshard,
+                                  ring_shift, stencil1d_halo)
 
 
 def test_reshard_roundtrip(rng, cluster):
@@ -71,3 +71,28 @@ def test_psum_across(rng, cluster):
   # per-shard partials (2 rows each) summed across 8 shards
   want = a.reshape(8, 2, 4).sum(axis=0)
   np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_map_tiles(rng, cluster):
+  """Per-tile kernel dispatch with extent info (the blob_ctx.map analogue)."""
+  import jax.numpy as jnp
+  a = rng.standard_normal((16, 8))
+  arr = sp.from_numpy(a).evaluate()
+
+  def kernel(block, ul):
+    # add the tile's global row offset to every element
+    return block + ul[0].astype(block.dtype)
+
+  out = map_tiles(arr, kernel)
+  grid = arr.tiling.grid_shape(arr.shape)
+  tile = arr.tiling.tile_shape(arr.shape)
+  want = a.copy()
+  for e in arr.tile_extents():
+    want[e.to_slice()] += e.ul[0]
+  np.testing.assert_allclose(np.asarray(out.glom()), want, atol=1e-12)
+
+
+def test_map_tiles_shape_guard(rng, cluster):
+  arr = sp.from_numpy(rng.standard_normal((16, 8))).evaluate()
+  with pytest.raises(Exception):
+    map_tiles(arr, lambda b, ul: b[:1])
