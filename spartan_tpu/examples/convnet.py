@@ -44,6 +44,46 @@ def predict(images, params):
   return sp.argmax(forward(images, params), axis=1)
 
 
+def loss_expr(images, labels, param_leaves):
+  """Mean softmax cross-entropy as a lazy expr over Val parameter leaves
+  (differentiable through spartan_tpu.autodiff)."""
+  logits = forward(images, param_leaves)
+  n = logits.shape[0]
+  # logsumexp via expr ops (stable: subtract rowwise max)
+  mx = sp.max(logits, axis=1, keepdims=True)
+  lse = sp.log(sp.sum(sp.exp(logits - mx), axis=1)) + sp.squeeze(mx, axis=1)
+  picked = sp.sum(logits * sp.lazify(labels), axis=1)  # labels one-hot
+  return sp.sum(lse - picked) / float(n)
+
+
+def train_step(images, labels_onehot, params, lr: float = 0.05):
+  """One SGD step by differentiating the lazy DAG (autodiff bridge) —
+  a capability the reference never had; its CNN example was
+  forward-only."""
+  from spartan_tpu import autodiff
+  leaves = {k: sp.lazify(v) for k, v in params.items()}
+  loss = loss_expr(sp.lazify(images), labels_onehot, leaves)
+  names = list(leaves.keys())
+  grads = autodiff.grad(loss, [leaves[k] for k in names])
+  out = {}
+  for k, g in zip(names, grads):
+    out[k] = np.asarray(params[k]) - lr * np.asarray(g.glom())
+  return out, loss
+
+
+def train(images, labels, n_classes: int = 10, epochs: int = 3,
+          lr: float = 0.05, seed: int = 0):
+  images = np.asarray(images)
+  onehot = np.eye(n_classes)[np.asarray(labels)]
+  params = init_params(in_ch=images.shape[1], n_classes=n_classes,
+                       img=images.shape[2], seed=seed)
+  losses = []
+  for _ in range(epochs):
+    params, loss = train_step(images, onehot, params, lr)
+    losses.append(float(loss.glom()))
+  return params, losses
+
+
 def run(n: int = 32, img: int = 28, seed: int = 0):
   rng = np.random.default_rng(seed)
   images = rng.standard_normal((n, 1, img, img))

@@ -34,13 +34,29 @@ def fit(M, iterations: int = 30, damping: float = 0.85):
 
 def fit_sparse(A_sp, iterations: int = 30, damping: float = 0.85):
   """Sparse power iteration over a SparseArray adjacency (column-stochastic
-  already applied); SpMV per step."""
-  from spartan_tpu.backend import sparse as sparse_mod
+  already applied).  The whole iteration runs on device in ONE compiled
+  ``fori_loop`` — SpMV + damping per step, no host round-trips (the
+  reference re-dispatched per-tile kernels every iteration)."""
+  import functools
+
+  import jax
+  import jax.numpy as jnp
+  from jax import lax
+
   n = A_sp.shape[0]
-  r = (np.ones(n) / n)
-  for _ in range(iterations):
-    r = sparse_mod.spmv(A_sp, r) * damping + (1.0 - damping) / n
-  return r
+
+  @functools.partial(jax.jit, static_argnames=("iters",))
+  def run(cols, vals, iters):
+    r0 = jnp.full((n,), 1.0 / n, dtype=vals.dtype)
+
+    def body(_, r):
+      gathered = jnp.take(r, cols, axis=0)
+      y = jnp.sum(vals * gathered, axis=1)
+      return y * damping + (1.0 - damping) / n
+
+    return lax.fori_loop(0, iters, body, r0)
+
+  return np.asarray(jax.device_get(run(A_sp.cols, A_sp.vals, iterations)))
 
 
 def make_link_matrix(n: int = 256, avg_degree: int = 8, seed: int = 0):

@@ -71,6 +71,19 @@ class PoolExpr(Expr):
     x = deps[0]
     window = (1, 1) + self.pool
     strides = (1, 1) + self.stride
+    # non-overlapping, evenly-dividing pools: reshape-fold formulation —
+    # identical result, and (unlike reduce_window) reverse-mode
+    # differentiable under jit in current jax
+    if (self.stride == self.pool and x.ndim == 4
+        and x.shape[2] % self.pool[0] == 0
+        and x.shape[3] % self.pool[1] == 0):
+      n, c, h, w = x.shape
+      ph, pw = self.pool
+      folded = x.reshape(n, c, h // ph, ph, w // pw, pw)
+      if self.op == "max":
+        return folded.max(axis=(3, 5))
+      if self.op == "avg":
+        return folded.mean(axis=(3, 5))
     if self.op == "max":
       init = -jnp.inf if x.dtype.kind == "f" else jnp.iinfo(x.dtype).min
       return jax.lax.reduce_window(x, jnp.array(init, x.dtype),

@@ -122,3 +122,28 @@ def test_convnet_forward_shapes_and_oracle():
   # check finiteness + determinism instead
   logits2, _, _ = convnet.run(n=8, img=28)
   np.testing.assert_array_equal(logits.glom(), logits2.glom())
+
+
+def test_convnet_training_reduces_loss():
+  """CNN training through the autodiff bridge (reference CNN was
+  forward-only): loss must drop on a tiny overfit task."""
+  rng = np.random.default_rng(0)
+  images = rng.standard_normal((16, 1, 12, 12))
+  labels = rng.integers(0, 4, 16)
+  params, losses = convnet.train(images, labels, n_classes=4, epochs=5,
+                                 lr=0.1)
+  assert losses[-1] < losses[0]
+  assert np.isfinite(losses).all()
+
+
+def test_pagerank_sparse_single_compile(rng):
+  """Sparse power iteration runs as one on-device loop and matches the
+  dense path."""
+  from spartan_tpu.backend import sparse as sps
+  M = pagerank.make_link_matrix(64, seed=11)
+  S = sps.from_dense(M)
+  r = pagerank.fit_sparse(S, iterations=20)
+  rn = np.ones(64) / 64
+  for _ in range(20):
+    rn = 0.85 * M @ rn + 0.15 / 64
+  np.testing.assert_allclose(r, rn, atol=1e-10)
