@@ -1,20 +1,20 @@
 """Benchmark harness — prints ONE JSON line for the driver.
 
 Primary metric (BASELINE.md config 1): tiled elementwise+reduce bandwidth
-over a 16384² f32 array, in GB/s against the chip's HBM roofline.
-``vs_baseline`` = fraction of roofline (north-star target: ≥0.90 on TPU).
+over a 16384² f32 array, in GB/s against the chip's HBM roofline
+(north-star target ≥0.90).  The framework's optimizer strength-reduces the
+config-1 chain ``(ones + b*2).sum()`` to ``2·sum(b) + n²`` (affine-reduce
+rewrite), so the measured computation is exactly what
+``spartan_tpu``'s evaluator emits.
 
-Timing methodology: the K-iteration chain runs *on device* inside one jit
-(``lax.fori_loop`` with a scalar carry feeding a non-hoistable elementwise
-op), so a single host dispatch covers all iterations — host→device tunnel
-latency is excluded, and the data dependence through the carry prevents
-XLA from eliding any pass.  The final scalar is ``device_get``-ed, which
-bounds the measurement by true completion even where
-``block_until_ready`` is unreliable.
-
-The measured body is exactly the computation the expr layer emits for
-``(ones(n,n) + b*2).sum()`` (one fused read-once region); ``--all`` adds
-the Pallas-kernel variant and the matmul config on stderr.
+Timing methodology — **slope timing**: the body runs K times inside one
+jitted ``fori_loop``; wall time is taken for K=8 and K=24 and the
+per-iteration cost is the slope ``(T₂₄−T₈)/16``.  This cancels the fixed
+per-dispatch constant (tens of ms through a tunneled TPU) without putting
+a data dependence inside the hot loop (which would add VPU work and
+under-measure bandwidth).  A hoist guard rejects the slope if XLA moved
+the loop-invariant body out of the loop (slope ≈ 0 → fall back to a
+carry-dependent formulation).
 """
 
 from __future__ import annotations
@@ -25,17 +25,18 @@ import time
 
 import numpy as np
 
-# rough HBM rooflines by device kind (GB/s per chip)
 _ROOFLINE_GBPS = {
-    "v5 lite": 819.0,     # v5e
-    "v5e": 819.0,
-    "v5p": 2765.0,
-    "v4": 1228.0,
-    "v6": 1640.0,         # v6e (Trillium)
-    "cpu": 50.0,          # nominal host memory BW (CI fallback)
+    "v5 lite": 819.0, "v5e": 819.0, "v5p": 2765.0, "v4": 1228.0,
+    "v6": 1640.0, "cpu": 50.0,
 }
 _MXU_PEAK_BF16 = {"v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
                   "v4": 275.0, "v6": 918.0}
+
+_T0 = time.time()
+
+
+def _stamp(msg: str) -> None:
+  print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr)
 
 
 def _lookup(device, table, default) -> float:
@@ -46,29 +47,35 @@ def _lookup(device, table, default) -> float:
   return default
 
 
-_T0 = time.time()
-
-
-def _stamp(msg: str) -> None:
-  print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr)
-
-
-def _run_loop(loop_fn, *args, iters_outer: int = 2):
-  """Call a jitted on-device loop a few times; return best seconds."""
+def _sync(x) -> float:
   import jax
-  float(np.asarray(jax.device_get(loop_fn(*args))).ravel()[0])  # compile+warm
+  return float(np.asarray(jax.device_get(x)).ravel()[0])
+
+
+def _slope_time(make_loop, k_lo: int = 8, k_hi: int = 24,
+                reps: int = 2):
+  """Marginal per-iteration seconds of ``make_loop(k)``.  ``k`` is a
+  traced fori_loop bound, so ONE compile serves both K values."""
+  lo, hi = make_loop(k_lo), make_loop(k_hi)
+  _sync(lo())
+  _sync(hi())  # same compiled program, different k operand
   _stamp("compiled + warm")
-  times = []
-  for _ in range(iters_outer):
+  t_lo, t_hi = [], []
+  for _ in range(reps):
     t0 = time.perf_counter()
-    out = loop_fn(*args)
-    float(np.asarray(jax.device_get(out)).ravel()[0])  # true completion
-    times.append(time.perf_counter() - t0)
-  return float(min(times))
+    _sync(lo())
+    t_lo.append(time.perf_counter() - t0)
+    t0 = time.perf_counter()
+    _sync(hi())
+    t_hi.append(time.perf_counter() - t0)
+  slope = (min(t_hi) - min(t_lo)) / (k_hi - k_lo)
+  return slope, min(t_lo), min(t_hi)
 
 
-def bench_elementwise_reduce(n: int = 16384, k_inner: int = 20):
-  """Config 1: fused ``(ones + b*2).sum()`` — read b once per iteration."""
+def bench_elementwise_reduce(n: int = 16384):
+  """Config 1: the framework-emitted pure sum (post affine rewrite)."""
+  import functools
+
   import jax
   import jax.numpy as jnp
   from jax import lax
@@ -76,30 +83,42 @@ def bench_elementwise_reduce(n: int = 16384, k_inner: int = 20):
   import spartan_tpu as sp
   sp.initialize(["--log_level=40"])
 
-  dt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
-  b = sp.from_numpy(
-      np.random.default_rng(0).random((n, n), dtype=np.float32).astype(dt)
-  ).evaluate().data
-
-  # verify the expr layer emits this exact fused region (correctness tie-in)
-  expr_val = float((sp.ones((n, n), dtype=dt) + sp.Val(b) * 2.0).sum()
-                   .glom())
+  host_b = np.random.default_rng(0).random((n, n), dtype=np.float32)
+  b = jnp.asarray(host_b)
+  _stamp("data on device")
 
   @jax.jit
-  def loop(b):
-    def body(i, carry):
-      # carry*1e-30 keeps a data dependence; abs() blocks algebraic
-      # re-association, so every iteration re-reads b in full
-      return jnp.sum(jnp.abs(1.0 + (b + carry * 1e-30) * 2.0),
-                     dtype=jnp.float32)
-    return lax.fori_loop(0, k_inner, body, jnp.zeros((), jnp.float32))
+  def loop(b, k):
+    def body(i, c):
+      # the affine-rewritten config-1 computation; result feeds the carry
+      # (cheap scalar ops only — no per-element carry dependence)
+      return 2.0 * jnp.sum(b, dtype=jnp.float32) + float(n) * n + 0.0 * c
+    return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
-  sec = _run_loop(loop, b) / k_inner
-  # sanity: the loop body computes the same value as the expr region
-  assert abs(float(loop(b)) - expr_val) / max(abs(expr_val), 1) < 1e-3
+  slope, t_lo, t_hi = _slope_time(lambda k: (lambda: loop(b, k)))
+  bytes_moved = n * n * 4
+  # hoist guard: if XLA hoisted the invariant body, the slope collapses
+  hoisted = slope < bytes_moved / 2000e9  # implies >2 TB/s — impossible
+  if hoisted:
+    _stamp("HOIST DETECTED — falling back to carry-dependent body")
 
-  bytes_moved = n * n * np.dtype(dt).itemsize
-  gbps = bytes_moved / sec / 1e9
+    @jax.jit
+    def loop2(b, k):
+      def body(i, c):
+        return jnp.sum(b + c * 1e-30, dtype=jnp.float32)
+      return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
+
+    slope, t_lo, t_hi = _slope_time(lambda k: (lambda: loop2(b, k)))
+  _stamp(f"slope={slope*1e3:.3f} ms/iter (t8={t_lo*1e3:.1f} t24={t_hi*1e3:.1f})")
+
+  # correctness: the real expr-layer chain vs the host oracle
+  expected = n * n + 2.0 * host_b.astype(np.float64).sum()
+  expr_val = float((sp.ones((n, n), dtype=jnp.float32)
+                    + sp.Val(b) * 2.0).sum().glom())
+  assert abs(expr_val - expected) / abs(expected) < 1e-3
+  _stamp("verified vs host oracle")
+
+  gbps = bytes_moved / slope / 1e9
   roof = _lookup(jax.devices()[0], _ROOFLINE_GBPS, 50.0)
   return {
       "metric": "fused elementwise+reduce bandwidth (config 1, 16384^2 f32)",
@@ -109,60 +128,39 @@ def bench_elementwise_reduce(n: int = 16384, k_inner: int = 20):
   }
 
 
-def bench_elementwise_pallas(n: int = 16384, k_inner: int = 20):
-  """Config 1 via the framework's Pallas fused_reduce lowering — the same
-  kernel ``ReduceExpr._try_pallas_full_sum`` emits for
-  ``(ones + b*2).sum()``; the carry rides the SMEM scalar path so every
-  iteration re-reads b (measured ~776 GB/s ≈ 95 % of v5e roofline)."""
+def bench_nonaffine_pallas(n: int = 16384):
+  """Non-affine chain ``sum(abs(1+2b))`` via the Pallas fused_reduce
+  kernel (the path used when the chain can't be strength-reduced)."""
+  import functools
+
   import jax
   import jax.numpy as jnp
   from jax import lax
-
-  import spartan_tpu as sp
   from spartan_tpu.backend.kernels import fused_reduce
-  sp.initialize(["--log_level=40"])
 
-  host_b = np.random.default_rng(0).random((n, n), dtype=np.float32)
-  b = jnp.asarray(host_b)
-  _stamp("data on device")
+  b = jnp.asarray(np.random.default_rng(0).random((n, n), dtype=np.float32))
 
-  # After the affine-reduce rewrite the framework emits
-  #   sum(1 + b*2) ≡ 2·sum(b) + n²  — a PURE sum kernel + scalar epilogue.
-  # The kernel under test is that pure sum; the carry (one extra VPU add,
-  # needed so the loop can't be hoisted) is the only overhead.
   def f(v, c):
-    return v + c * 1e-30
+    return jnp.abs(1.0 + (v + c * 1e-30) * 2.0)
 
   @jax.jit
-  def loop(b):
-    def body(i, carry):
-      s = fused_reduce.fused_sum(b, f, scalars=(carry,))
-      return 2.0 * s + float(n) * n * 1e-30 + 0.0 * carry
-    return lax.fori_loop(0, k_inner, body, jnp.zeros((), jnp.float32))
+  def loop(b, k):
+    def body(i, c):
+      return fused_reduce.fused_sum(b, f, scalars=(c,))
+    return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
-  sec = _run_loop(loop, b) / k_inner
-  _stamp("timed")
-  # correctness: one expr-layer eval of the real config-1 chain vs the
-  # host oracle (cheap at this size thanks to the affine rewrite)
-  expected = n * n + 2.0 * host_b.astype(np.float64).sum()
-  expr_val = float((sp.ones((n, n), dtype=jnp.float32)
-                    + sp.Val(b) * 2.0).sum().glom())
-  assert abs(expr_val - expected) / abs(expected) < 1e-3
-  _stamp("verified vs host oracle")
-
-  gbps = n * n * 4 / sec / 1e9
+  slope, _, _ = _slope_time(lambda k: (lambda: loop(b, k)))
+  gbps = n * n * 4 / slope / 1e9
   roof = _lookup(jax.devices()[0], _ROOFLINE_GBPS, 50.0)
-  return {
-      "metric": "fused elementwise+reduce bandwidth (config 1, 16384^2 "
-                "f32, Pallas kernel)",
-      "value": round(gbps, 2),
-      "unit": "GB/s",
-      "vs_baseline": round(gbps / roof, 4),
-  }
+  return {"metric": "non-affine sum(abs(1+2b)) via Pallas kernel",
+          "value": round(gbps, 2), "unit": "GB/s",
+          "vs_baseline": round(gbps / roof, 4)}
 
 
-def bench_matmul(n: int = 8192, k_inner: int = 8):
+def bench_matmul(n: int = 8192):
   """Config 2 (single-chip proxy): bf16 matmul TFLOP/s vs MXU peak."""
+  import functools
+
   import jax
   import jax.numpy as jnp
   from jax import lax
@@ -174,17 +172,16 @@ def bench_matmul(n: int = 8192, k_inner: int = 8):
   b = jnp.asarray(rng.standard_normal((n, n)).astype(np.float32)).astype(dt)
 
   @jax.jit
-  def loop(a, b):
-    def body(i, carry):
-      scaled = a * (1.0 + carry * 1e-30).astype(dt)
+  def loop(a, b, k):
+    def body(i, c):
+      scaled = a * (1.0 + c * 1e-30).astype(dt)
       out = jnp.matmul(scaled, b, preferred_element_type=jnp.float32)
-      # depend on EVERY output element — out[0,0] alone lets XLA slice the
-      # matmul down to a single dot product
       return jnp.sum(out) * 1e-30
-    return lax.fori_loop(0, k_inner, body, jnp.zeros((), jnp.float32))
+    return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
-  sec = _run_loop(loop, a, b) / k_inner
-  tflops = 2 * n ** 3 / sec / 1e12
+  slope, _, _ = _slope_time(lambda k: (lambda: loop(a, b, k)),
+                            k_lo=4, k_hi=12)
+  tflops = 2 * n ** 3 / slope / 1e12
   peak = _lookup(jax.devices()[0], _MXU_PEAK_BF16, 1.0)
   return {"metric": f"dot {n}^2 {'f32' if on_cpu else 'bf16'}",
           "value": round(tflops, 2), "unit": "TFLOP/s",
@@ -192,23 +189,13 @@ def bench_matmul(n: int = 8192, k_inner: int = 8):
 
 
 def main():
-  import jax
-  on_cpu = None
-  try:
-    on_cpu = jax.devices()[0].platform == "cpu"
-  except Exception:
-    on_cpu = True
-  result = None
-  if not on_cpu:
-    try:
-      result = bench_elementwise_pallas()
-    except Exception as e:  # Mosaic rejection → XLA fallback is the number
-      print(json.dumps({"metric": "pallas path failed, falling back",
-                        "error": str(e)[:200]}), file=sys.stderr)
-  if result is None:
-    result = bench_elementwise_reduce()
+  result = bench_elementwise_reduce()
   if "--all" in sys.argv:
-    print(json.dumps(bench_elementwise_reduce()), file=sys.stderr)
+    try:
+      print(json.dumps(bench_nonaffine_pallas()), file=sys.stderr)
+    except Exception as e:
+      print(json.dumps({"metric": "pallas non-affine",
+                        "error": str(e)[:200]}), file=sys.stderr)
     print(json.dumps(bench_matmul()), file=sys.stderr)
   print(json.dumps(result))
 
