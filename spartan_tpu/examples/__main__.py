@@ -1,0 +1,134 @@
+"""CLI example runner: ``python -m spartan_tpu.examples <name> [flags]``.
+
+Reference parity: the reference's examples are runnable scripts
+(``python spartan/examples/kmeans.py --num_workers=...``); here one entry
+point runs any example against the current mesh, with framework flags
+(--mesh_shape, --optimization, ...) parsed from argv.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+import spartan_tpu as sp
+
+_RUNNERS = {}
+
+
+def _register(name):
+  def deco(fn):
+    _RUNNERS[name] = fn
+    return fn
+  return deco
+
+
+@_register("linreg")
+def _linreg():
+  from spartan_tpu.examples import linear_reg
+  w, w_true = linear_reg.run(8192, 32, 100)
+  return {"max_err": float(np.abs(w.glom() - w_true).max())}
+
+
+@_register("logreg")
+def _logreg():
+  from spartan_tpu.examples import logistic_reg
+  _, acc = logistic_reg.run(8192, 32, 80)
+  return {"accuracy": float(acc)}
+
+
+@_register("kmeans")
+def _kmeans():
+  from spartan_tpu.examples import kmeans
+  centers, labels, true_centers = kmeans.run(8192, 16, 8, 15)
+  return {"centers_shape": list(centers.shape)}
+
+
+@_register("pagerank")
+def _pagerank():
+  from spartan_tpu.backend import sparse as sps
+  from spartan_tpu.examples import pagerank
+  M = pagerank.make_link_matrix(1024)
+  r = pagerank.fit_sparse(sps.from_dense(M), 50)
+  return {"rank_sum": float(np.sum(r))}
+
+
+@_register("cg")
+def _cg():
+  from spartan_tpu.examples import cg
+  x, x_true = cg.run(512, 200)
+  return {"max_err": float(np.abs(x.glom() - x_true).max())}
+
+
+@_register("pca")
+def _pca():
+  from spartan_tpu.examples import pca
+  comps, evals, _ = pca.run(8192, 32, 4)
+  return {"evals": [float(e) for e in evals]}
+
+
+@_register("svm")
+def _svm():
+  from spartan_tpu.examples import svm
+  _, acc = svm.run(8192, 16, 150)
+  return {"accuracy": float(acc)}
+
+
+@_register("naive_bayes")
+def _nb():
+  from spartan_tpu.examples import naive_bayes
+  return {"accuracy": float(naive_bayes.run(8192, 32, 5))}
+
+
+@_register("als")
+def _als():
+  from spartan_tpu.examples import als
+  _, _, err = als.run(512, 256, 12, 10)
+  return {"mse": float(err)}
+
+
+@_register("fuzzy_kmeans")
+def _fkm():
+  from spartan_tpu.examples import fuzzy_kmeans
+  centers, u, _ = fuzzy_kmeans.run(4096, 8, 5)
+  return {"centers_shape": list(np.asarray(centers.glom()).shape)}
+
+
+@_register("netflix")
+def _netflix():
+  from spartan_tpu.examples import netflix_sgd
+  return {"rmse": float(netflix_sgd.run(512, 256, 8, 16384, 5))}
+
+
+@_register("convnet")
+def _convnet():
+  from spartan_tpu.examples import convnet
+  rng = np.random.default_rng(0)
+  images = rng.standard_normal((64, 1, 16, 16))
+  labels = rng.integers(0, 10, 64)
+  _, losses = convnet.train(images, labels, epochs=3)
+  return {"losses": [round(l, 4) for l in losses]}
+
+
+def main(argv):
+  rest = [a for a in argv if not a.startswith("--")]
+  flags = [a for a in argv if a.startswith("--")]
+  if not rest or rest[0] not in _RUNNERS:
+    print(f"usage: python -m spartan_tpu.examples <{('|'.join(sorted(_RUNNERS)))}> "
+          "[--framework-flags]")
+    return 1
+  sp.initialize(flags)
+  name = rest[0]
+  t0 = time.perf_counter()
+  out = _RUNNERS[name]()
+  out["seconds"] = round(time.perf_counter() - t0, 3)
+  out["example"] = name
+  out["mesh"] = dict(sp.get_mesh().shape)
+  print(out)
+  return 0
+
+
+if __name__ == "__main__":
+  sys.exit(main(sys.argv[1:]))

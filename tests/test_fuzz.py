@@ -1,0 +1,106 @@
+"""Differential fuzzing: random expression DAGs vs a parallel NumPy
+evaluation.  Every generated program is built twice — once with
+spartan_tpu ops, once with numpy — from the same seed, and must agree to
+f64 tolerance.  Catches interaction bugs (fusion × slicing × broadcasting
+× reductions) that targeted unit tests miss."""
+
+import numpy as np
+import pytest
+
+import spartan_tpu as sp
+
+# each entry: (name, spartan_fn, numpy_fn, arity, needs_positive)
+_UNARY = [
+    ("neg", lambda x: -x, lambda x: -x),
+    ("abs", lambda x: abs(x), np.abs),
+    ("sqrt_abs", lambda x: sp.sqrt(abs(x) + 0.5),
+     lambda x: np.sqrt(np.abs(x) + 0.5)),
+    ("exp_clip", lambda x: sp.exp(sp.clip(x, -3, 3)),
+     lambda x: np.exp(np.clip(x, -3, 3))),
+    ("tanh", sp.tanh, np.tanh),
+    ("square", sp.square, np.square),
+    ("transpose", lambda x: x.T, lambda x: x.T),
+]
+_BINARY = [
+    ("add", lambda a, b: a + b, np.add),
+    ("sub", lambda a, b: a - b, np.subtract),
+    ("mul", lambda a, b: a * b, np.multiply),
+    ("max", sp.maximum, np.maximum),
+    ("min", sp.minimum, np.minimum),
+]
+_REDUCE = [
+    ("sum0", lambda x: sp.sum(x, axis=0), lambda x: x.sum(axis=0)),
+    ("sum1", lambda x: sp.sum(x, axis=1), lambda x: x.sum(axis=1)),
+    ("mean0", lambda x: sp.mean(x, axis=0), lambda x: x.mean(axis=0)),
+    ("max0", lambda x: sp.max(x, axis=0), lambda x: x.max(axis=0)),
+    ("min1", lambda x: sp.min(x, axis=1), lambda x: x.min(axis=1)),
+]
+
+
+def _gen_program(rng, depth, shape):
+  """Build a random (spartan_expr, numpy_value) pair of matching 2-D
+  computations over `shape` arrays."""
+  kind = rng.integers(0, 10)
+  if depth <= 0 or kind < 3:
+    a = rng.standard_normal(shape)
+    return sp.from_numpy(a), a
+  if kind < 6:
+    name, sfn, nfn = _UNARY[rng.integers(0, len(_UNARY))]
+    se, ne = _gen_program(rng, depth - 1, shape)
+    if name == "transpose":
+      return sfn(se), nfn(ne)
+    return sfn(se), nfn(ne)
+  if kind < 9:
+    _, sfn, nfn = _BINARY[rng.integers(0, len(_BINARY))]
+    s1, n1 = _gen_program(rng, depth - 1, shape)
+    s2, n2 = _gen_program(rng, depth - 1, shape)
+    if n1.shape != n2.shape:   # transpose may have swapped one side
+      s2, n2 = s2.T if hasattr(s2, "T") else s2, n2.T
+    if n1.shape != n2.shape:
+      return s1, n1
+    return sfn(s1, s2), nfn(n1, n2)
+  # scalar mix
+  c = float(rng.standard_normal())
+  se, ne = _gen_program(rng, depth - 1, shape)
+  return se * c + 1.0, ne * c + 1.0
+
+
+@pytest.mark.parametrize("seed", range(30))
+def test_fuzz_programs(seed):
+  rng = np.random.default_rng(seed)
+  shape = (int(rng.integers(2, 12)), int(rng.integers(2, 12)))
+  se, ne = _gen_program(rng, depth=int(rng.integers(1, 5)), shape=shape)
+  # random finisher: slice / reduce / plain
+  k = rng.integers(0, 4)
+  if k == 0 and min(ne.shape) > 2:
+    r0 = int(rng.integers(1, ne.shape[0]))
+    se, ne = se[:r0], ne[:r0]
+  elif k == 1:
+    _, sfn, nfn = _REDUCE[rng.integers(0, len(_REDUCE))]
+    se, ne = sfn(se), nfn(ne)
+  elif k == 2:
+    se, ne = sp.sum(se), ne.sum()
+  got = np.asarray(se.glom() if hasattr(se, "glom") else se)
+  np.testing.assert_allclose(got, ne, rtol=1e-9, atol=1e-9,
+                             err_msg=f"seed={seed}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_with_passes_toggled(seed):
+  """Same fuzz programs with the optimizer disabled must agree bit-for-bit
+  with the optimized path (the reference's optimization invariance test,
+  fuzzed)."""
+  from spartan_tpu.config import FLAGS
+  rng = np.random.default_rng(1000 + seed)
+  shape = (8, 8)
+  se, ne = _gen_program(rng, depth=3, shape=shape)
+  loss = sp.sum(se)
+  on = loss.glom()
+  rng2 = np.random.default_rng(1000 + seed)
+  se2, _ = _gen_program(rng2, depth=3, shape=shape)
+  FLAGS.optimization = False
+  try:
+    off = sp.sum(se2).glom()
+  finally:
+    FLAGS.optimization = True
+  np.testing.assert_allclose(on, off, rtol=1e-11)
