@@ -451,6 +451,36 @@ def bincount(v, minlength=None, weights=None) -> Expr:
                   np.bincount)
 
 
+def histogram(v, bins: int = 10, range=None) -> Expr:
+  """Fixed-bin histogram (static shape → traceable).  Returns counts;
+  edges are ``linspace(range[0], range[1], bins+1)`` like numpy."""
+  v = lazify(v)
+  if range is None:
+    raise ValueError("histogram requires an explicit range=(lo, hi) for a "
+                     "static shape; use np.histogram on .glom() otherwise")
+  lo, hi = range
+
+  def _hist(x):
+    edges = jnp.linspace(lo, hi, bins + 1)
+    idx = jnp.clip(jnp.searchsorted(edges, x.ravel(), side="right") - 1,
+                   0, bins - 1)
+    valid = (x.ravel() >= lo) & (x.ravel() <= hi)
+    return jnp.bincount(jnp.where(valid, idx, bins),
+                        length=bins + 1)[:bins]
+
+  return map([v], _hist)
+
+
+def take_along_axis(v, indices, axis) -> Expr:
+  return map([lazify(v), lazify(indices)], jnp.take_along_axis,
+             fn_kw={"axis": axis})
+
+
+def searchsorted(v, queries, side="left") -> Expr:
+  return map([lazify(v), lazify(queries)], jnp.searchsorted,
+             fn_kw={"side": side})
+
+
 def unique(v) -> Expr:
   from spartan_tpu.expr.fio import HostExpr
   return HostExpr([lazify(v)], np.unique)
@@ -501,6 +531,7 @@ __all__ = [
     "broadcast_to",
     # sort/search
     "sort", "argsort", "percentile", "median", "bincount", "unique",
+    "histogram", "take_along_axis", "searchsorted",
     "nonzero",
     # stencil
     "stencil", "maxpool", "avgpool",

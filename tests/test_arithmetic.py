@@ -107,3 +107,24 @@ def test_rand_reproducible(cluster):
   b = sp.rand(8, 8).glom()
   np.testing.assert_array_equal(a, b)
   assert (a >= 0).all() and (a < 1).all()
+
+
+def test_histogram(rng):
+  x = rng.standard_normal(1000)
+  got = sp.histogram(sp.from_numpy(x), bins=20, range=(-3, 3)).glom()
+  want, _ = np.histogram(x, bins=20, range=(-3, 3))
+  np.testing.assert_array_equal(got, want)
+
+
+def test_take_along_axis(rng):
+  a = rng.standard_normal((6, 8))
+  idx = np.argsort(a, axis=1)
+  got = sp.take_along_axis(sp.from_numpy(a), sp.from_numpy(idx), axis=1)
+  Assert.all_eq(got, np.take_along_axis(a, idx, axis=1))
+
+
+def test_searchsorted(rng):
+  edges = np.sort(rng.standard_normal(32))
+  q = rng.standard_normal(10)
+  got = sp.searchsorted(sp.from_numpy(edges), sp.from_numpy(q)).glom()
+  np.testing.assert_array_equal(got, np.searchsorted(edges, q))
