@@ -65,6 +65,26 @@ class SparseArray:
       np.add.at(out[i], cols[i], vals[i])
     return out
 
+  def shard(self, mesh=None) -> "SparseArray":
+    """Row-shard the ELL tiles over the mesh (owner-computes SpMV: each
+    device holds its output rows' cols/vals; ``x`` stays replicated, so
+    the product is comm-free — the reference's sparse tile placement)."""
+    import jax as _jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    mesh = mesh or get_mesh()
+    axes = tuple(mesh.axis_names)
+    n = self.shape[0]
+    total = 1
+    for a in axes:
+      total *= mesh.shape[a]
+    if n % total != 0:
+      return self  # uneven rows: stay replicated
+    spec = PartitionSpec(axes if len(axes) > 1 else axes[0], None)
+    sh = NamedSharding(mesh, spec)
+    return SparseArray(_jax.device_put(self.cols, sh),
+                       _jax.device_put(self.vals, sh), self.shape, self.nnz)
+
   def transpose(self) -> "SparseArray":
     """CSC-flavoured transpose via host round-trip (construction-time op,
     not a hot path)."""

@@ -89,3 +89,28 @@ def test_pagerank_sparse_matches_dense(rng):
   r_dense = pagerank.fit(sp.from_numpy(M), iterations=25).glom()
   r_sparse = np.asarray(pagerank.fit_sparse(S, iterations=25))
   np.testing.assert_allclose(r_sparse, r_dense, atol=1e-10)
+
+
+def test_sharded_spmv_matches(rng, cluster):
+  """Row-sharded ELL tiles: SpMV runs SPMD (owner-computes, replicated x)
+  and matches the replicated result exactly."""
+  import scipy.sparse as ss
+  A = ss.random(64, 40, density=0.1,
+                random_state=np.random.RandomState(5), format="csr")
+  S = sps.from_scipy(A)
+  Ssh = S.shard(cluster)
+  # cols/vals physically sharded over all 8 devices
+  assert len({d for sh in Ssh.vals.addressable_shards
+              for d in [sh.device]}) == 8
+  x = rng.standard_normal(40)
+  got = np.asarray(sps.spmv(Ssh, x, use_pallas=False))
+  np.testing.assert_allclose(got, A @ x, atol=1e-10)
+  # expr-layer path over sharded tiles
+  expr = sps.spmv_expr(Ssh, sp.from_numpy(x)) * 2.0
+  np.testing.assert_allclose(expr.glom(), 2.0 * (A @ x), atol=1e-10)
+
+
+def test_shard_uneven_rows_stays_replicated(cluster):
+  import scipy.sparse as ss
+  S = sps.from_scipy(ss.eye(10).tocsr())  # 10 % 8 != 0
+  assert S.shard(cluster) is S
