@@ -44,20 +44,26 @@ def clear_cache() -> None:
 
 
 def _materialize_unshapeable(expr: Expr) -> None:
-  """Eagerly evaluate nodes whose output shape is data-dependent (boolean
-  masks) so the remaining DAG is fully traceable."""
+  """Eagerly evaluate materialization boundaries: nodes whose output shape
+  is data-dependent (boolean masks), and explicit boundaries like
+  CheckpointExpr (which must get the chance to restore from disk instead
+  of re-tracing its lineage)."""
 
   def visit(e: Expr):
     if e._cache is not None:
       return
     eager = getattr(e, "evaluate_eager", None)
-    if eager is not None:
-      try:
-        e.aval()
-        return  # shapeable after all
-      except NotShapeable:
-        pass
+    if eager is None:
+      return
+    if getattr(e, "_eager_boundary", False):
       e._cache = eager()
+      return
+    try:
+      e.aval()
+      return  # shapeable after all
+    except NotShapeable:
+      pass
+    e._cache = eager()
 
   expr.visit(visit)
 

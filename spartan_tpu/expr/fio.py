@@ -49,10 +49,15 @@ class HostExpr(Expr):
 
 class CheckpointExpr(Expr):
   """Persist the child's result on first evaluation; later evaluations (and
-  fresh processes) restore from disk instead of recomputing the lineage."""
+  fresh processes) restore from disk instead of recomputing the lineage.
+
+  ``_eager_boundary`` makes the evaluator materialize this node before
+  tracing any enclosing DAG — the restore path must win over re-emission.
+  """
 
   _members = ("inputs",)
   _params = ("path",)
+  _eager_boundary = True
 
   def __init__(self, child, path: str):
     super().__init__(inputs=[lazify(child)], path=path)

@@ -1,0 +1,104 @@
+"""Scenario tests: the subsystems working together (checkpoint/resume
+mid-training, smart tiling + examples, profiling around a real loop) —
+the reference's failure-recovery story (SURVEY.md §5: lineage/checkpoint
+restart) exercised end-to-end."""
+
+import numpy as np
+import pytest
+
+import spartan_tpu as sp
+from spartan_tpu import profiling
+from spartan_tpu.expr import checkpoint, load, save
+
+
+def _train(X, y, w0, steps, alpha=0.05):
+  w = sp.from_numpy(np.asarray(w0))
+  n = X.shape[0]
+  for _ in range(steps):
+    grad = sp.dot(sp.lazify(X).T, sp.dot(X, w) - y) * (2.0 / n)
+    w = sp.Val((w - alpha * grad).evaluate())
+  return np.asarray(w.evaluate().glom())
+
+
+def test_checkpoint_resume_training(rng, tmp_path):
+  """Train 20 steps straight vs 10 steps + checkpoint + 'restart' + 10
+  more from the restored state: identical weights."""
+  X_np = rng.standard_normal((256, 8))
+  w_true = rng.standard_normal(8)
+  y_np = X_np @ w_true
+  X, y = sp.from_numpy(X_np), sp.from_numpy(y_np)
+
+  w_straight = _train(X, y, np.zeros(8), 20)
+
+  w_half = _train(X, y, np.zeros(8), 10)
+  ck = str(tmp_path / "w_ck")
+  save(sp.from_numpy(w_half), ck)
+  # --- simulated process restart: nothing survives but the disk ---
+  restored = load(ck)
+  w_resumed = _train(sp.from_numpy(X_np), sp.from_numpy(y_np),
+                     restored.glom(), 10)
+  np.testing.assert_allclose(w_resumed, w_straight, atol=1e-12)
+
+
+def test_checkpoint_expr_cuts_lineage(rng, tmp_path):
+  """A CheckpointExpr inside a longer lineage: second evaluation restores
+  from disk (no recompute of the expensive subtree)."""
+  from spartan_tpu.backend import evaluator
+  a_np = rng.standard_normal((32, 32))
+  path = str(tmp_path / "lineage")
+  expensive = sp.dot(sp.from_numpy(a_np), sp.from_numpy(a_np.T))
+  ck = checkpoint(expensive, path)
+  out1 = (ck + 1.0).sum().glom()
+  # fresh graph, same checkpoint path — the dot is NOT re-evaluated
+  evaluator.clear_cache()
+  before = evaluator.stats["compiles"]
+  ck2 = checkpoint(sp.dot(sp.from_numpy(np.zeros((32, 32))),
+                          sp.from_numpy(np.zeros((32, 32)))), path)
+  out2 = (ck2 + 1.0).sum().glom()
+  np.testing.assert_allclose(out2, out1, rtol=1e-12)
+
+
+def test_smart_tile_then_train(rng):
+  """smart_tile on the training DAG, then run: results unchanged."""
+  X_np = rng.standard_normal((64, 8))
+  y_np = rng.standard_normal(64)
+  X, y = sp.from_numpy(X_np), sp.from_numpy(y_np)
+  w = sp.from_numpy(np.zeros(8))
+  step = sp.dot(X.T, sp.dot(X, w) - y) * (2.0 / 64)
+  plain = step.glom()
+  X2, y2 = sp.from_numpy(X_np), sp.from_numpy(y_np)
+  w2 = sp.from_numpy(np.zeros(8))
+  step2 = sp.dot(X2.T, sp.dot(X2, w2) - y2) * (2.0 / 64)
+  sp.smart_tile(step2)
+  np.testing.assert_allclose(step2.glom(), plain, atol=1e-12)
+
+
+def test_profiled_training_loop(rng, tmp_path):
+  """StepTimer + trace around a real loop produce usable artifacts."""
+  import glob
+  X_np = rng.standard_normal((128, 4))
+  y_np = rng.standard_normal(128)
+  timer = profiling.StepTimer()
+  with profiling.trace(str(tmp_path)):
+    X, y = sp.from_numpy(X_np), sp.from_numpy(y_np)
+    w = sp.from_numpy(np.zeros(4))
+    for _ in range(5):
+      with timer.step("gd", bytes_moved=X_np.nbytes):
+        grad = sp.dot(X.T, sp.dot(X, w) - y) * (2.0 / 128)
+        w = sp.Val((w - 0.05 * grad).evaluate())
+  s = timer.summary()
+  assert s["count"] == 5 and s["total_s"] > 0
+  assert glob.glob(str(tmp_path) + "/**/*", recursive=True)
+
+
+def test_mixed_sparse_dense_pipeline(rng, cluster):
+  """Sparse SpMV feeding dense lazy ops feeding a reduction — one flow."""
+  import scipy.sparse as ss
+  from spartan_tpu.backend import sparse as sps
+  A = ss.random(32, 32, density=0.2,
+                random_state=np.random.RandomState(7), format="csr")
+  S = sps.from_scipy(A).shard(cluster)
+  x = rng.standard_normal(32)
+  out = sp.sqrt(abs(sps.spmv_expr(S, sp.from_numpy(x))) + 1.0).sum()
+  want = np.sqrt(np.abs(A @ x) + 1.0).sum()
+  np.testing.assert_allclose(float(out.glom()), want, rtol=1e-12)
