@@ -176,6 +176,23 @@ def sparse_diagonal(v, shape: Optional[Tuple[int, int]] = None) -> SparseArray:
   return from_coo(idx, idx, v, shape)
 
 
+def save_sparse(A: SparseArray, path: str) -> None:
+  """Persist a SparseArray (ELL layout + meta) — sparse-tile checkpointing
+  (reference: per-tile sparse pickles in ``expr/fio.py``)."""
+  import os
+  os.makedirs(path, exist_ok=True)
+  np.savez(os.path.join(path, "sparse.npz"),
+           cols=np.asarray(A.cols), vals=np.asarray(A.vals),
+           shape=np.asarray(A.shape), nnz=np.asarray(A.nnz))
+
+
+def load_sparse(path: str) -> SparseArray:
+  import os
+  z = np.load(os.path.join(path, "sparse.npz"))
+  return SparseArray(jnp.asarray(z["cols"]), jnp.asarray(z["vals"]),
+                     tuple(int(s) for s in z["shape"]), int(z["nnz"]))
+
+
 # ---------------------------------------------------------------------------
 # SpMV
 # ---------------------------------------------------------------------------

@@ -71,7 +71,18 @@ class CheckpointExpr(Expr):
   def evaluate_eager(self) -> SpartanArray:
     if os.path.exists(os.path.join(self.path, "manifest.json")):
       log_info("checkpoint restore: %s", self.path)
-      return load(self.path)
+      restored = load(self.path)
+      try:
+        want = tuple(self.inputs[0].shape)
+        if tuple(restored.shape) != want:
+          from spartan_tpu.util import log_warn
+          log_warn("checkpoint %s restored shape %s but the expression "
+                   "produces %s — stale checkpoint? (path identifies the "
+                   "artifact; delete it to recompute)", self.path,
+                   tuple(restored.shape), want)
+      except Exception:
+        pass
+      return restored
     result = self.inputs[0].evaluate()
     save(result, self.path)
     return result

@@ -6,9 +6,10 @@ estimator classes over :mod:`spartan_tpu.examples`, accepting numpy /
 SpartanArray / lazy-expr inputs.
 """
 
-from spartan_tpu.learn.estimators import (KMeans, LinearRegression,
+from spartan_tpu.learn.estimators import (ALS, FuzzyKMeans, KMeans,
+                                          LinearRegression,
                                           LogisticRegression, NaiveBayes,
                                           PCA, Ridge, SVC)
 
-__all__ = ["KMeans", "LinearRegression", "LogisticRegression", "NaiveBayes",
-           "PCA", "Ridge", "SVC"]
+__all__ = ["ALS", "FuzzyKMeans", "KMeans", "LinearRegression",
+           "LogisticRegression", "NaiveBayes", "PCA", "Ridge", "SVC"]

@@ -148,6 +148,45 @@ class NaiveBayes:
     return self.classes_[idx]
 
 
+class FuzzyKMeans:
+  """Soft k-means (examples/fuzzy_kmeans)."""
+
+  def __init__(self, n_clusters: int = 8, iterations: int = 15,
+               m: float = 2.0, seed: int = 0):
+    self.n_clusters = n_clusters
+    self.iterations = iterations
+    self.m = m
+    self.seed = seed
+
+  def fit(self, X):
+    from spartan_tpu.examples import fuzzy_kmeans
+    centers, u = fuzzy_kmeans.fit(_lazy(X), self.n_clusters,
+                                  self.iterations, self.m, self.seed)
+    self.cluster_centers_ = np.asarray(centers.glom())
+    self.membership_ = np.asarray(u.glom())
+    return self
+
+
+class ALS:
+  """Alternating least squares factorization (examples/als)."""
+
+  def __init__(self, n_factors: int = 8, iterations: int = 10,
+               reg: float = 0.1, seed: int = 0):
+    self.n_factors = n_factors
+    self.iterations = iterations
+    self.reg = reg
+    self.seed = seed
+
+  def fit(self, R):
+    from spartan_tpu.examples import als as als_mod
+    self.user_factors_, self.item_factors_ = als_mod.fit(
+        _lazy(R), self.n_factors, self.iterations, self.reg, self.seed)
+    return self
+
+  def predict(self):
+    return self.user_factors_ @ self.item_factors_.T
+
+
 class PCA:
   """Principal component analysis by subspace iteration (examples/pca)."""
 

@@ -154,3 +154,16 @@ def test_graft_entry_contract():
   out = jax.jit(fn)(*args)
   assert out.shape == (8, 10)
   m.dryrun_multichip(8)
+
+
+def test_learn_fuzzy_and_als(rng):
+  from spartan_tpu.learn import ALS, FuzzyKMeans
+  from spartan_tpu.examples.kmeans import make_data
+  pts, _ = make_data(256, 3, 3, seed=5)
+  m = FuzzyKMeans(n_clusters=3, iterations=5).fit(pts.value.glom())
+  assert m.cluster_centers_.shape == (3, 3)
+  np.testing.assert_allclose(m.membership_.sum(1), 1.0, atol=1e-8)
+  U0 = rng.standard_normal((64, 4)); V0 = rng.standard_normal((32, 4))
+  R = U0 @ V0.T
+  a = ALS(n_factors=4, iterations=8, reg=0.01).fit(R)
+  assert np.abs(a.predict() - R).mean() < 0.1

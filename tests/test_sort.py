@@ -1,0 +1,47 @@
+"""Distributed sort / percentile / median (reference: test for
+expr/sort.py; SURVEY.md §2.1)."""
+
+import numpy as np
+import pytest
+
+import spartan_tpu as sp
+from spartan_tpu.util import Assert
+
+
+def test_sort(rng):
+  a = rng.standard_normal((12, 16))
+  sa = sp.from_numpy(a)
+  Assert.all_eq(sp.sort(sa), np.sort(a))
+  Assert.all_eq(sp.sort(sa, axis=0), np.sort(a, axis=0))
+  v = rng.standard_normal(100)
+  Assert.all_eq(sp.sort(sp.from_numpy(v)), np.sort(v))
+  Assert.all_eq(sp.sort(sa, axis=None), np.sort(a, axis=None))
+
+
+def test_argsort(rng):
+  a = rng.standard_normal((8, 10))
+  Assert.all_eq(sp.argsort(sp.from_numpy(a)), np.argsort(a))
+  Assert.all_eq(sp.argsort(sp.from_numpy(a), axis=0), np.argsort(a, axis=0))
+
+
+def test_percentile_median(rng):
+  a = rng.standard_normal(500)
+  sa = sp.from_numpy(a)
+  Assert.all_close(sp.percentile(sa, 50), np.percentile(a, 50), rtol=1e-12)
+  Assert.all_close(sp.percentile(sa, 90), np.percentile(a, 90), rtol=1e-12)
+  Assert.all_close(sp.median(sa), np.median(a), rtol=1e-12)
+  b = rng.standard_normal((20, 30))
+  Assert.all_close(sp.percentile(sp.from_numpy(b), 25, axis=0),
+                   np.percentile(b, 25, axis=0), rtol=1e-12)
+
+
+def test_sort_feeds_lazy_chain(rng):
+  a = rng.standard_normal(64)
+  got = sp.sum(sp.sort(sp.from_numpy(a))[:10])
+  want = np.sort(a)[:10].sum()
+  np.testing.assert_allclose(float(got.glom()), want, rtol=1e-12)
+
+
+def test_int_sort(rng):
+  x = rng.integers(0, 1000, (50,))
+  Assert.all_eq(sp.sort(sp.from_numpy(x)), np.sort(x))

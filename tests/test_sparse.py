@@ -114,3 +114,14 @@ def test_shard_uneven_rows_stays_replicated(cluster):
   import scipy.sparse as ss
   S = sps.from_scipy(ss.eye(10).tocsr())  # 10 % 8 != 0
   assert S.shard(cluster) is S
+
+
+def test_sparse_save_load(tmp_path):
+  import scipy.sparse as ss
+  A = ss.random(24, 16, density=0.2,
+                random_state=np.random.RandomState(1), format="csr")
+  S = sps.from_scipy(A)
+  sps.save_sparse(S, str(tmp_path / "sp"))
+  back = sps.load_sparse(str(tmp_path / "sp"))
+  np.testing.assert_allclose(back.todense(), A.toarray(), atol=1e-12)
+  assert back.nnz == S.nnz and back.shape == S.shape
