@@ -90,9 +90,10 @@ def bench_elementwise_reduce(n: int = 16384):
   @jax.jit
   def loop(b, k):
     def body(i, c):
-      # the affine-rewritten config-1 computation; result feeds the carry
-      # (cheap scalar ops only — no per-element carry dependence)
-      return 2.0 * jnp.sum(b, dtype=jnp.float32) + float(n) * n + 0.0 * c
+      # optimization_barrier ties the input to the loop carry with ZERO
+      # per-element work: hoist-proof without polluting the measured chain
+      b2, c2 = lax.optimization_barrier((b, c))
+      return 2.0 * jnp.sum(b2, dtype=jnp.float32) + float(n) * n + 0.0 * c2
     return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
   slope, t_lo, t_hi = _slope_time(lambda k: (lambda: loop(b, k)))
@@ -140,13 +141,12 @@ def bench_nonaffine_pallas(n: int = 16384):
 
   b = jnp.asarray(np.random.default_rng(0).random((n, n), dtype=np.float32))
 
-  def f(v, c):
-    return jnp.abs(1.0 + (v + c * 1e-30) * 2.0)
-
   @jax.jit
   def loop(b, k):
     def body(i, c):
-      return fused_reduce.fused_sum(b, f, scalars=(c,))
+      b2, c2 = lax.optimization_barrier((b, c))
+      return fused_reduce.fused_sum(
+          b2, lambda v: jnp.abs(1.0 + v * 2.0)) + 0.0 * c2
     return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
   slope, _, _ = _slope_time(lambda k: (lambda: loop(b, k)))
@@ -174,9 +174,9 @@ def bench_matmul(n: int = 8192):
   @jax.jit
   def loop(a, b, k):
     def body(i, c):
-      scaled = a * (1.0 + c * 1e-30).astype(dt)
-      out = jnp.matmul(scaled, b, preferred_element_type=jnp.float32)
-      return jnp.sum(out) * 1e-30
+      a2, c2 = lax.optimization_barrier((a, c))
+      out = jnp.matmul(a2, b, preferred_element_type=jnp.float32)
+      return jnp.sum(out) * 1e-30 + 0.0 * c2
     return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
   slope, _, _ = _slope_time(lambda k: (lambda: loop(a, b, k)),

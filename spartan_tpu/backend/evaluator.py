@@ -68,6 +68,35 @@ def _materialize_unshapeable(expr: Expr) -> None:
   expr.visit(visit)
 
 
+def _migrate_stray_leaves(expr: Expr) -> None:
+  """Re-place SpartanArray leaves living on a different mesh onto the
+  active mesh (the reference master's tile re-placement, as one
+  device_put) — mixing meshes in one jitted region is an XLA error."""
+  from spartan_tpu.core.mesh import get_mesh
+  from spartan_tpu.core.tiling import Tiling, auto_tiling
+
+  mesh = get_mesh()
+  mesh_devices = tuple(mesh.devices.flat)
+
+  def visit(e: Expr):
+    if not isinstance(e, Val) or not isinstance(e.value, SpartanArray):
+      return
+    arr = e.value
+    if tuple(arr.tiling.mesh.devices.flat) == mesh_devices:
+      return
+    from spartan_tpu.util import log_debug
+    log_debug("migrating leaf %s from mesh %s to active mesh %s",
+              e.expr_id, dict(arr.tiling.mesh.shape), dict(mesh.shape))
+    spec = arr.tiling.spec
+    try:
+      e.value = arr.reshard(Tiling(mesh, spec))
+    except Exception:
+      e.value = arr.reshard(auto_tiling(arr.shape, None, mesh))
+    e._aval = None
+
+  expr.visit(visit)
+
+
 def _collect_leaves(root: Expr) -> List[Val]:
   leaves: List[Val] = []
   seen = set()
@@ -149,6 +178,7 @@ def evaluate(expr: Expr):
 
   stats["evals"] += 1
   _materialize_unshapeable(expr)
+  _migrate_stray_leaves(expr)
   root = opt_mod.optimize(expr)
 
   leaves = _collect_leaves(root)

@@ -102,3 +102,16 @@ def test_mixed_sparse_dense_pipeline(rng, cluster):
   out = sp.sqrt(abs(sps.spmv_expr(S, sp.from_numpy(x))) + 1.0).sum()
   want = np.sqrt(np.abs(A @ x) + 1.0).sum()
   np.testing.assert_allclose(float(out.glom()), want, rtol=1e-12)
+
+
+def test_mixed_mesh_leaves_auto_migrate(rng, cluster):
+  """Leaves placed on a different mesh are re-placed onto the active mesh
+  (the reference master's tile re-placement)."""
+  import jax
+  from spartan_tpu.core import mesh as mesh_mod
+  m4 = mesh_mod.make_mesh((4,), ("x",), devices=jax.devices()[:4])
+  a = sp.from_numpy(np.ones((8, 8)))
+  with sp.with_mesh(m4):
+    b = sp.from_numpy(np.full((8, 8), 2.0))
+  got = float((a + b).sum().glom())
+  assert got == 3.0 * 64
