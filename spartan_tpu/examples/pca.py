@@ -36,6 +36,24 @@ def fit(X, k: int = 2, iterations: int = 30, seed: int = 0):
   return Q[:, order], evals[order]
 
 
+def ssvd(X, k: int = 2, iterations: int = 20, seed: int = 0):
+  """Stochastic/randomized SVD (the reference's SSVD example): subspace
+  iteration on X^T X with distributed matmuls; returns (U, S, Vt) with
+  U (n,k), S (k,), Vt (k,d)."""
+  X = sp.lazify(X)
+  n, d = X.shape
+  rng = np.random.default_rng(seed)
+  Q = np.linalg.qr(rng.standard_normal((d, k)))[0]
+  for _ in range(iterations):
+    # power iteration on the Gram operator without materializing X^T X
+    Z = np.asarray(sp.dot(X.T, sp.dot(X, sp.from_numpy(Q))).glom())
+    Q, _ = np.linalg.qr(Z)
+  B = np.asarray(sp.dot(X, sp.from_numpy(Q)).glom())       # (n, k)
+  Ub, s, Wt = np.linalg.svd(B, full_matrices=False)
+  V = Q @ Wt.T
+  return Ub, s, V.T
+
+
 def transform(X, components):
   X = sp.lazify(X)
   mu = X.mean(axis=0)

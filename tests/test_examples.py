@@ -147,3 +147,17 @@ def test_pagerank_sparse_single_compile(rng):
   for _ in range(20):
     rn = 0.85 * M @ rn + 0.15 / 64
   np.testing.assert_allclose(r, rn, atol=1e-10)
+
+
+def test_ssvd_matches_numpy_svd():
+  rng = np.random.default_rng(3)
+  X = rng.standard_normal((256, 12)) * np.linspace(8, 1, 12)
+  U, s, Vt = pca.ssvd(sp.from_numpy(X), k=3, iterations=30)
+  _, s_np, Vt_np = np.linalg.svd(X, full_matrices=False)
+  np.testing.assert_allclose(s, s_np[:3], rtol=1e-6)
+  # singular vectors match up to sign
+  for i in range(3):
+    assert abs(abs(Vt[i] @ Vt_np[i]) - 1.0) < 1e-6
+  # reconstruction
+  np.testing.assert_allclose(U @ np.diag(s) @ Vt,
+                             (U * s) @ Vt, rtol=1e-10)
