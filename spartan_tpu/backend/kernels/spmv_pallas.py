@@ -2,10 +2,14 @@
 
 ``y[i] = Σ_j vals[i, j] * x[cols[i, j]]`` with the dense vector ``x``
 resident in VMEM (PageRank-scale vectors fit easily) and the ELL blocks
-streamed row-block by row-block.  The per-block gather is expressed as a
-take from the VMEM-resident ``x`` — on TPU this lowers to VPU dynamic
-gathers; the fallback XLA path in ``backend/sparse.py`` handles platforms
-where Mosaic rejects the gather.
+streamed row-block by row-block.
+
+HARDWARE STATUS (v5e, jax 0.9): Mosaic rejects the 1-D-operand gather
+("Only 2D gather is supported") — ``spmv()`` in ``backend/sparse.py``
+catches the failure and uses the XLA gather path, which is what the
+PageRank config runs end-to-end (validated on chip).  Next attempt:
+express the gather with a 2-D operand (``jnp.take((m,1), cols, axis=0)``)
+or a one-hot MXU formulation.
 """
 
 from __future__ import annotations
