@@ -56,6 +56,38 @@ def fit(points, k: int, iterations: int = 10, centers=None, seed: int = 0):
   return centers.evaluate(), labels.evaluate() if labels is not None else None
 
 
+def fit_fused(points, k: int, iterations: int = 10, centers=None,
+              seed: int = 0):
+  """Whole Lloyd iteration in ONE compiled on-device loop (the
+  latency-proof TPU pattern; semantics match :func:`fit`)."""
+  import functools
+
+  import jax
+  from jax import lax
+
+  points = sp.lazify(points).evaluate()
+  n, d = points.shape
+  if centers is None:
+    rng = np.random.default_rng(seed)
+    c0 = np.asarray(points.glom()[rng.choice(n, k, replace=False)])
+  else:
+    c0 = np.asarray(sp.lazify(centers).glom())
+
+  @functools.partial(jax.jit, static_argnames=("iters",))
+  def run(p, c_init, iters):
+    def body(_, c):
+      dist = (-2.0) * (p @ c.T) + jnp.sum(c * c, axis=1)
+      lab = jnp.argmin(dist, axis=1)
+      sums = jnp.zeros_like(c).at[lab].add(p)
+      counts = jnp.zeros((k,), p.dtype).at[lab].add(1.0)
+      return sums / jnp.maximum(counts, 1.0)[:, None]
+    return lax.fori_loop(0, iters, body, c_init)
+
+  out = run(points.data, jnp.asarray(c0, points.dtype), iterations)
+  from spartan_tpu.core.array import SpartanArray
+  return SpartanArray(out)
+
+
 def make_data(n: int = 4096, d: int = 8, k: int = 4, seed: int = 0):
   rng = np.random.default_rng(seed)
   true_centers = rng.standard_normal((k, d)) * 6.0

@@ -31,6 +31,33 @@ def fit(X, y, iterations: int = 50, alpha: float = 0.05):
   return w.evaluate()
 
 
+def fit_fused(X, y, iterations: int = 50, alpha: float = 0.05):
+  """Whole training run in ONE compiled on-device loop (`lax.fori_loop`)
+  — the latency-proof TPU pattern (no per-step host dispatch; cf.
+  CLAUDE.md tunnel-latency note).  Semantically identical to :func:`fit`.
+  """
+  import functools
+
+  import jax
+  import jax.numpy as jnp
+  from jax import lax
+
+  X = sp.lazify(X).evaluate()
+  y = sp.lazify(y).evaluate()
+  n, d = X.shape
+
+  @functools.partial(jax.jit, static_argnames=("iters",))
+  def run(Xd, yd, iters):
+    def body(_, w):
+      grad = Xd.T @ (Xd @ w - yd) * (2.0 / n)
+      return w - alpha * grad
+    return lax.fori_loop(0, iters, body, jnp.zeros((d,), Xd.dtype))
+
+  out = run(X.data, y.data, iterations)
+  from spartan_tpu.core.array import SpartanArray
+  return SpartanArray(out)
+
+
 def make_data(n: int = 4096, d: int = 16, seed: int = 0, tile_hint=None):
   rng = np.random.default_rng(seed)
   X = rng.standard_normal((n, d))

@@ -161,3 +161,19 @@ def test_ssvd_matches_numpy_svd():
   # reconstruction
   np.testing.assert_allclose(U @ np.diag(s) @ Vt,
                              (U * s) @ Vt, rtol=1e-10)
+
+
+def test_linreg_fit_fused_matches_stepwise():
+  """The single-compile on-device loop ≡ the expr-layer loop."""
+  X, y, _ = linear_reg.make_data(256, 6, seed=8)
+  w_fused = np.asarray(linear_reg.fit_fused(X, y, 25, alpha=0.02).glom())
+  w_step = np.asarray(linear_reg.fit(X, y, 25, alpha=0.02).glom())
+  np.testing.assert_allclose(w_fused, w_step, atol=1e-10)
+
+
+def test_kmeans_fit_fused_matches_stepwise():
+  pts, _ = kmeans.make_data(512, 4, 3, seed=9)
+  c0 = np.asarray(pts.value.glom()[:3])
+  c_fused = np.asarray(kmeans.fit_fused(pts, 3, 8, centers=c0).glom())
+  c_step, _ = kmeans.fit(pts, 3, 8, centers=sp.from_numpy(c0))
+  np.testing.assert_allclose(c_fused, np.asarray(c_step.glom()), atol=1e-10)
