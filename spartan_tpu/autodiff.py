@@ -17,7 +17,7 @@ import jax
 
 from spartan_tpu.core.array import SpartanArray
 from spartan_tpu.expr import optimize as opt_mod
-from spartan_tpu.expr.base import EmitCtx, Expr, Val, lazify
+from spartan_tpu.expr.base import EmitCtx, Expr, Val
 
 
 def as_function(expr: Expr,

@@ -19,11 +19,9 @@ becomes ONE ``jax.jit``-compiled XLA program over sharded arrays:
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Callable, Dict, List, Optional
 
 import jax
-import numpy as np
-
 from spartan_tpu.config import FLAGS
 from spartan_tpu.core.array import SpartanArray
 from spartan_tpu.core.tiling import Tiling

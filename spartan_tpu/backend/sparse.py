@@ -22,14 +22,13 @@ from many partial updates.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from spartan_tpu.core.mesh import get_mesh
-from spartan_tpu.core.tiling import Tiling, choose_spec
 from spartan_tpu.expr.base import Expr, Val, lazify
 
 

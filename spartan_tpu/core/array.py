@@ -23,7 +23,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spartan_tpu.core import extent as extent_mod
 from spartan_tpu.core.extent import TileExtent
 from spartan_tpu.core.mesh import get_mesh
 from spartan_tpu.core.tiling import Tiling, auto_tiling, replicated_tiling

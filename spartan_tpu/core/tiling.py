@@ -22,7 +22,6 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
-from spartan_tpu.core import extent as extent_mod
 from spartan_tpu.core.extent import TileExtent
 from spartan_tpu.core.mesh import get_mesh
 

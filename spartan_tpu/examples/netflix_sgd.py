@@ -10,7 +10,6 @@ one XLA scatter).
 
 from __future__ import annotations
 
-import jax.numpy as jnp
 import numpy as np
 
 import spartan_tpu as sp

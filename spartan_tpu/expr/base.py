@@ -22,7 +22,6 @@ from __future__ import annotations
 
 import functools
 import itertools
-import threading
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -30,7 +29,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spartan_tpu.config import FLAGS
-from spartan_tpu.core.array import SpartanArray, from_numpy
+from spartan_tpu.core.array import SpartanArray
 from spartan_tpu.core.tiling import Tiling
 
 _counter = itertools.count()

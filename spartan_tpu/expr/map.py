@@ -24,8 +24,7 @@ from typing import Any, Callable, List, Optional, Sequence
 import jax
 import jax.numpy as jnp
 
-from spartan_tpu.expr import local as local_mod
-from spartan_tpu.expr.base import EmitCtx, Expr, Val, lazify
+from spartan_tpu.expr.base import EmitCtx, Expr, lazify
 from spartan_tpu.expr.local import FnCallExpr, LocalExpr, LocalInput
 
 

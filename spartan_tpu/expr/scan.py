@@ -14,9 +14,6 @@ from typing import Any, List, Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from spartan_tpu.config import FLAGS
 from spartan_tpu.expr.base import EmitCtx, Expr, lazify
 from spartan_tpu.expr.reduce import dtype_for_reduction
 

@@ -17,7 +17,7 @@ from typing import Any, List, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from spartan_tpu.expr.base import EmitCtx, Expr, NotShapeable, Val, lazify
+from spartan_tpu.expr.base import EmitCtx, Expr, NotShapeable, lazify
 
 
 def _is_basic(idx) -> bool:

@@ -21,8 +21,6 @@ from typing import Any, List, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
 from spartan_tpu.expr.base import EmitCtx, Expr, lazify
 
 

@@ -12,8 +12,6 @@ from __future__ import annotations
 from typing import Any, List, Optional
 
 import jax.numpy as jnp
-import numpy as np
-
 from spartan_tpu.core.array import canonical_reducer
 from spartan_tpu.core.extent import TileExtent
 from spartan_tpu.expr.base import EmitCtx, Expr, lazify

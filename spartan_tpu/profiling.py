@@ -18,7 +18,6 @@ from typing import Any, Dict, Iterator, Optional
 import jax
 import numpy as np
 
-from spartan_tpu.config import FLAGS
 from spartan_tpu.util import log_info
 
 
