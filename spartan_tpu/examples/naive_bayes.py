@@ -20,15 +20,28 @@ def _emit_class_counts(lab, coords):
   return (lab,), jnp.ones_like(lab, dtype=jnp.result_type(float))
 
 
-def fit(X, labels, n_classes: int, alpha: float = 1.0):
+def _onehot(l, k):
+  classes = jnp.arange(k, dtype=l.dtype)
+  return (l[:, None] == classes[None, :]).astype(jnp.result_type(float))
+
+
+def fit(X, labels, n_classes: int, alpha: float = 1.0,
+        use_matmul: bool = True):
   """X: (n, d) nonneg feature counts; labels: (n,) ints.
 
   Returns (log_prior (k,), log_likelihood (k, d)) as SpartanArrays.
+  Per-class aggregation defaults to the one-hot matmul segment-sum (MXU);
+  ``use_matmul=False`` keeps the reference-style scatter-add shuffle.
   """
   X, labels = sp.lazify(X), sp.lazify(labels)
   n, d = X.shape
-  feat = sp.shuffle([X, labels], _emit_counts, (n_classes, d), np.add)
-  cls = sp.shuffle(labels, _emit_class_counts, (n_classes,), np.add)
+  if use_matmul:
+    onehot = sp.map([labels], _onehot, fn_kw={"k": n_classes})
+    feat = sp.dot(onehot.T, X)
+    cls = sp.sum(onehot, axis=0)
+  else:
+    feat = sp.shuffle([X, labels], _emit_counts, (n_classes, d), np.add)
+    cls = sp.shuffle(labels, _emit_class_counts, (n_classes,), np.add)
   smoothed = feat + alpha
   log_lik = sp.log(smoothed) - sp.log(
       sp.expand_dims(sp.sum(smoothed, axis=1), 1))

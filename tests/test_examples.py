@@ -177,3 +177,15 @@ def test_kmeans_fit_fused_matches_stepwise():
   c_fused = np.asarray(kmeans.fit_fused(pts, 3, 8, centers=c0).glom())
   c_step, _ = kmeans.fit(pts, 3, 8, centers=sp.from_numpy(c0))
   np.testing.assert_allclose(c_fused, np.asarray(c_step.glom()), atol=1e-10)
+
+
+def test_kmeans_update_matmul_equals_scatter(rng):
+  """One-hot MXU segment-sum ≡ scatter-add combiner (both vs np.add.at)."""
+  pts, _ = kmeans.make_data(n=256, d=3, k=4, seed=12)
+  c0 = np.asarray(pts.value.glom()[:4])
+  labels = kmeans.assign_labels(pts, sp.from_numpy(c0))
+  via_mm = np.asarray(kmeans.update_centers(pts, labels, 4,
+                                            use_matmul=True).glom())
+  via_sc = np.asarray(kmeans.update_centers(pts, labels, 4,
+                                            use_matmul=False).glom())
+  np.testing.assert_allclose(via_mm, via_sc, atol=1e-10)
