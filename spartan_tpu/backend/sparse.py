@@ -166,6 +166,9 @@ def merge_csr(a, b):
        np.asarray(indptr, dtype=np.int64)), shape=a.shape)
 
 
+sparse_rand = sprandn  # reference-name alias
+
+
 def sparse_diagonal(v, shape: Optional[Tuple[int, int]] = None) -> SparseArray:
   """Diagonal sparse matrix from a vector (reference ``sparse_diagonal``)."""
   v = np.asarray(v)

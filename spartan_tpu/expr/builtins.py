@@ -324,6 +324,19 @@ def matmul(a, b) -> Expr:
   return dot_mod.dot(a, b)
 
 
+def einsum(subscripts: str, *operands) -> Expr:
+  """Einstein summation over lazy operands (MXU contraction path)."""
+  ops = [lazify(o) for o in operands]
+
+  def _ein(*arrs):
+    return jnp.einsum(subscripts, *arrs,
+                      preferred_element_type=jnp.promote_types(
+                          arrs[0].dtype, jnp.float32)
+                      if arrs[0].dtype != jnp.float64 else None)
+
+  return map(ops, _ein)
+
+
 def vdot(a, b) -> Expr:
   return sum(multiply(ravel(a), ravel(b)))
 
@@ -523,7 +536,7 @@ __all__ = [
     # scans
     "cumsum", "cumprod", "scan",
     # linalg
-    "dot", "outer", "tensordot", "matmul", "vdot", "diag", "diagonal",
+    "dot", "outer", "tensordot", "matmul", "vdot", "einsum", "diag", "diagonal",
     "trace", "tril", "triu",
     # shape
     "reshape", "ravel", "flatten", "transpose", "swapaxes", "concatenate",

@@ -81,3 +81,17 @@ def test_trace_diag(rng):
   Assert.all_eq(sp.diagonal(sa), np.diagonal(a))
   v = rng.standard_normal((7,))
   Assert.all_eq(sp.diag(sp.from_numpy(v)), np.diag(v))
+
+
+def test_einsum(rng):
+  a = rng.standard_normal((6, 8))
+  b = rng.standard_normal((8, 10))
+  Assert.all_close(sp.einsum("ij,jk->ik", sp.from_numpy(a),
+                             sp.from_numpy(b)),
+                   np.einsum("ij,jk->ik", a, b), rtol=1e-12)
+  c = rng.standard_normal((4, 6, 8))
+  Assert.all_close(sp.einsum("bij,ij->b", sp.from_numpy(c),
+                             sp.from_numpy(a)),
+                   np.einsum("bij,ij->b", c, a), rtol=1e-12)
+  Assert.all_close(sp.einsum("ii->", sp.from_numpy(a[:6, :6])),
+                   np.einsum("ii->", a[:6, :6]), rtol=1e-12)
