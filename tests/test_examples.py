@@ -189,3 +189,21 @@ def test_kmeans_update_matmul_equals_scatter(rng):
   via_sc = np.asarray(kmeans.update_centers(pts, labels, 4,
                                             use_matmul=False).glom())
   np.testing.assert_allclose(via_mm, via_sc, atol=1e-10)
+
+
+def test_netflix_sgd_matmul_equals_scatter(rng):
+  from spartan_tpu.examples import netflix_sgd
+  nu, ni, k, B = 32, 16, 4, 64
+  U = sp.from_numpy(rng.standard_normal((nu, k)))
+  V = sp.from_numpy(rng.standard_normal((ni, k)))
+  users = sp.from_numpy(rng.integers(0, nu, B))
+  items = sp.from_numpy(rng.integers(0, ni, B))
+  ratings = sp.from_numpy(rng.standard_normal(B))
+  u1, v1 = netflix_sgd.sgd_step(U, V, users, items, ratings,
+                                use_matmul=True)
+  u2, v2 = netflix_sgd.sgd_step(U, V, users, items, ratings,
+                                use_matmul=False)
+  np.testing.assert_allclose(np.asarray(u1.glom()), np.asarray(u2.glom()),
+                             atol=1e-10)
+  np.testing.assert_allclose(np.asarray(v1.glom()), np.asarray(v2.glom()),
+                             atol=1e-10)
