@@ -33,12 +33,25 @@ from spartan_tpu.util import Timer, log_debug, log_info
 # structural signature → compiled callable
 _jit_cache: "OrderedDict[Tuple, Callable]" = OrderedDict()
 
+# raw (pre-optimization) signature → (compiled, binding recipe, wrap_root)
+# — the fast lane: structurally-repeated evaluations skip the optimizer
+_fast_cache: "OrderedDict[Tuple, Any]" = OrderedDict()
+
 # simple counters surfaced for profiling/tests
-stats = {"compiles": 0, "evals": 0, "cache_hits": 0}
+stats = {"compiles": 0, "evals": 0, "cache_hits": 0, "fast_hits": 0}
 
 
 def clear_cache() -> None:
   _jit_cache.clear()
+  _fast_cache.clear()
+
+
+def _opt_flags_fingerprint() -> tuple:
+  """Optimizer-pipeline flags: part of the fast-lane key (the compiled
+  program depends on which passes ran)."""
+  return (FLAGS.optimization, FLAGS.opt_fusion, FLAGS.opt_reduce_fusion,
+          FLAGS.opt_collapse_cached, FLAGS.opt_const_fold,
+          FLAGS.opt_auto_tiling)
 
 
 def _materialize_unshapeable(expr: Expr) -> None:
@@ -177,14 +190,43 @@ def evaluate(expr: Expr):
   stats["evals"] += 1
   _materialize_unshapeable(expr)
   _migrate_stray_leaves(expr)
+
+  from spartan_tpu.expr.base import semantic_flags_fingerprint
+  flags_key = (semantic_flags_fingerprint(), FLAGS.use_pallas,
+               FLAGS.pallas_interpret, _opt_flags_fingerprint())
+
+  # -- fast lane: skip the optimizer when this structure was seen before.
+  # Only valid when no interior node carries an eval cache (a cached
+  # interior changes what CollapseCached produces, invisibly to the raw
+  # signature).
+  interior_cached = [False]
+
+  def _scan(e: Expr):
+    if e._cache is not None and not isinstance(e, Val):
+      interior_cached[0] = True
+
+  expr.visit(_scan)
+  raw_key = None
+  if not interior_cached[0]:
+    raw_key = (expr.signature({}), flags_key)
+    hit = _fast_cache.get(raw_key)
+    if hit is not None:
+      compiled, recipe, wrap_root = hit
+      stats["fast_hits"] += 1
+      raw_leaves = _collect_leaves(expr)
+      args = [raw_leaves[i].leaf_value() if kind == "raw" else const
+              for kind, i, const in recipe]
+      out = compiled(*args)
+      result = _wrap_like(wrap_root, expr, out)
+      expr._cache = result
+      return result
+
   root = opt_mod.optimize(expr)
 
   leaves = _collect_leaves(root)
   leaf_index = {leaf.expr_id: i for i, leaf in enumerate(leaves)}
-  from spartan_tpu.expr.base import semantic_flags_fingerprint
   sig = root.signature({})
-  key = (sig, semantic_flags_fingerprint(), FLAGS.use_pallas,
-         FLAGS.pallas_interpret)
+  key = (sig, flags_key)
 
   compiled = _jit_cache.get(key)
   if compiled is None:
@@ -207,6 +249,30 @@ def evaluate(expr: Expr):
     # includes structure, so leaf order is deterministic and identical —
     # only the argument values differ.
 
+  if raw_key is not None:
+    # binding recipe: each optimized leaf is either one of the raw DAG's
+    # leaves (bind fresh value by position) or a pass-created constant
+    # (e.g. ConstFoldCreations' scalar — fully determined by the raw
+    # signature, safe to freeze)
+    raw_leaves = _collect_leaves(expr)
+    raw_pos = {id(l): i for i, l in enumerate(raw_leaves)}
+    recipe = []
+    for leaf in leaves:
+      i = raw_pos.get(id(leaf))
+      if i is not None:
+        recipe.append(("raw", i, None))
+      else:
+        recipe.append(("const", -1, leaf.leaf_value()))
+    wrap_root = ("dict", root.keys) if isinstance(root, DictExpr) else \
+                ("list", len(root.vals)) if isinstance(root, ListExpr) else \
+                ("one", None)
+    hints = ([v.tiling_hint for v in root.vals]
+             if isinstance(root, (ListExpr, DictExpr))
+             else [root.tiling_hint])
+    _fast_cache[raw_key] = (compiled, recipe, (wrap_root, hints))
+    while len(_fast_cache) > FLAGS.max_expr_cache:
+      _fast_cache.popitem(last=False)
+
   args = [leaf.leaf_value() for leaf in leaves]
   if FLAGS.profile_kernels:
     with Timer("region") as t:
@@ -219,3 +285,14 @@ def evaluate(expr: Expr):
   result = _wrap(root, out)
   expr._cache = result
   return result
+
+
+def _wrap_like(wrap_root, expr: Expr, value) -> Any:
+  """Wrap fast-lane outputs using the recorded structure + tiling hints."""
+  (kind, meta), hints = wrap_root
+  if kind == "dict":
+    return {k: SpartanArray(value[k], hints[j])
+            for j, k in enumerate(meta)}
+  if kind == "list":
+    return [SpartanArray(v, hints[j]) for j, v in enumerate(value)]
+  return SpartanArray(value, hints[0])

@@ -81,7 +81,8 @@ def test_jit_cache_hits_across_iterations(rng):
     grad = sp.dot(x.T, sp.dot(x, w) - y)
     w = sp.from_numpy(grad.glom() * 0.01)  # materialize to cut regions
   compiles = evaluator.stats["compiles"] - start["compiles"]
-  hits = evaluator.stats["cache_hits"] - start["cache_hits"]
+  hits = (evaluator.stats["cache_hits"] - start["cache_hits"]
+          + evaluator.stats["fast_hits"] - start["fast_hits"])
   assert compiles == 1 and hits == 3
 
 
