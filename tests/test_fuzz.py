@@ -104,3 +104,24 @@ def test_fuzz_with_passes_toggled(seed):
   finally:
     FLAGS.optimization = True
   np.testing.assert_allclose(on, off, rtol=1e-11)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_fuzz_fast_lane_data_sweep(seed):
+  """Same program structure × 4 data variations: the evaluator fast lane
+  must rebind fresh leaf values correctly every time."""
+  from spartan_tpu.backend import evaluator
+  rng = np.random.default_rng(5000 + seed)
+  shape = (int(rng.integers(3, 10)), int(rng.integers(3, 10)))
+  datas = [np.random.default_rng(100 * seed + j).standard_normal(shape)
+           for j in range(4)]
+
+  for j, a_np in enumerate(datas):
+    rng2 = np.random.default_rng(seed)
+    se, ne = _gen_program(rng2, depth=3, shape=shape)
+    if ne.shape != shape:
+      return  # transpose changed the shape; skip this seed
+    got = float(sp.sum(se + sp.from_numpy(a_np)).glom())
+    want = (ne + a_np).sum()
+    np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9,
+                               err_msg=f"seed={seed} variation={j}")

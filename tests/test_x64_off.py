@@ -59,3 +59,24 @@ def test_tpu_mode_f32_semantics():
   r = subprocess.run([sys.executable, "-c", _SCRIPT], env=env,
                      capture_output=True, text=True, timeout=300)
   assert "X64-OFF SMOKE OK" in r.stdout, (r.stdout[-2000:], r.stderr[-2000:])
+
+
+def test_dryrun_16_virtual_devices():
+  """The multi-chip path must scale past the 8-device test mesh (the
+  driver may dry-run at other widths)."""
+  script = (
+      "import jax\n"
+      "jax.config.update('jax_platforms','cpu')\n"
+      "import importlib.util\n"
+      "spec = importlib.util.spec_from_file_location('__graft_entry__',"
+      " '/root/repo/__graft_entry__.py')\n"
+      "m = importlib.util.module_from_spec(spec)\n"
+      "spec.loader.exec_module(m)\n"
+      "m.dryrun_multichip(16)\n"
+  )
+  env = dict(os.environ)
+  env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=16"
+  r = subprocess.run([sys.executable, "-c", script], env=env,
+                     capture_output=True, text=True, timeout=300)
+  assert "dryrun_multichip(16)" in r.stdout, (r.stdout[-1500:],
+                                              r.stderr[-1500:])
