@@ -409,15 +409,24 @@ class Val(Expr):
       if isinstance(v, (SpartanArray, jax.Array, np.ndarray)):
         self._aval = jax.ShapeDtypeStruct(
             v.shape, jax.dtypes.canonicalize_dtype(v.dtype))
+      elif isinstance(v, (bool, int, float, complex)):
+        # python scalars stay WEAK-typed (numpy semantics: f32_arr * 2.0
+        # keeps f32; a strong f64 scalar would promote it)
+        self._aval = jax.ShapeDtypeStruct(
+            (), jax.dtypes.canonicalize_dtype(np.result_type(v)),
+            weak_type=True)
       else:
         self._aval = jax.eval_shape(lambda: jnp.asarray(v))
     return self._aval
 
   def leaf_value(self):
-    """The jax array to bind as a jit argument."""
+    """The value to bind as a jit argument (python scalars pass through
+    raw so jax keeps their weak dtype)."""
     v = self.value
     if isinstance(v, SpartanArray):
       return v.data
+    if isinstance(v, (bool, int, float, complex)):
+      return v
     return jnp.asarray(v)
 
   def signature(self, memo):

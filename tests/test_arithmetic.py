@@ -128,3 +128,16 @@ def test_searchsorted(rng):
   q = rng.standard_normal(10)
   got = sp.searchsorted(sp.from_numpy(edges), sp.from_numpy(q)).glom()
   np.testing.assert_array_equal(got, np.searchsorted(edges, q))
+
+
+def test_python_scalar_weak_typing(rng):
+  """NumPy semantics: f32 array × python float stays f32 (a strong f64
+  scalar would promote it — the reference matches numpy here)."""
+  a32 = rng.standard_normal((8, 8)).astype(np.float32)
+  out = (sp.from_numpy(a32) * 2.0 + 1.0).evaluate()
+  assert out.dtype == np.float32, out.dtype
+  np.testing.assert_allclose(out.glom(), a32 * 2.0 + 1.0, rtol=1e-6)
+  # int array with python int scalar stays int
+  i32 = rng.integers(0, 100, (8, 8)).astype(np.int32)
+  out_i = (sp.from_numpy(i32) * 3 + 1).evaluate()
+  assert out_i.dtype == np.int32, out_i.dtype
