@@ -242,6 +242,112 @@ def spmm(A: SparseArray, B) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# Block-sparse (block-ELL / BSR): MXU-speed structured sparsity
+# ---------------------------------------------------------------------------
+
+class BlockSparseArray:
+  """Block-ELL: a (nbr × nbc) grid of ``bs×bs`` blocks, each block-row
+  storing up to ``max_blocks`` nonzero blocks.
+
+  Unstructured gathers are VPU-elementwise on TPU (~0.1 Gnnz/s); when the
+  sparsity is block-structured, SpMV becomes a batched 128×128 matvec on
+  the MXU — orders of magnitude faster.  This is the TPU answer to the
+  reference's C++ sparse kernels for matrices you control the layout of.
+  """
+
+  __slots__ = ("block_cols", "block_vals", "shape", "bs", "nnz_blocks")
+
+  def __init__(self, block_cols: jax.Array, block_vals: jax.Array,
+               shape: Tuple[int, int], bs: int, nnz_blocks: int):
+    self.block_cols = block_cols   # (nbr, max_blocks) int32
+    self.block_vals = block_vals   # (nbr, max_blocks, bs, bs)
+    self.shape = tuple(shape)
+    self.bs = int(bs)
+    self.nnz_blocks = int(nnz_blocks)
+
+  @property
+  def dtype(self):
+    return self.block_vals.dtype
+
+  def todense(self) -> np.ndarray:
+    n, m = self.shape
+    bs = self.bs
+    out = np.zeros(self.shape, dtype=self.block_vals.dtype)
+    bc = np.asarray(self.block_cols)
+    bv = np.asarray(self.block_vals)
+    for r in range(bc.shape[0]):
+      for j in range(bc.shape[1]):
+        c = int(bc[r, j])
+        blk = bv[r, j]
+        # padding blocks are all-zero; adding them is a no-op
+        out[r * bs:(r + 1) * bs, c * bs:(c + 1) * bs] += blk
+    return out
+
+  def __repr__(self):
+    return (f"BlockSparseArray(shape={self.shape}, bs={self.bs}, "
+            f"nnz_blocks={self.nnz_blocks}, "
+            f"max_blocks/row={self.block_cols.shape[1]})")
+
+
+def from_scipy_bsr(mat, bs: int = 128, dtype=None) -> BlockSparseArray:
+  """Build block-ELL from any scipy matrix (dims must divide by ``bs``)."""
+  import scipy.sparse as ss
+  bsr = ss.bsr_matrix(ss.csr_matrix(mat), blocksize=(bs, bs))
+  n, m = bsr.shape
+  if n % bs or m % bs:
+    raise ValueError(f"shape {bsr.shape} not divisible by block size {bs}")
+  nbr = n // bs
+  counts = np.diff(bsr.indptr)
+  max_blocks = max(int(counts.max()) if nbr else 0, 1)
+  bc = np.zeros((nbr, max_blocks), dtype=np.int32)
+  bv = np.zeros((nbr, max_blocks, bs, bs), dtype=dtype or bsr.dtype)
+  for r in range(nbr):
+    s, e = bsr.indptr[r], bsr.indptr[r + 1]
+    bc[r, : e - s] = bsr.indices[s:e]
+    bv[r, : e - s] = bsr.data[s:e]
+  return BlockSparseArray(jnp.asarray(bc), jnp.asarray(bv), (n, m), bs,
+                          int(bsr.indptr[-1]))
+
+
+@jax.jit
+def _bsr_spmv(block_cols, block_vals, x):
+  nbr, mb, bs, _ = block_vals.shape
+  xb = x.reshape(-1, bs)                      # (nbc, bs)
+  gathered = jnp.take(xb, block_cols, axis=0)  # (nbr, mb, bs)
+  # batched block matvec on the MXU
+  y = jnp.einsum("rmij,rmj->ri", block_vals, gathered,
+                 preferred_element_type=block_vals.dtype
+                 if block_vals.dtype == jnp.float64 else jnp.float32)
+  return y.reshape(-1).astype(block_vals.dtype)
+
+
+def bsr_spmv(A: BlockSparseArray, x) -> jax.Array:
+  """y = A @ x over block-ELL tiles (MXU batched matvec)."""
+  xj = jnp.asarray(x)
+  if xj.shape[0] != A.shape[1]:
+    raise ValueError(f"bsr_spmv dim mismatch: A is {A.shape}, x has "
+                     f"{xj.shape[0]} rows")
+  return _bsr_spmv(A.block_cols, A.block_vals,
+                   xj.astype(A.block_vals.dtype))
+
+
+def bsr_spmm(A: BlockSparseArray, B) -> jax.Array:
+  """Y = A @ B: batched 128×128 block matmuls on the MXU."""
+  Bj = jnp.asarray(B)
+  if Bj.shape[0] != A.shape[1]:
+    raise ValueError(f"bsr_spmm dim mismatch: A is {A.shape}, B has "
+                     f"{Bj.shape[0]} rows")
+  bs = A.bs
+  k = Bj.shape[1]
+  Bb = Bj.reshape(-1, bs, k)                       # (nbc, bs, k)
+  gathered = jnp.take(Bb, A.block_cols, axis=0)    # (nbr, mb, bs, k)
+  y = jnp.einsum("rmij,rmjk->rik", A.block_vals.astype(Bj.dtype), gathered,
+                 preferred_element_type=jnp.float32
+                 if Bj.dtype != jnp.float64 else None)
+  return y.reshape(A.shape[0], k).astype(Bj.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Lazy-expr integration: SpMV as a DAG node
 # ---------------------------------------------------------------------------
 

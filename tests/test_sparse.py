@@ -125,3 +125,45 @@ def test_sparse_save_load(tmp_path):
   back = sps.load_sparse(str(tmp_path / "sp"))
   np.testing.assert_allclose(back.todense(), A.toarray(), atol=1e-12)
   assert back.nnz == S.nnz and back.shape == S.shape
+
+
+class TestBlockSparse:
+  """Block-ELL (BSR): MXU-path structured sparsity."""
+
+  def _mk(self, rng, nbr=4, nbc=3, bs=8, density=0.4):
+    import scipy.sparse as ss
+    n, m = nbr * bs, nbc * bs
+    dense = np.zeros((n, m))
+    for r in range(nbr):
+      for c in range(nbc):
+        if rng.random() < density:
+          dense[r*bs:(r+1)*bs, c*bs:(c+1)*bs] = rng.standard_normal((bs, bs))
+    return dense
+
+  def test_roundtrip(self, rng):
+    dense = self._mk(rng)
+    B = sps.from_scipy_bsr(dense, bs=8)
+    np.testing.assert_allclose(B.todense(), dense, atol=1e-12)
+
+  def test_spmv_matches(self, rng):
+    dense = self._mk(rng)
+    B = sps.from_scipy_bsr(dense, bs=8)
+    x = rng.standard_normal(dense.shape[1])
+    got = np.asarray(sps.bsr_spmv(B, x))
+    np.testing.assert_allclose(got, dense @ x, atol=1e-9)
+
+  def test_spmm_matches(self, rng):
+    dense = self._mk(rng)
+    B = sps.from_scipy_bsr(dense, bs=8)
+    X = rng.standard_normal((dense.shape[1], 5))
+    got = np.asarray(sps.bsr_spmm(B, X))
+    np.testing.assert_allclose(got, dense @ X, atol=1e-9)
+
+  def test_indivisible_shape_rejected(self, rng):
+    with pytest.raises(ValueError):
+      sps.from_scipy_bsr(np.ones((10, 10)), bs=8)
+
+  def test_dim_mismatch_rejected(self, rng):
+    B = sps.from_scipy_bsr(self._mk(rng), bs=8)
+    with pytest.raises(ValueError):
+      sps.bsr_spmv(B, np.ones(7))
