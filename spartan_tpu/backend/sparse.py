@@ -210,8 +210,10 @@ def _spmv_jit(cols, vals, x):
   return _spmv_ell(cols, vals, x)
 
 
-def spmv(A: SparseArray, x, use_pallas: Optional[bool] = None) -> jax.Array:
-  """y = A @ x for a SparseArray and dense vector."""
+def spmv(A, x, use_pallas: Optional[bool] = None) -> jax.Array:
+  """y = A @ x for a SparseArray / BlockSparseArray and dense vector."""
+  if isinstance(A, BlockSparseArray):
+    return bsr_spmv(A, x)
   xj = jnp.asarray(x, dtype=jnp.promote_types(A.dtype, np.asarray(x).dtype)
                    if not isinstance(x, jax.Array) else x.dtype)
   if xj.shape[0] != A.shape[1]:

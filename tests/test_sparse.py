@@ -167,3 +167,12 @@ class TestBlockSparse:
     B = sps.from_scipy_bsr(self._mk(rng), bs=8)
     with pytest.raises(ValueError):
       sps.bsr_spmv(B, np.ones(7))
+
+
+def test_spmv_routes_blocksparse(rng):
+  dense = np.zeros((16, 16))
+  dense[:8, 8:] = rng.standard_normal((8, 8))
+  B = sps.from_scipy_bsr(dense, bs=8)
+  x = rng.standard_normal(16)
+  np.testing.assert_allclose(np.asarray(sps.spmv(B, x)), dense @ x,
+                             atol=1e-9)
