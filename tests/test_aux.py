@@ -167,3 +167,20 @@ def test_learn_fuzzy_and_als(rng):
   R = U0 @ V0.T
   a = ALS(n_factors=4, iterations=8, reg=0.01).fit(R)
   assert np.abs(a.predict() - R).mean() < 0.1
+
+
+def test_eager_debug_mode(rng):
+  """--eager evaluates every node at construction (reference debug flag)."""
+  from spartan_tpu.config import FLAGS
+  FLAGS.eager = True
+  try:
+    a = sp.from_numpy(rng.standard_normal((8, 8)))
+    b = (a + 1.0) * 2.0
+    assert b._cache is not None  # evaluated immediately
+    s = sp.sum(b)
+    assert s._cache is not None
+    np.testing.assert_allclose(
+        np.asarray(s.glom()),
+        ((a.value.glom() + 1.0) * 2.0).sum(), rtol=1e-12)
+  finally:
+    FLAGS.eager = False
