@@ -23,6 +23,7 @@ from typing import Any, Callable, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from spartan_tpu.expr.base import EmitCtx, Expr, lazify
 from spartan_tpu.expr.local import FnCallExpr, LocalExpr, LocalInput
@@ -89,9 +90,49 @@ def map1(a, fn: Callable, **kw) -> MapExpr:
   return map([a], fn, fn_kw=kw or None)
 
 
+def _numpy_promoting(fn: Callable) -> Callable:
+  """Wrap a binary ufunc so mixed STRONG dtypes promote by NumPy's rules
+  (value-preserving: int32+float32→float64) instead of jax's lattice
+  (int32+float32→float32).  Weak (python-scalar) operands keep jax's
+  numpy-compatible weak behavior; exotic dtypes (bfloat16) pass through.
+  Promotions canonicalize, so the TPU x64-off fast path is unchanged."""
+  name = getattr(fn, "__name__", "")
+  int_div = name in ("true_divide", "divide")
+
+  def wrapped(x, y):
+    if not hasattr(x, "dtype") or not hasattr(y, "dtype"):
+      return fn(x, y)  # raw python scalar: weak by definition
+    wx = bool(getattr(x, "weak_type", False))
+    wy = bool(getattr(y, "weak_type", False))
+    try:
+      kx = np.dtype(x.dtype).kind
+      ky = np.dtype(y.dtype).kind
+    except TypeError:
+      return fn(x, y)  # bfloat16 etc: jax rules
+    if not wx and not wy and kx in "biufc" and ky in "biufc":
+      dt = np.result_type(x.dtype, y.dtype)
+      if int_div and dt.kind in "biu":
+        dt = np.dtype(np.float64)  # numpy: int / int → float64
+      dt = jax.dtypes.canonicalize_dtype(dt)
+      return fn(x.astype(dt), y.astype(dt))
+    return fn(x, y)
+
+  wrapped.__name__ = name or "binary"
+  wrapped.__qualname__ = f"np_promoting_{name}"
+  return wrapped
+
+
+_PROMOTING_CACHE = {}
+
+
 def map2(a, b, fn: Callable) -> MapExpr:
-  """Binary map; scalar operands stay inline as leaf values."""
-  return map([a, b], fn)
+  """Binary map with NumPy promotion semantics; scalar operands stay
+  inline as weak-typed leaf values."""
+  wrapped = _PROMOTING_CACHE.get(fn)
+  if wrapped is None:
+    wrapped = _numpy_promoting(fn)
+    _PROMOTING_CACHE[fn] = wrapped
+  return map([a, b], wrapped)
 
 
 def map_with_location(inputs, fn: Callable, fn_kw=None) -> MapWithLocationExpr:
