@@ -349,6 +349,18 @@ class Expr:
   def __ne__(self, o): return self._binop(o, jnp.not_equal)
   __hash__ = None  # type: ignore[assignment]  # like np.ndarray
 
+  def __and__(self, o): return self._binop(o, jnp.bitwise_and)
+  def __rand__(self, o): return self._binop(o, jnp.bitwise_and, True)
+  def __or__(self, o): return self._binop(o, jnp.bitwise_or)
+  def __ror__(self, o): return self._binop(o, jnp.bitwise_or, True)
+  def __xor__(self, o): return self._binop(o, jnp.bitwise_xor)
+  def __rxor__(self, o): return self._binop(o, jnp.bitwise_xor, True)
+  def __invert__(self):
+    from spartan_tpu.expr.map import map1
+    return map1(self, jnp.bitwise_not)
+  def __lshift__(self, o): return self._binop(o, jnp.left_shift)
+  def __rshift__(self, o): return self._binop(o, jnp.right_shift)
+
   def __getitem__(self, idx) -> "Expr":
     from spartan_tpu.expr.slice import make_slice
     return make_slice(self, idx)

@@ -204,6 +204,13 @@ greater_equal = _binary(jnp.greater_equal, "greater_equal")
 logical_and = _binary(jnp.logical_and, "logical_and")
 logical_or = _binary(jnp.logical_or, "logical_or")
 logical_xor = _binary(jnp.logical_xor, "logical_xor")
+bitwise_and = _binary(jnp.bitwise_and, "bitwise_and")
+bitwise_or = _binary(jnp.bitwise_or, "bitwise_or")
+bitwise_xor = _binary(jnp.bitwise_xor, "bitwise_xor")
+left_shift = _binary(jnp.left_shift, "left_shift")
+right_shift = _binary(jnp.right_shift, "right_shift")
+invert = _unary(jnp.bitwise_not, "invert")
+bitwise_not = invert
 
 
 def round(v, decimals=0) -> Expr:
@@ -284,6 +291,20 @@ def nansum(v, axis=None) -> Expr:
   return reduce_mod.reduce(v, "nansum", axis=axis)
 
 
+def nanmean(v, axis=None) -> Expr:
+  v = lazify(v)
+  cnt = sum(astype(logical_not(isnan(v)), np.float64), axis=axis)
+  return nansum(v, axis=axis) / cnt
+
+
+def nanmax(v, axis=None) -> Expr:
+  return reduce_mod.reduce(v, "nanmax", axis=axis)
+
+
+def nanmin(v, axis=None) -> Expr:
+  return reduce_mod.reduce(v, "nanmin", axis=axis)
+
+
 def norm(v, ord=2, axis=None) -> Expr:
   """Vector 2-norm / matrix Frobenius norm (numpy.linalg.norm defaults)."""
   v = lazify(v)
@@ -308,6 +329,14 @@ def cumsum(v, axis=None) -> Expr:
 
 def cumprod(v, axis=None) -> Expr:
   return scan_mod.scan(v, "prod", axis=axis)
+
+
+def cummax(v, axis=None) -> Expr:
+  return scan_mod.scan(v, "max", axis=axis)
+
+
+def cummin(v, axis=None) -> Expr:
+  return scan_mod.scan(v, "min", axis=axis)
 
 
 scan = scan_mod.scan
@@ -528,13 +557,16 @@ __all__ = [
     "conj", "add", "subtract", "multiply", "divide", "true_divide",
     "floor_divide", "mod", "power", "maximum", "minimum", "arctan2", "hypot",
     "equal", "not_equal", "less", "less_equal", "greater", "greater_equal",
-    "logical_and", "logical_or", "logical_xor", "round", "clip", "where",
+    "logical_and", "logical_or", "logical_xor", "bitwise_and", "bitwise_or",
+    "bitwise_xor", "bitwise_not", "invert", "left_shift", "right_shift",
+    "round", "clip", "where",
     "astype",
     # reductions
     "sum", "prod", "mean", "std", "var", "max", "min", "argmax", "argmin",
-    "all", "any", "count_nonzero", "nansum", "norm", "ptp",
+    "all", "any", "count_nonzero", "nansum", "nanmean", "nanmax", "nanmin",
+    "norm", "ptp",
     # scans
-    "cumsum", "cumprod", "scan",
+    "cumsum", "cumprod", "cummax", "cummin", "scan",
     # linalg
     "dot", "outer", "tensordot", "matmul", "vdot", "einsum", "diag", "diagonal",
     "trace", "tril", "triu",

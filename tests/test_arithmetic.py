@@ -141,3 +141,33 @@ def test_python_scalar_weak_typing(rng):
   i32 = rng.integers(0, 100, (8, 8)).astype(np.int32)
   out_i = (sp.from_numpy(i32) * 3 + 1).evaluate()
   assert out_i.dtype == np.int32, out_i.dtype
+
+
+def test_bitwise_operators(rng):
+  a = rng.standard_normal((8, 8))
+  m1, m2 = a > 0, a < 0.5
+  s1, s2 = sp.from_numpy(m1), sp.from_numpy(m2)
+  Assert.all_eq(s1 & s2, m1 & m2)
+  Assert.all_eq(s1 | s2, m1 | m2)
+  Assert.all_eq(s1 ^ s2, m1 ^ m2)
+  Assert.all_eq(~s1, ~m1)
+  # combined with comparison sugar (the numpy mask idiom)
+  sa = sp.from_numpy(a)
+  Assert.all_eq((sa > 0) & (sa < 0.5), (a > 0) & (a < 0.5))
+  i = rng.integers(0, 64, (8,)).astype(np.int64)
+  si = sp.from_numpy(i)
+  Assert.all_eq(si << 2, i << 2)
+  Assert.all_eq(si >> 1, i >> 1)
+  Assert.all_eq(sp.bitwise_and(si, 0xF), i & 0xF)
+
+
+def test_nan_reductions_and_scans(rng):
+  a = rng.standard_normal((8, 8))
+  a[0, 0] = np.nan
+  sa = sp.from_numpy(a)
+  Assert.all_close(sp.nanmean(sa), np.nanmean(a), rtol=1e-12)
+  Assert.all_eq(sp.nanmax(sa), np.nanmax(a))
+  Assert.all_eq(sp.nanmin(sa, axis=0), np.nanmin(a, axis=0))
+  b = rng.standard_normal((16,))
+  Assert.all_eq(sp.cummax(sp.from_numpy(b)), np.maximum.accumulate(b))
+  Assert.all_eq(sp.cummin(sp.from_numpy(b)), np.minimum.accumulate(b))
