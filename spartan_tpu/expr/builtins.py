@@ -1,4 +1,4 @@
-"""The NumPy-compatible builtin surface (~70 functions).
+"""The NumPy-compatible builtin surface (147 functions).
 
 TPU-native rebuild of the reference's builtins (reference:
 ``spartan/expr/builtins.py`` + per-op files — the NumPy-style API built
