@@ -153,12 +153,11 @@ def _out_shardings(root: Expr):
       return e.tiling_hint.sharding
     return None
 
+  # per-leaf None = "let XLA choose" — mixed pytrees are supported
   if isinstance(root, DictExpr):
-    out = {k: sh(v) for k, v in zip(root.keys, root.vals)}
-    return None if any(v is None for v in out.values()) else out
+    return {k: sh(v) for k, v in zip(root.keys, root.vals)}
   if isinstance(root, ListExpr):
-    out = tuple(sh(v) for v in root.vals)
-    return None if any(v is None for v in out) else out
+    return tuple(sh(v) for v in root.vals)
   return sh(root)
 
 
