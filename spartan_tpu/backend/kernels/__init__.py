@@ -9,4 +9,5 @@ elementwise+reduce (config 1 roofline target) and the ELL SpMV (config 5).
 All kernels run in interpret mode on CPU (tests) and compiled on TPU.
 """
 
-from spartan_tpu.backend.kernels import fused_reduce, matmul, spmv_pallas
+from spartan_tpu.backend.kernels import (fused_reduce, matmul,
+                                         spmv_pallas, stencil_pallas)

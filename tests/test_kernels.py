@@ -104,3 +104,26 @@ def test_const_fold_unlocks_scalar_leaves(rng):
   np.testing.assert_allclose(
       float(((sp.ones((16, 16)) + sp.from_numpy(bn) * 2.0).sum()).glom()),
       (1.0 + bn * 2.0).sum(), rtol=1e-12)
+
+
+def test_pallas_stencil3x3(rng):
+  from spartan_tpu.backend.kernels import stencil_pallas
+  x = rng.standard_normal((64, 96)).astype(np.float32)
+  coeffs = (0.0, 1.0, 0.0, 1.0, -4.0, 1.0, 0.0, 1.0, 0.0)  # laplacian
+  got = np.asarray(stencil_pallas.stencil3x3(jnp.asarray(x), coeffs,
+                                             interpret=True))
+  xp = np.pad(x, 1)
+  want = sum(coeffs[di * 3 + dj] * xp[di:di + 64, dj:dj + 96]
+             for di in range(3) for dj in range(3))
+  np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_stencil_ragged_fallback(rng):
+  from spartan_tpu.backend.kernels import stencil_pallas
+  x = rng.standard_normal((13, 20)).astype(np.float32)  # 13 % 8 != 0
+  coeffs = tuple(float(v) for v in rng.standard_normal(9))
+  got = np.asarray(stencil_pallas.stencil3x3(jnp.asarray(x), coeffs))
+  xp = np.pad(x, 1)
+  want = sum(coeffs[di * 3 + dj] * xp[di:di + 13, dj:dj + 20]
+             for di in range(3) for dj in range(3))
+  np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
