@@ -6,14 +6,17 @@ products and sparse scatter-merge (reference: ``spartan/sparse/``,
 PageRank workload (config 5).
 
 TPU-native redesign: scipy's index-chasing CSR loops are hostile to the
-MXU/VPU, so the on-device format is **padded ELL** — ``cols``/``vals`` as
-dense ``(rows, max_nnz)`` arrays (pad entries point at column 0 with value
-0).  SpMV is then a dense gather + multiply + row-sum: static shapes, fully
-vectorized, row-shardable over the mesh with a replicated ``x`` (comm-free
-except the final nothing — each shard owns its output rows).  A BCOO view
-is kept for interop with ``jax.experimental.sparse`` and for the Pallas
-SpMV kernel (``backend/kernels``) which double-buffers ELL rows through
-VMEM on TPU.
+MXU/VPU, so two dense-layout formats replace CSR on device:
+
+* **padded ELL** (:class:`SparseArray`) — ``cols``/``vals`` as dense
+  ``(rows, max_nnz)`` arrays (pad entries point at column 0 with value 0).
+  SpMV is a dense gather + multiply + row-sum: static shapes, fully
+  vectorized, row-shardable over the mesh with a replicated ``x``
+  (owner-computes, comm-free).  Random gathers are VPU-elementwise on TPU
+  (~0.1 Gnnz/s) — the unstructured-sparsity limit.
+* **block-ELL / BSR** (:class:`BlockSparseArray`) — for block-structured
+  matrices: batched ``bs×bs`` block matvecs on the MXU (157 Gnnz/s
+  measured on v5e, ~1000× the scalar path).
 
 Host-side construction goes through scipy CSR; the C extension
 (``spartan_tpu/_ext``) accelerates the CSR merge used when building tiles
