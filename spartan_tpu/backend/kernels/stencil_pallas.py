@@ -21,28 +21,29 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(coeffs, bm, m, x_ref, o_ref):
-  i = pl.program_id(0)
+def _kernel(coeffs, bm, bc, x_ref, o_ref):
+  i, j = pl.program_id(0), pl.program_id(1)
 
   def body(scratch, sem):
-    # slab rows [i*bm, i*bm + bm + 2) of the padded input: the block plus
-    # one halo row above and below (always in-bounds — input is pre-padded)
+    # slab = the output block plus its halo, rounded up to Mosaic's (8,128)
+    # DMA tile alignment (the input is padded so slabs stay in bounds)
     dma = pltpu.make_async_copy(
-        x_ref.at[pl.ds(i * bm, bm + 2), :], scratch, sem)
+        x_ref.at[pl.ds(i * bm, bm + 8), pl.ds(j * bc, bc + 128)],
+        scratch, sem)
     dma.start()
     dma.wait()
-    acc = jnp.zeros((bm, m), scratch.dtype)
+    acc = jnp.zeros((bm, bc), scratch.dtype)
     for di in range(3):
       for dj in range(3):
         c = coeffs[di * 3 + dj]
         if c == 0.0:
           continue
-        acc = acc + c * scratch[di:di + bm, dj:dj + m]
+        acc = acc + c * scratch[di:di + bm, dj:dj + bc]
     o_ref[:] = acc
 
   pl.run_scoped(
       body,
-      scratch=pltpu.VMEM((bm + 2, m + 2), x_ref.dtype),
+      scratch=pltpu.VMEM((bm + 8, bc + 128), x_ref.dtype),
       sem=pltpu.SemaphoreType.DMA(()),
   )
 
@@ -64,19 +65,27 @@ def stencil3x3(x: jax.Array, coeffs: Sequence[float],
   assert len(coeffs) == 9
   n, m = x.shape
   bm = _pick_bm(n)
-  xp = jnp.pad(x, 1)
-  if not bm:
+  bc = min(m, 1024)
+  bc -= bc % 128
+  while bc > 128 and m % bc != 0:
+    bc -= 128
+  if m % 128 or m % max(bc, 1):
+    bc = 0
+  # Mosaic DMA slices must align to the (8, 128) tile: rows get 1 halo on
+  # top + 7 spare below; cols get 1 halo left + 127 spare right
+  xp = jnp.pad(x, ((1, 7), (1, 127)))
+  if not bm or not bc:
     # ragged fallback: shifted adds in plain XLA
     acc = jnp.zeros_like(x)
     for di in range(3):
       for dj in range(3):
         acc = acc + coeffs[di * 3 + dj] * xp[di:di + n, dj:dj + m]
-    return acc
+    return acc  # extra bottom pad rows never read (di+n <= n+2 < n+8)
   return pl.pallas_call(
-      functools.partial(_kernel, coeffs, bm, m),
-      grid=(n // bm,),
+      functools.partial(_kernel, coeffs, bm, bc),
+      grid=(n // bm, m // bc),
       in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-      out_specs=pl.BlockSpec((bm, m), lambda i: (i, 0),
+      out_specs=pl.BlockSpec((bm, bc), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((n, m), x.dtype),
       interpret=interpret,
