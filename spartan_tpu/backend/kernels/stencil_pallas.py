@@ -21,31 +21,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(coeffs, bm, bc, x_ref, o_ref):
+def _kernel(coeffs, bm, bc, x_ref, o_ref, scratch, sems):
+  """Double-buffered pipeline (pallas_guide: Double Buffering): scratch and
+  semaphores persist across the sequential grid, so each step overlaps the
+  NEXT slab's DMA with the current block's compute."""
   i, j = pl.program_id(0), pl.program_id(1)
+  nj = pl.num_programs(1)
+  step = i * nj + j
+  n_steps = pl.num_programs(0) * nj
+  slot = step % 2
+  nxt = (step + 1) % 2
 
-  def body(scratch, sem):
+  def slab_dma(slot_idx, bi, bj):
     # slab = the output block plus its halo, rounded up to Mosaic's (8,128)
     # DMA tile alignment (the input is padded so slabs stay in bounds)
-    dma = pltpu.make_async_copy(
-        x_ref.at[pl.ds(i * bm, bm + 8), pl.ds(j * bc, bc + 128)],
-        scratch, sem)
-    dma.start()
-    dma.wait()
-    acc = jnp.zeros((bm, bc), scratch.dtype)
-    for di in range(3):
-      for dj in range(3):
-        c = coeffs[di * 3 + dj]
-        if c == 0.0:
-          continue
-        acc = acc + c * scratch[di:di + bm, dj:dj + bc]
-    o_ref[:] = acc
+    return pltpu.make_async_copy(
+        x_ref.at[pl.ds(bi * bm, bm + 8), pl.ds(bj * bc, bc + 128)],
+        scratch.at[slot_idx], sems.at[slot_idx])
 
-  pl.run_scoped(
-      body,
-      scratch=pltpu.VMEM((bm + 8, bc + 128), x_ref.dtype),
-      sem=pltpu.SemaphoreType.DMA(()),
-  )
+  @pl.when(step == 0)
+  def _():
+    slab_dma(slot, i, j).start()
+
+  @pl.when(step + 1 < n_steps)
+  def _():
+    ni = jnp.where(j + 1 < nj, i, i + 1)
+    njj = jnp.where(j + 1 < nj, j + 1, 0)
+    slab_dma(nxt, ni, njj).start()
+
+  slab_dma(slot, i, j).wait()
+  acc = jnp.zeros((bm, bc), x_ref.dtype)
+  for di in range(3):
+    for dj in range(3):
+      c = coeffs[di * 3 + dj]
+      if c == 0.0:
+        continue
+      acc = acc + c * scratch[slot, di:di + bm, dj:dj + bc]
+  o_ref[:] = acc
 
 
 def _pick_bm(n: int) -> int:
@@ -88,5 +100,9 @@ def stencil3x3(x: jax.Array, coeffs: Sequence[float],
       out_specs=pl.BlockSpec((bm, bc), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((n, m), x.dtype),
+      scratch_shapes=[
+          pltpu.VMEM((2, bm + 8, bc + 128), x.dtype),
+          pltpu.SemaphoreType.DMA((2,)),
+      ],
       interpret=interpret,
   )(xp)
