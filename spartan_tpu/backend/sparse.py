@@ -112,10 +112,12 @@ def from_scipy(mat, dtype=None) -> SparseArray:
   max_nnz = max(int(counts.max()) if n else 0, 1)
   cols = np.zeros((n, max_nnz), dtype=np.int32)
   vals = np.zeros((n, max_nnz), dtype=dtype or csr.dtype)
-  for i in range(n):
-    s, e = csr.indptr[i], csr.indptr[i + 1]
-    cols[i, : e - s] = csr.indices[s:e]
-    vals[i, : e - s] = csr.data[s:e]
+  if csr.nnz:
+    # vectorized ELL fill (a python per-row loop is seconds at 1M rows)
+    row_idx = np.repeat(np.arange(n), counts)
+    pos_in_row = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], counts)
+    cols[row_idx, pos_in_row] = csr.indices
+    vals[row_idx, pos_in_row] = csr.data
   return SparseArray(jnp.asarray(cols), jnp.asarray(vals), (n, m),
                      int(csr.nnz))
 
@@ -306,10 +308,12 @@ def from_scipy_bsr(mat, bs: int = 128, dtype=None) -> BlockSparseArray:
   max_blocks = max(int(counts.max()) if nbr else 0, 1)
   bc = np.zeros((nbr, max_blocks), dtype=np.int32)
   bv = np.zeros((nbr, max_blocks, bs, bs), dtype=dtype or bsr.dtype)
-  for r in range(nbr):
-    s, e = bsr.indptr[r], bsr.indptr[r + 1]
-    bc[r, : e - s] = bsr.indices[s:e]
-    bv[r, : e - s] = bsr.data[s:e]
+  nb = int(bsr.indptr[-1])
+  if nb:
+    row_idx = np.repeat(np.arange(nbr), counts)
+    pos = np.arange(nb) - np.repeat(bsr.indptr[:-1], counts)
+    bc[row_idx, pos] = bsr.indices
+    bv[row_idx, pos] = bsr.data
   return BlockSparseArray(jnp.asarray(bc), jnp.asarray(bv), (n, m), bs,
                           int(bsr.indptr[-1]))
 
