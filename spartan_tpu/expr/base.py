@@ -365,6 +365,12 @@ class Expr:
     from spartan_tpu.expr.slice import make_slice
     return make_slice(self, idx)
 
+  def __setitem__(self, idx, value):
+    raise TypeError(
+        "exprs are immutable; use the functional update instead:\n"
+        "  new = spartan_tpu.assign(arr, idx, value)        # set\n"
+        "  new = spartan_tpu.write(arr, idx, value, np.add) # merge")
+
   def __repr__(self):
     try:
       sd = f"shape={self.shape}, dtype={self.dtype}"

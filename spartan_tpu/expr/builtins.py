@@ -518,6 +518,13 @@ def take_along_axis(v, indices, axis) -> Expr:
              fn_kw={"axis": axis})
 
 
+def digitize(x, bins, right=False) -> Expr:
+  """Bin indices (numpy.digitize semantics via searchsorted)."""
+  side = "left" if right else "right"
+  return map([lazify(bins), lazify(x)], jnp.searchsorted,
+             fn_kw={"side": side})
+
+
 def searchsorted(v, queries, side="left") -> Expr:
   return map([lazify(v), lazify(queries)], jnp.searchsorted,
              fn_kw={"side": side})
@@ -576,7 +583,7 @@ __all__ = [
     "broadcast_to",
     # sort/search
     "sort", "argsort", "percentile", "median", "bincount", "unique",
-    "histogram", "take_along_axis", "searchsorted",
+    "histogram", "take_along_axis", "searchsorted", "digitize",
     "nonzero",
     # stencil
     "stencil", "maxpool", "avgpool",

@@ -171,3 +171,18 @@ def test_nan_reductions_and_scans(rng):
   b = rng.standard_normal((16,))
   Assert.all_eq(sp.cummax(sp.from_numpy(b)), np.maximum.accumulate(b))
   Assert.all_eq(sp.cummin(sp.from_numpy(b)), np.minimum.accumulate(b))
+
+
+def test_setitem_raises_helpfully(rng):
+  a = sp.from_numpy(rng.standard_normal((4, 4)))
+  with pytest.raises(TypeError, match="assign"):
+    a[0] = 1.0
+
+
+def test_digitize(rng):
+  bins = np.array([0.0, 1.0, 2.5, 4.0])
+  x = rng.uniform(-1, 5, 50)
+  got = sp.digitize(sp.from_numpy(x), sp.from_numpy(bins)).glom()
+  np.testing.assert_array_equal(got, np.digitize(x, bins))
+  got_r = sp.digitize(sp.from_numpy(x), sp.from_numpy(bins), right=True).glom()
+  np.testing.assert_array_equal(got_r, np.digitize(x, bins, right=True))
