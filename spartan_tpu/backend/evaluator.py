@@ -215,7 +215,14 @@ def evaluate(expr: Expr):
       raw_leaves = _collect_leaves(expr)
       args = [raw_leaves[i].leaf_value() if kind == "raw" else const
               for kind, i, const in recipe]
-      out = compiled(*args)
+      if FLAGS.profile_kernels:
+        with Timer("region") as t:
+          out = compiled(*args)
+          jax.block_until_ready(out)
+        log_info("region %s (fast lane): %.4fs", type(expr).__name__,
+                 t.elapsed)
+      else:
+        out = compiled(*args)
       result = _wrap_like(wrap_root, expr, out)
       expr._cache = result
       return result
