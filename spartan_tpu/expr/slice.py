@@ -88,6 +88,60 @@ class BooleanMaskExpr(Expr):
     return from_numpy(src[mask])
 
 
+class MultiIndexExpr(Expr):
+  """Advanced indexing with a tuple mixing arrays and basic parts
+  (``x[rows, cols]``, ``x[rows, 1:5]``) — traced, static output shape.
+  The tuple structure lives in ``template`` (array slots marked by
+  position); array parts are child exprs."""
+
+  _members = ("inputs",)
+  _params = ("template",)
+
+  _SLOT = "__array_slot__"
+
+  def __init__(self, src, parts):
+    template = []
+    arrays = []
+    for p in parts:
+      if isinstance(p, Expr) or isinstance(p, (np.ndarray, list)):
+        template.append(self._SLOT)
+        arrays.append(lazify(p))
+      else:
+        template.append(p)
+    super().__init__(inputs=[lazify(src)] + arrays, template=tuple(template))
+
+  def _emit(self, ctx: EmitCtx, deps: List[Any]):
+    src = deps[0]
+    arrays = list(deps[1:])
+    idx = []
+    for t in self.template:
+      if t == self._SLOT:
+        a = arrays.pop(0)
+        idx.append(a.astype(jnp.int32) if a.dtype.kind in "iu" else a)
+      else:
+        idx.append(t)
+    return src[tuple(idx)]
+
+
+def _tuple_has_array(idx) -> bool:
+  return isinstance(idx, tuple) and any(
+      isinstance(p, (Expr, np.ndarray, list)) for p in idx)
+
+
+def _tuple_has_bool(idx) -> bool:
+  for p in idx:
+    if isinstance(p, Expr):
+      try:
+        if np.dtype(p.dtype).kind == "b":
+          return True
+      except NotShapeable:
+        return True
+    elif isinstance(p, (np.ndarray, list)):
+      if np.asarray(p).dtype.kind == "b":
+        return True
+  return False
+
+
 def make_slice(src, idx) -> Expr:
   """Dispatch ``src[idx]`` to the right expr node (reference
   ``Expr.__getitem__``)."""
@@ -95,4 +149,20 @@ def make_slice(src, idx) -> Expr:
     return BooleanMaskExpr(src, idx)
   if _is_basic(idx):
     return SliceExpr(src, idx)
+  if _tuple_has_array(idx):
+    if _tuple_has_bool(idx):
+      # boolean inside a tuple: data-dependent shape → eager numpy
+      from spartan_tpu.expr.fio import HostExpr
+      parts = [p for p in idx if isinstance(p, (Expr, np.ndarray, list))]
+      template = tuple("__array_slot__" if isinstance(
+          p, (Expr, np.ndarray, list)) else p for p in idx)
+
+      def host_index(s, *arrays):
+        arrays = list(arrays)
+        full = tuple(arrays.pop(0) if t == "__array_slot__" else t
+                     for t in template)
+        return s[full]
+
+      return HostExpr([src] + parts, host_index)
+    return MultiIndexExpr(src, idx)
   return FancyIndexExpr(src, idx)

@@ -74,3 +74,28 @@ def test_write_assign(a):
   want2 = a.copy()
   want2[0:3, 0:4] = src
   Assert.all_eq(out2, want2)
+
+
+def test_multi_array_indexing(a):
+  """x[rows, cols] advanced indexing (pairs, not outer product)."""
+  sa = sp.from_numpy(a)
+  rows = np.array([0, 3, 5])
+  cols = np.array([1, 4, 2])
+  Assert.all_eq(sa[sp.from_numpy(rows), sp.from_numpy(cols)], a[rows, cols])
+  # raw numpy arrays in the tuple work too
+  Assert.all_eq(sa[rows, cols], a[rows, cols])
+
+
+def test_mixed_array_slice_indexing(a):
+  sa = sp.from_numpy(a)
+  rows = np.array([[0], [2], [5]])
+  Assert.all_eq(sa[rows, 3], a[rows, 3])
+  got = sa[np.array([1, 2]), 2:6]
+  Assert.all_eq(got, a[np.array([1, 2]), 2:6])
+
+
+def test_bool_in_tuple_goes_eager(a):
+  sa = sp.from_numpy(a)
+  mask = a[:, 0] > 0
+  got = sa[sp.from_numpy(mask), 3].glom()
+  np.testing.assert_allclose(got, a[mask, 3], atol=1e-12)
