@@ -1,0 +1,72 @@
+"""sp.fori_loop: whole iterative workloads in ONE compiled program, built
+from lazy exprs (the generic form of the examples' fused loops)."""
+
+import numpy as np
+import pytest
+
+import spartan_tpu as sp
+from spartan_tpu.backend import evaluator
+
+
+def test_linreg_loop_matches_stepwise(rng):
+  X_np = rng.standard_normal((128, 8))
+  y_np = rng.standard_normal(128)
+  X, y = sp.from_numpy(X_np), sp.from_numpy(y_np)
+
+  w = sp.fori_loop(
+      30, lambda w: w - 0.05 * sp.dot(X.T, sp.dot(X, w) - y) * (2.0 / 128),
+      sp.zeros((8,)))
+  wn = np.zeros(8)
+  for _ in range(30):
+    wn = wn - 0.05 * (2.0 / 128) * (X_np.T @ (X_np @ wn - y_np))
+  np.testing.assert_allclose(np.asarray(w.glom()), wn, atol=1e-12)
+
+
+def test_tuple_carry(rng):
+  a_np = rng.standard_normal(16)
+
+  def body(s, c):
+    return s + sp.from_numpy(a_np), c * 2.0
+
+  s, c = sp.fori_loop(4, body, (sp.zeros((16,)), sp.ones(())))
+  np.testing.assert_allclose(np.asarray(s.glom()), 4 * a_np, atol=1e-12)
+  assert float(c.glom()) == 16.0
+
+
+def test_one_compile_total(rng):
+  evaluator.clear_cache()
+  before = dict(evaluator.stats)
+  X = sp.from_numpy(rng.standard_normal((64, 4)))
+  w = sp.fori_loop(50, lambda w: w + sp.sum(X, axis=0) * 1e-3,
+                   sp.zeros((4,)))
+  w.glom()
+  # only the init/const evaluations hit the evaluator; the 50 iterations
+  # never touch it (they live inside one lax.fori_loop)
+  assert evaluator.stats["evals"] - before["evals"] <= 3
+
+
+def test_shape_change_rejected(rng):
+  X = sp.from_numpy(rng.standard_normal((8, 4)))
+  with pytest.raises(ValueError, match="shape"):
+    sp.fori_loop(3, lambda w: sp.dot(X, w), sp.zeros((4,)))
+
+
+def test_symbolic_leaf_cannot_escape(rng):
+  from spartan_tpu.expr.loop import SymbolicVal
+  import jax
+  sym = SymbolicVal(jax.ShapeDtypeStruct((4,), np.float64))
+  with pytest.raises(RuntimeError, match="carry placeholder"):
+    (sym + 1.0).evaluate()
+
+
+def test_pagerank_via_fori(rng):
+  from spartan_tpu.examples import pagerank
+  M = pagerank.make_link_matrix(64, seed=2)
+  sM = sp.from_numpy(M)
+  n = 64
+  r = sp.fori_loop(25, lambda r: sp.dot(sM, r) * 0.85 + 0.15 / n,
+                   sp.ones((n,)) / n)
+  rn = np.ones(n) / n
+  for _ in range(25):
+    rn = 0.85 * M @ rn + 0.15 / n
+  np.testing.assert_allclose(np.asarray(r.glom()), rn, atol=1e-12)
