@@ -27,44 +27,66 @@ from spartan_tpu.expr.base import EmitCtx, Expr, lazify
 
 
 class ShuffleExpr(Expr):
-  """``fn(*inputs, coords) -> (indices, values)`` scattered into a zeroed
-  (or provided) target with a combiner."""
+  """``fn(*inputs, coords) -> (indices, values)`` scattered into a zeroed,
+  filled, or provided target array with a combiner."""
 
   _members = ("inputs",)
-  _params = ("fn", "target_shape", "reducer", "fn_kw", "out_dtype", "init")
+  _params = ("fn", "target_shape", "reducer", "fn_kw", "out_dtype", "init",
+             "has_target")
 
   def __init__(self, inputs, fn: Callable, target_shape: Sequence[int],
-               reducer=None, fn_kw=None, out_dtype=None, init=None):
+               reducer=None, fn_kw=None, out_dtype=None, init=None,
+               target=None, has_target: bool = False):
     if isinstance(inputs, Expr) or not isinstance(inputs, (list, tuple)):
       inputs = [inputs]
-    super().__init__(inputs=[lazify(v) for v in inputs], fn=fn,
+    inputs = [lazify(v) for v in inputs]
+    if target is not None:
+      # reference parity: updates merge INTO an existing array
+      inputs = inputs + [lazify(target)]
+      has_target = True
+      target_shape = tuple(int(s) for s in inputs[-1].shape)
+    super().__init__(inputs=inputs, fn=fn,
                      target_shape=tuple(int(s) for s in target_shape),
                      reducer=canonical_reducer(reducer),
-                     fn_kw=dict(fn_kw or {}), out_dtype=out_dtype, init=init)
+                     fn_kw=dict(fn_kw or {}), out_dtype=out_dtype,
+                     init=init, has_target=has_target)
 
   def _emit(self, ctx: EmitCtx, deps: List[Any]):
-    x = deps[0]
+    if self.has_target:
+      data_deps, target = deps[:-1], deps[-1]
+    else:
+      data_deps, target = deps, None
+    x = data_deps[0]
     coords = tuple(
         jax.lax.broadcasted_iota(jnp.int32, x.shape, d)
         for d in range(x.ndim))
-    indices, values = self.fn(*deps, coords, **self.fn_kw)
+    indices, values = self.fn(*data_deps, coords, **self.fn_kw)
     if not isinstance(indices, tuple):
       indices = (indices,)
-    dt = self.out_dtype or values.dtype
-    if self.init is not None:
-      init = jnp.full(self.target_shape, self.init, dtype=dt)
+    if target is not None:
+      base = target
+      dt = target.dtype
     else:
-      init = jnp.zeros(self.target_shape, dtype=dt)
-    at = init.at[indices]
+      dt = self.out_dtype or values.dtype
+      if self.init is not None:
+        base = jnp.full(self.target_shape, self.init, dtype=dt)
+      else:
+        base = jnp.zeros(self.target_shape, dtype=dt)
+    at = base.at[indices]
     op = self.reducer
     if op == "set":
       return at.set(values.astype(dt))
     return getattr(at, op)(values.astype(dt))
 
 
-def shuffle(v, fn: Callable, target_shape: Sequence[int], reducer=np.add,
-            fn_kw=None, out_dtype=None, init=None) -> ShuffleExpr:
+def shuffle(v, fn: Callable, target_shape: Sequence[int] = None,
+            reducer=np.add, fn_kw=None, out_dtype=None, init=None,
+            target=None) -> ShuffleExpr:
   """Scatter-reduce ``fn``'s emitted ``(indices, values)`` into a fresh
-  target of ``target_shape`` using ``reducer``."""
-  return ShuffleExpr(v, fn, target_shape, reducer=reducer, fn_kw=fn_kw,
-                     out_dtype=out_dtype, init=init)
+  target of ``target_shape`` — or merge into an existing ``target`` array
+  (the reference's update-a-DistArray form) — using ``reducer``."""
+  if target is None and target_shape is None:
+    raise ValueError("shuffle needs target_shape or target")
+  return ShuffleExpr(v, fn, target_shape or (), reducer=reducer,
+                     fn_kw=fn_kw, out_dtype=out_dtype, init=init,
+                     target=target)

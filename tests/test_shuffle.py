@@ -87,3 +87,28 @@ def test_scatter_into_reduce_fusion(rng):
 
   total = sp.shuffle(sv, emit, target_shape=(5,), reducer=np.add).sum()
   assert total.glom() == 50.0
+
+
+def test_shuffle_into_existing_target(rng):
+  """Reference form: updates merged into an existing array."""
+  base = rng.standard_normal((5, 3))
+  vals = rng.standard_normal((20, 3))
+  buckets = rng.integers(0, 5, 20)
+  sb = sp.from_numpy(base)
+
+  def emit(p, l, coords):
+    rows = jnp.broadcast_to(l[:, None], p.shape)
+    return (rows, coords[1]), p
+
+  got = sp.shuffle([sp.from_numpy(vals), sp.from_numpy(buckets)], emit,
+                   reducer=np.add, target=sb).glom()
+  want = base.copy()
+  np.add.at(want, buckets, vals)
+  np.testing.assert_allclose(got, want, atol=1e-12)
+  # functional: base untouched
+  np.testing.assert_array_equal(sb.glom(), base)
+
+
+def test_shuffle_requires_shape_or_target():
+  with pytest.raises(ValueError):
+    sp.shuffle(sp.ones((4,)), lambda x, c: ((c[0],), x))
