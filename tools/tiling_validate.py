@@ -1,0 +1,76 @@
+"""Smart-tiling calibration: does the cost-model's chosen layout actually
+beat adversarial layouts on the measured workload?
+
+Runs on the virtual CPU mesh (or real hardware); prints one line per case:
+planned-layout time vs worst-adversarial time.  Not a CI test (timing);
+``python tools/tiling_validate.py``.
+"""
+
+import os, sys, time
+
+os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import spartan_tpu as sp
+from spartan_tpu.core.tiling import Tiling
+from spartan_tpu.expr import smart_tiling as st
+
+
+def timed(build, reps=5):
+  e = build()
+  e.glom()          # compile
+  ts = []
+  for _ in range(reps):
+    t0 = time.perf_counter()
+    build().glom()  # fresh DAG → fast lane → measured run
+    ts.append(time.perf_counter() - t0)
+  return min(ts)
+
+
+def with_layouts(arrs, specs):
+  mesh = sp.get_mesh()
+  return [a.reshard(Tiling(mesh, s)) for a, s in zip(arrs, specs)]
+
+
+def case(name, make_exprs, leaf_arrays, adversarial_specs):
+  # planner
+  planned = [sp.Val(a) for a in leaf_arrays]
+  expr = make_exprs(*planned)
+  plan = st.plan(expr)
+  st.apply_plan(expr, plan)
+  t_planned = timed(lambda: make_exprs(*[sp.Val(l.value) for l in planned]))
+  # adversarial
+  bad = with_layouts(leaf_arrays, adversarial_specs)
+  t_bad = timed(lambda: make_exprs(*[sp.Val(b) for b in bad]))
+  verdict = "OK " if t_planned <= t_bad * 1.25 else "WORSE"
+  print(f"{verdict} {name}: planned {t_planned*1e3:7.2f} ms  "
+        f"adversarial {t_bad*1e3:7.2f} ms  (plan cost {plan.cost:.3g})")
+
+
+def main():
+  sp.initialize(["--log_level=40"])
+  rng = np.random.default_rng(0)
+  n = 2048
+
+  A = sp.from_numpy(rng.standard_normal((n, n))).value
+  B = sp.from_numpy(rng.standard_normal((n, n))).value
+  case("matmul AB", lambda a, b: sp.dot(a, b),
+       [A, B], [P(None, ("x", "y")), P(None, ("x", "y"))])
+
+  X = sp.from_numpy(rng.standard_normal((n * 4, 64))).value
+  w = sp.from_numpy(rng.standard_normal(64)).value
+  case("gradient X^T(Xw)", lambda x, ww: sp.dot(x.T, sp.dot(x, ww)),
+       [X, w], [P(None, ("x", "y")), P()])
+
+  C = sp.from_numpy(rng.standard_normal((n, n))).value
+  D = sp.from_numpy(rng.standard_normal((n, n))).value
+  case("elementwise chain", lambda c, d: ((c + d) * 2.0 - d).sum(),
+       [C, D], [P(("x", "y"), None), P(None, ("x", "y"))])
+
+
+if __name__ == "__main__":
+  main()
