@@ -59,6 +59,110 @@ class SymbolicVal(Val):
     return sig
 
 
+def _compile_carry_body(body_out_exprs, syms):
+  """Shared plumbing: compile expr outputs over symbolic carries into a
+  jax fn ``step(carries, consts)`` plus the captured constant leaves."""
+  from spartan_tpu.expr import optimize as opt_mod
+  roots = [opt_mod.optimize(e) for e in body_out_exprs]
+  const_leaves: List[Val] = []
+  seen = set()
+  sym_ids = {s.expr_id for s in syms}
+
+  def collect(e: Expr):
+    if e.expr_id in seen:
+      return
+    seen.add(e.expr_id)
+    if isinstance(e, Val):
+      if e.expr_id not in sym_ids:
+        const_leaves.append(e)
+      return
+    for c in e.children():
+      collect(c)
+
+  for r in roots:
+    collect(r)
+  const_pos = {l.expr_id: i for i, l in enumerate(const_leaves)}
+  sym_pos = {s.expr_id: i for i, s in enumerate(syms)}
+  ctx = EmitCtx(abstract=False)
+
+  def step(carries, consts):
+    env = {}
+
+    def emit(e: Expr):
+      if e.expr_id in env:
+        return env[e.expr_id]
+      if e.expr_id in sym_pos:
+        v = carries[sym_pos[e.expr_id]]
+      elif isinstance(e, Val):
+        v = consts[const_pos[e.expr_id]]
+      else:
+        v = e._emit(ctx, [emit(c) for c in e.children()])
+      env[e.expr_id] = v
+      return v
+
+    return tuple(emit(r) for r in roots)
+
+  return step, const_leaves
+
+
+def while_loop(cond: Callable, body: Callable, init,
+               max_iters: int = None) -> Any:
+  """``while cond(carry): carry = body(carry)`` entirely on device.
+
+  ``cond`` builds a scalar-bool lazy expr over the symbolic carry; ``body``
+  as in :func:`fori_loop`.  Data-dependent stopping without host syncs —
+  e.g. CG iterating to tolerance in one compiled program.  ``max_iters``
+  (optional) adds an iteration-count guard to the condition.
+  """
+  is_tuple = isinstance(init, (tuple, list))
+  inits = list(init) if is_tuple else [init]
+  init_arrs = [lazify(v).evaluate() for v in inits]
+  syms = [SymbolicVal(jax.ShapeDtypeStruct(a.shape, a.dtype))
+          for a in init_arrs]
+  args = syms if is_tuple else [syms[0]]
+
+  body_out = body(*args)
+  body_outs = list(body_out) if isinstance(body_out, (tuple, list)) else [
+      body_out]
+  body_exprs = [lazify(o) for o in body_outs]
+  for o, a in zip(body_exprs, init_arrs):
+    if tuple(o.shape) != tuple(a.shape):
+      raise ValueError(f"carry shape changed in body: {a.shape} -> "
+                       f"{o.shape}")
+  cond_expr = lazify(cond(*args))
+  if tuple(cond_expr.shape) != ():
+    raise ValueError(f"cond must produce a scalar, got {cond_expr.shape}")
+
+  body_step, body_consts = _compile_carry_body(body_exprs, syms)
+  cond_step, cond_consts = _compile_carry_body([cond_expr], syms)
+  body_vals = [l.leaf_value() for l in body_consts]
+  cond_vals = [l.leaf_value() for l in cond_consts]
+  init_vals = tuple(a.data for a in init_arrs)
+
+  @jax.jit
+  def run(init_vals, body_vals, cond_vals):
+    def cond_fn(state):
+      k, carries = state
+      keep = cond_step(carries, cond_vals)[0].astype(jnp.bool_)
+      if max_iters is not None:
+        keep = jnp.logical_and(keep, k < max_iters)
+      return keep
+
+    def body_fn(state):
+      k, carries = state
+      return k + 1, body_step(carries, body_vals)
+
+    _, final = jax.lax.while_loop(cond_fn, body_fn,
+                                  (jnp.zeros((), jnp.int32), init_vals))
+    return final
+
+  final = run(init_vals, tuple(body_vals), tuple(cond_vals))
+  results = [SpartanArray(v, a.tiling if tuple(v.shape) == tuple(a.shape)
+                          else None)
+             for v, a in zip(final, init_arrs)]
+  return tuple(results) if is_tuple else results[0]
+
+
 def fori_loop(n: int, body: Callable, init) -> Any:
   """Run ``carry = body(carry)`` ``n`` times in ONE compiled program.
 

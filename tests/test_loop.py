@@ -70,3 +70,48 @@ def test_pagerank_via_fori(rng):
   for _ in range(25):
     rn = 0.85 * M @ rn + 0.15 / n
   np.testing.assert_allclose(np.asarray(r.glom()), rn, atol=1e-12)
+
+
+def test_while_loop_counts(rng):
+  out = sp.while_loop(lambda c: sp.sum(c) < 10.0,
+                      lambda c: c + 1.0,
+                      sp.zeros((2,)))
+  np.testing.assert_allclose(np.asarray(out.glom()), [5.0, 5.0])
+
+
+def test_while_loop_cg_to_tolerance(rng):
+  """CG iterating to tolerance entirely on device."""
+  from spartan_tpu.examples.cg import make_spd
+  A_np, b_np, x_true = make_spd(32, seed=6)
+  A, b = sp.from_numpy(A_np), sp.from_numpy(b_np)
+
+  def cond(x, r, p, rs):
+    return sp.sqrt(rs) > 1e-10
+
+  def body(x, r, p, rs):
+    Ap = sp.dot(A, p)
+    alpha = rs / sp.dot(p, Ap)
+    x2 = x + alpha * p
+    r2 = r - alpha * Ap
+    rs2 = sp.dot(r2, r2)
+    p2 = r2 + (rs2 / rs) * p
+    return x2, r2, p2, rs2
+
+  x0 = sp.zeros((32,))
+  r0 = sp.from_numpy(b_np)
+  x, r, p, rs = sp.while_loop(cond, body,
+                              (x0, r0, sp.from_numpy(b_np),
+                               sp.from_numpy(np.asarray(b_np @ b_np))),
+                              max_iters=200)
+  np.testing.assert_allclose(np.asarray(x.glom()), x_true, atol=1e-7)
+
+
+def test_while_loop_max_iters(rng):
+  out = sp.while_loop(lambda c: sp.sum(c) < 1e9, lambda c: c + 1.0,
+                      sp.zeros(()), max_iters=7)
+  assert float(out.glom()) == 7.0
+
+
+def test_while_cond_must_be_scalar(rng):
+  with pytest.raises(ValueError, match="scalar"):
+    sp.while_loop(lambda c: c > 0, lambda c: c - 1.0, sp.ones((4,)))
