@@ -34,6 +34,35 @@ def solve(A, b, iterations: int = 50, tol: float = 1e-10):
   return x.evaluate()
 
 
+def solve_fused(A, b, tol: float = 1e-10, max_iters: int = 1000):
+  """CG entirely on device: one compiled ``sp.while_loop`` iterating to
+  tolerance — zero per-step host syncs (contrast :func:`solve`, which
+  like the reference pulls alpha/beta to the driver every iteration)."""
+  A, b = sp.lazify(A), sp.lazify(b)
+  n = b.shape[0]
+  b_arr = b.evaluate()
+
+  def cond(x, r, p, rs):
+    return sp.sqrt(rs) > tol
+
+  def body(x, r, p, rs):
+    Ap = sp.dot(A, p)
+    alpha = rs / sp.dot(p, Ap)
+    x2 = x + alpha * p
+    r2 = r - alpha * Ap
+    rs2 = sp.dot(r2, r2)
+    p2 = r2 + (rs2 / rs) * p
+    return x2, r2, p2, rs2
+
+  rs0 = sp.dot(b, b).evaluate()
+  x, r, p, rs = sp.while_loop(
+      cond, body,
+      (sp.zeros((n,), dtype=np.float64), sp.Val(b_arr), sp.Val(b_arr),
+       sp.Val(rs0)),
+      max_iters=max_iters)
+  return x
+
+
 def make_spd(n: int = 128, seed: int = 0):
   rng = np.random.default_rng(seed)
   Q = rng.standard_normal((n, n))

@@ -207,3 +207,9 @@ def test_netflix_sgd_matmul_equals_scatter(rng):
                              atol=1e-10)
   np.testing.assert_allclose(np.asarray(v1.glom()), np.asarray(v2.glom()),
                              atol=1e-10)
+
+
+def test_cg_solve_fused_matches():
+  A, b, x_true = cg.make_spd(48, seed=10)
+  x = cg.solve_fused(sp.from_numpy(A), sp.from_numpy(b), tol=1e-11)
+  np.testing.assert_allclose(np.asarray(x.glom()), x_true, atol=1e-7)
