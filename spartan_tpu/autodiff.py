@@ -92,3 +92,36 @@ def jvp(expr: Expr, wrt: Sequence[Expr], tangents):
   primal, tangent = jax.jvp(fn, tuple(args),
                             tuple(jax.numpy.asarray(t) for t in tangents))
   return SpartanArray(primal), SpartanArray(tangent)
+
+
+def sgd_train(loss_expr: Expr, params: Sequence[Expr], lr: float,
+              steps: int, collect_losses: bool = False):
+  """One-compile SGD over ANY scalar lazy loss: differentiates the DAG
+  w.r.t. the ``params`` leaves and runs all ``steps`` updates inside a
+  single on-device ``lax.scan`` — the reference's per-step driver loop,
+  collapsed into one program.
+
+  Returns the updated params (SpartanArrays), plus the on-device loss
+  curve when ``collect_losses``.
+  """
+  import jax.numpy as jnp
+  from jax import lax
+
+  fn, args = as_function(loss_expr, params)
+  grad_fn = jax.value_and_grad(fn, argnums=tuple(range(len(args))))
+
+  @jax.jit
+  def run(args):
+    def step(ps, _):
+      loss, grads = grad_fn(*ps)
+      new = tuple(p - lr * g for p, g in zip(ps, grads))
+      return new, loss
+
+    final, losses = lax.scan(step, tuple(args), None, length=steps)
+    return final, losses
+
+  final, losses = run(tuple(args))
+  out = [SpartanArray(p) for p in final]
+  if collect_losses:
+    return out, SpartanArray(losses)
+  return out

@@ -245,3 +245,57 @@ def fori_loop(n: int, body: Callable, init) -> Any:
                           else None)
              for v, a in zip(final, init_arrs)]
   return tuple(results) if is_tuple else results[0]
+
+
+def scan_iters(n: int, body: Callable, init, collect: Callable = None
+               ) -> Tuple[Any, Any]:
+  """Like :func:`fori_loop`, but also returns per-iteration outputs
+  stacked along a leading axis (``lax.scan`` semantics): e.g. a loss
+  curve collected on device.
+
+  ``collect(carry_exprs...)`` builds the per-step lazy output (default:
+  the first carry).  Returns ``(final_carry, stacked_outputs)``.
+  """
+  is_tuple = isinstance(init, (tuple, list))
+  inits = list(init) if is_tuple else [init]
+  init_arrs = [lazify(v).evaluate() for v in inits]
+  syms = [SymbolicVal(jax.ShapeDtypeStruct(a.shape, a.dtype))
+          for a in init_arrs]
+  args = syms if is_tuple else [syms[0]]
+
+  out = body(*args)
+  outs = list(out) if isinstance(out, (tuple, list)) else [out]
+  body_exprs = [lazify(o) for o in outs]
+  for o, a in zip(body_exprs, init_arrs):
+    if tuple(o.shape) != tuple(a.shape):
+      raise ValueError(f"carry shape changed: {a.shape} -> {o.shape}")
+  if collect is None:
+    collect_exprs = [body_exprs[0]]
+  else:
+    c = collect(*args)
+    collect_exprs = [lazify(v) for v in (c if isinstance(c, (tuple, list))
+                                         else [c])]
+
+  step_all, consts = _compile_carry_body(body_exprs + collect_exprs, syms)
+  const_vals = tuple(l.leaf_value() for l in consts)
+  init_vals = tuple(a.data for a in init_arrs)
+  n_carry = len(body_exprs)
+
+  @jax.jit
+  def run(init_vals, const_vals):
+    def step(carries, _):
+      allv = step_all(carries, const_vals)
+      return allv[:n_carry], allv[n_carry:]
+
+    final, ys = jax.lax.scan(step, init_vals, None, length=n)
+    return final, ys
+
+  final, ys = run(init_vals, const_vals)
+  finals = [SpartanArray(v, a.tiling if tuple(v.shape) == tuple(a.shape)
+                         else None)
+            for v, a in zip(final, init_arrs)]
+  stacked = [SpartanArray(y) for y in ys]
+  f = tuple(finals) if is_tuple else finals[0]
+  s_out = tuple(stacked) if (collect is not None and isinstance(
+      collect(*args), (tuple, list))) else stacked[0]
+  return f, s_out

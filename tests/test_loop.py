@@ -115,3 +115,39 @@ def test_while_loop_max_iters(rng):
 def test_while_cond_must_be_scalar(rng):
   with pytest.raises(ValueError, match="scalar"):
     sp.while_loop(lambda c: c > 0, lambda c: c - 1.0, sp.ones((4,)))
+
+
+def test_scan_iters_collects(rng):
+  final, curve = sp.scan_iters(5, lambda c: c * 2.0, sp.ones(()))
+  assert float(final.glom()) == 32.0
+  np.testing.assert_allclose(np.asarray(curve.glom()), [2, 4, 8, 16, 32])
+
+
+def test_scan_iters_custom_collect(rng):
+  a_np = rng.standard_normal(8)
+  a = sp.from_numpy(a_np)
+  final, norms = sp.scan_iters(4, lambda c: c + a, sp.zeros((8,)),
+                               collect=lambda c: sp.norm(c + a))
+  want = [np.linalg.norm(k * a_np) for k in range(1, 5)]
+  np.testing.assert_allclose(np.asarray(norms.glom()), want, rtol=1e-10)
+
+
+def test_sgd_train_one_compile(rng):
+  """Generic one-compile SGD over a lazy loss DAG."""
+  from spartan_tpu import autodiff
+  X_np = rng.standard_normal((128, 6))
+  w_true = rng.standard_normal(6)
+  y_np = X_np @ w_true
+  X, y = sp.from_numpy(X_np), sp.from_numpy(y_np)
+  w = sp.from_numpy(np.zeros(6))
+  loss = sp.sum((sp.dot(X, w) - y) ** 2) / 128.0
+  (w_out,), losses = autodiff.sgd_train(loss, [w], lr=0.1, steps=200,
+                                        collect_losses=True)
+  curve = np.asarray(losses.glom())
+  assert curve[-1] < curve[0] * 1e-3
+  np.testing.assert_allclose(np.asarray(w_out.glom()), w_true, atol=1e-2)
+  # oracle: identical numpy SGD
+  wn = np.zeros(6)
+  for _ in range(200):
+    wn = wn - 0.1 * (2.0 / 128) * (X_np.T @ (X_np @ wn - y_np))
+  np.testing.assert_allclose(np.asarray(w_out.glom()), wn, atol=1e-10)
