@@ -72,6 +72,35 @@ def as_function(expr: Expr,
   return fn, args
 
 
+def compile_fn(expr: Expr, wrt: Sequence[Expr]):
+  """Precompile a DAG into a reusable callable over the ``wrt`` leaves —
+  the serving-style entry point: trace/compile once, then call with fresh
+  values (numpy / jax / SpartanArray) at device speed.
+
+      f = sp.compile(loss, wrt=[x_leaf])
+      out = f(new_batch)          # SpartanArray
+  """
+  fn, args = as_function(expr, wrt)
+  jitted = jax.jit(fn)
+  jitted(*args)  # compile now with the template shapes
+
+  shapes = [tuple(a.shape) for a in args]
+
+  def call(*new_vals):
+    if len(new_vals) != len(args):
+      raise TypeError(f"expected {len(args)} arguments, got {len(new_vals)}")
+    vals = []
+    for v, shp in zip(new_vals, shapes):
+      data = v.data if isinstance(v, SpartanArray) else v
+      if tuple(getattr(data, "shape", ())) != shp:
+        raise ValueError(f"argument shape {getattr(data, 'shape', None)} "
+                         f"!= compiled shape {shp}")
+      vals.append(data)
+    return SpartanArray(jitted(*vals))
+
+  return call
+
+
 def grad(expr: Expr, wrt: Sequence[Expr]):
   """Gradients of a scalar expr w.r.t. leaf exprs → SpartanArrays."""
   fn, args = as_function(expr, wrt)

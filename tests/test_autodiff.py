@@ -89,3 +89,21 @@ def test_remat_preserves_value_and_grad(rng):
   inner = sp.remat(sp.exp(x2) * 2.0)
   (g,) = autodiff.grad(sp.sum(inner), [x2])
   np.testing.assert_allclose(g.glom(), 2 * np.exp(x_np), rtol=1e-12)
+
+
+def test_compile_serving_entry(rng):
+  """sp.compile: trace once, call many times with fresh data."""
+  from spartan_tpu.backend import evaluator
+  x_np = rng.standard_normal((16, 8))
+  w_np = rng.standard_normal(8)
+  x, w = sp.from_numpy(x_np), sp.from_numpy(w_np)
+  f = sp.compile(sp.tanh(sp.dot(x, w)), wrt=[x])
+  for i in range(5):
+    fresh = rng.standard_normal((16, 8))
+    out = f(fresh)
+    np.testing.assert_allclose(np.asarray(out.glom()),
+                               np.tanh(fresh @ w_np), rtol=1e-12)
+  with pytest.raises(ValueError, match="shape"):
+    f(rng.standard_normal((4, 8)))
+  with pytest.raises(TypeError, match="argument"):
+    f()
