@@ -125,3 +125,40 @@ def test_fuzz_fast_lane_data_sweep(seed):
     want = (ne + a_np).sum()
     np.testing.assert_allclose(got, want, rtol=1e-9, atol=1e-9,
                                err_msg=f"seed={seed} variation={j}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_fuzz_grad_finite_difference(seed):
+  """Random differentiable DAGs: autodiff.grad vs central finite
+  differences."""
+  from spartan_tpu import autodiff
+  rng = np.random.default_rng(9000 + seed)
+  shape = (int(rng.integers(2, 6)), int(rng.integers(2, 6)))
+  x_np = rng.standard_normal(shape)
+  x = sp.from_numpy(x_np)
+
+  smooth_unary = [
+      (lambda v: sp.tanh(v), np.tanh),
+      (lambda v: sp.exp(sp.clip(v, -2, 2)), lambda v: np.exp(np.clip(v, -2, 2))),
+      (lambda v: v * v, lambda v: v * v),
+      (lambda v: v * 3.0 - 1.0, lambda v: v * 3.0 - 1.0),
+  ]
+  k1, k2 = rng.integers(0, len(smooth_unary), 2)
+  sfn1, nfn1 = smooth_unary[k1]
+  sfn2, nfn2 = smooth_unary[k2]
+  loss = sp.sum(sfn2(sfn1(x)))
+  (g,) = autodiff.grad(loss, [x])
+
+  def f(v):
+    return nfn2(nfn1(v)).sum()
+
+  eps = 1e-6
+  num = np.zeros_like(x_np)
+  it = np.nditer(x_np, flags=["multi_index"])
+  for _ in it:
+    idx = it.multi_index
+    hi = x_np.copy(); hi[idx] += eps
+    lo = x_np.copy(); lo[idx] -= eps
+    num[idx] = (f(hi) - f(lo)) / (2 * eps)
+  np.testing.assert_allclose(np.asarray(g.glom()), num, rtol=1e-4,
+                             atol=1e-6, err_msg=f"seed={seed}")
