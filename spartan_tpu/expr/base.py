@@ -427,9 +427,10 @@ class Val(Expr):
       if isinstance(v, (SpartanArray, jax.Array, np.ndarray)):
         self._aval = jax.ShapeDtypeStruct(
             v.shape, jax.dtypes.canonicalize_dtype(v.dtype))
-      elif isinstance(v, (bool, int, float, complex)):
-        # python scalars stay WEAK-typed (numpy semantics: f32_arr * 2.0
-        # keeps f32; a strong f64 scalar would promote it)
+      elif type(v) in (bool, int, float, complex):
+        # exact python scalars stay WEAK-typed (numpy semantics: f32_arr *
+        # 2.0 keeps f32).  numpy scalar types (np.float64 subclasses float!)
+        # are STRONG under NEP 50 and fall through to asarray below.
         self._aval = jax.ShapeDtypeStruct(
             (), jax.dtypes.canonicalize_dtype(np.result_type(v)),
             weak_type=True)
@@ -443,7 +444,7 @@ class Val(Expr):
     v = self.value
     if isinstance(v, SpartanArray):
       return v.data
-    if isinstance(v, (bool, int, float, complex)):
+    if type(v) in (bool, int, float, complex):
       return v
     return jnp.asarray(v)
 

@@ -228,8 +228,10 @@ class ConstFoldCreations:
           try:
             if (others and np_mod.broadcast_shapes(*others) ==
                 np_mod.broadcast_shapes(*shapes)):
+              # 0-d ndarray (not a python scalar): the fold must keep
+              # the creation's STRONG dtype or promotion changes
               new_inputs[i] = Val(np_mod.asarray(c.params["fill"],
-                                                 dtype=c.out_dtype)[()])
+                                                 dtype=c.out_dtype))
               changed = True
           except ValueError:
             continue

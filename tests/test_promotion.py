@@ -45,3 +45,30 @@ def test_comparison_yields_bool(rng):
   a = rng.standard_normal((4, 4))
   got = (sp.from_numpy(a) > 0).evaluate()
   assert got.dtype == np.bool_
+
+
+def test_const_fold_preserves_creation_dtype(rng):
+  """ones(f64) + f32_array must give f64 with the optimizer ON and OFF —
+  the const-fold pass must not weaken the fill's dtype."""
+  from spartan_tpu.config import FLAGS
+  b = rng.standard_normal((8, 8)).astype(np.float32)
+  on = (sp.ones((8, 8)) + sp.from_numpy(b)).evaluate()       # f64 creation
+  FLAGS.opt_const_fold = False
+  try:
+    off = (sp.ones((8, 8)) + sp.from_numpy(b)).evaluate()
+  finally:
+    FLAGS.opt_const_fold = True
+  assert on.dtype == off.dtype == np.float64, (on.dtype, off.dtype)
+  f32_on = (sp.ones((8, 8), dtype=np.float32) + sp.from_numpy(b)).evaluate()
+  assert f32_on.dtype == np.float32
+
+
+def test_numpy_scalar_is_strong(rng):
+  """NEP 50: np.float64 scalars are strong (promote f32 arrays), unlike
+  python floats."""
+  a32 = rng.standard_normal((4, 4)).astype(np.float32)
+  strong = (sp.from_numpy(a32) * sp.lazify(np.float64(2.0))).evaluate()
+  weak = (sp.from_numpy(a32) * 2.0).evaluate()
+  assert strong.dtype == np.float64, strong.dtype
+  assert weak.dtype == np.float32, weak.dtype
+  assert (a32 * np.float64(2.0)).dtype == np.float64  # numpy agrees
