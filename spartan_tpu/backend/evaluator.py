@@ -190,9 +190,13 @@ def evaluate(expr: Expr):
   _materialize_unshapeable(expr)
   _migrate_stray_leaves(expr)
 
+  from spartan_tpu.core.mesh import get_mesh
   from spartan_tpu.expr.base import semantic_flags_fingerprint
+  mesh = get_mesh()
+  mesh_key = (tuple(mesh.axis_names), tuple(mesh.devices.shape),
+              tuple(int(d.id) for d in mesh.devices.flat))
   flags_key = (semantic_flags_fingerprint(), FLAGS.use_pallas,
-               FLAGS.pallas_interpret, _opt_flags_fingerprint())
+               FLAGS.pallas_interpret, _opt_flags_fingerprint(), mesh_key)
 
   # -- fast lane: skip the optimizer when this structure was seen before.
   # Only valid when no interior node carries an eval cache (a cached

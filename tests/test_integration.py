@@ -115,3 +115,19 @@ def test_mixed_mesh_leaves_auto_migrate(rng, cluster):
     b = sp.from_numpy(np.full((8, 8), 2.0))
   got = float((a + b).sum().glom())
   assert got == 3.0 * 64
+
+
+def test_mesh_switch_does_not_hit_stale_cache(rng, cluster):
+  """Same DAG structure under a different active mesh must recompile for
+  the new mesh, not reuse a region pinned to the old devices."""
+  import jax
+  from spartan_tpu.core import mesh as mesh_mod
+  a_np = rng.standard_normal((16, 8))
+  r8 = (sp.from_numpy(a_np) * 2.0).evaluate()
+  assert len({s.device for s in r8.data.addressable_shards}) > 1
+  m4 = mesh_mod.make_mesh((4,), ("x",), devices=jax.devices()[4:8])
+  with sp.with_mesh(m4):
+    r4 = (sp.from_numpy(a_np) * 2.0).evaluate()
+    devs = {s.device for s in r4.data.addressable_shards}
+    assert devs <= set(jax.devices()[4:8]), devs
+  np.testing.assert_array_equal(r4.glom(), r8.glom())
