@@ -219,8 +219,9 @@ def spmv(A, x, use_pallas: Optional[bool] = None) -> jax.Array:
   """y = A @ x for a SparseArray / BlockSparseArray and dense vector."""
   if isinstance(A, BlockSparseArray):
     return bsr_spmv(A, x)
-  xj = jnp.asarray(x, dtype=jnp.promote_types(A.dtype, np.asarray(x).dtype)
-                   if not isinstance(x, jax.Array) else x.dtype)
+  want = (jnp.promote_types(A.dtype, np.asarray(x).dtype)
+          if not isinstance(x, jax.Array) else x.dtype)
+  xj = jnp.asarray(x, dtype=jax.dtypes.canonicalize_dtype(want))
   if xj.shape[0] != A.shape[1]:
     # jnp.take clamps out-of-bounds gathers silently — fail loudly instead
     raise ValueError(f"spmv dim mismatch: A is {A.shape}, x has "
