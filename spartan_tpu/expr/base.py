@@ -359,7 +359,10 @@ class Expr:
     from spartan_tpu.expr.map import map1
     return map1(self, jnp.bitwise_not)
   def __lshift__(self, o): return self._binop(o, jnp.left_shift)
+  def __rlshift__(self, o): return self._binop(o, jnp.left_shift, True)
   def __rshift__(self, o): return self._binop(o, jnp.right_shift)
+  def __rrshift__(self, o): return self._binop(o, jnp.right_shift, True)
+  def __pos__(self): return self
 
   def __getitem__(self, idx) -> "Expr":
     from spartan_tpu.expr.slice import make_slice
