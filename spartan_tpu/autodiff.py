@@ -86,6 +86,13 @@ def compile_fn(expr: Expr, wrt: Sequence[Expr]):
 
   shapes = [tuple(a.shape) for a in args]
 
+  def wrap(out):
+    if isinstance(out, dict):
+      return {k: SpartanArray(v) for k, v in out.items()}
+    if isinstance(out, (tuple, list)):
+      return type(out)(SpartanArray(v) for v in out)
+    return SpartanArray(out)
+
   def call(*new_vals):
     if len(new_vals) != len(args):
       raise TypeError(f"expected {len(args)} arguments, got {len(new_vals)}")
@@ -96,7 +103,7 @@ def compile_fn(expr: Expr, wrt: Sequence[Expr]):
         raise ValueError(f"argument shape {getattr(data, 'shape', None)} "
                          f"!= compiled shape {shp}")
       vals.append(data)
-    return SpartanArray(jitted(*vals))
+    return wrap(jitted(*vals))
 
   return call
 

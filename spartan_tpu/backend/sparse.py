@@ -67,6 +67,18 @@ class SparseArray:
       np.add.at(out[i], cols[i], vals[i])
     return out
 
+  def to_scipy(self):
+    """Export to scipy CSR (explicitly-stored zeros are dropped — the ELL
+    padding is indistinguishable from them)."""
+    import scipy.sparse as ss
+    n, k = self.cols.shape
+    rows = np.repeat(np.arange(n), k)
+    cols = np.asarray(self.cols).ravel()
+    vals = np.asarray(self.vals).ravel()
+    keep = vals != 0
+    return ss.coo_matrix((vals[keep], (rows[keep], cols[keep])),
+                         shape=self.shape).tocsr()
+
   def shard(self, mesh=None) -> "SparseArray":
     """Row-shard the ELL tiles over the mesh (owner-computes SpMV: each
     device holds its output rows' cols/vals; ``x`` stays replicated, so

@@ -107,3 +107,13 @@ def test_compile_serving_entry(rng):
     f(rng.standard_normal((4, 8)))
   with pytest.raises(TypeError, match="argument"):
     f()
+
+
+def test_compile_container_outputs(rng):
+  x_np = rng.standard_normal((8, 4))
+  x = sp.from_numpy(x_np)
+  f = sp.compile(sp.ListExpr([sp.sum(x, axis=0), sp.max(x)]), wrt=[x])
+  fresh = rng.standard_normal((8, 4))
+  s, m = f(fresh)
+  np.testing.assert_allclose(np.asarray(s.glom()), fresh.sum(0), atol=1e-12)
+  assert float(m.glom()) == fresh.max()

@@ -176,3 +176,12 @@ def test_spmv_routes_blocksparse(rng):
   x = rng.standard_normal(16)
   np.testing.assert_allclose(np.asarray(sps.spmv(B, x)), dense @ x,
                              atol=1e-9)
+
+
+def test_to_scipy_roundtrip(rng):
+  import scipy.sparse as ss
+  A = ss.random(32, 24, density=0.15,
+                random_state=np.random.RandomState(8), format="csr")
+  S = sps.from_scipy(A)
+  back = S.to_scipy()
+  np.testing.assert_allclose(back.toarray(), A.toarray(), atol=1e-12)
