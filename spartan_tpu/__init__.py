@@ -64,11 +64,11 @@ from spartan_tpu.expr.map import map, map_with_location  # noqa: E402
 from spartan_tpu.expr.shuffle import shuffle  # noqa: E402
 from spartan_tpu.expr.smart_tiling import smart_tile, plan as tiling_plan  # noqa: E402
 from spartan_tpu.expr.remat import remat  # noqa: E402
-from spartan_tpu.expr.loop import fori_loop, while_loop, scan_iters  # noqa: E402
+from spartan_tpu.expr.loop import fori_loop, while_loop, scan_iters, cond  # noqa: E402
 from spartan_tpu.autodiff import compile_fn as compile  # noqa: E402,A001
 
 __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "SpartanArray", "get_mesh", "make_mesh", "with_mesh", "Expr",
            "Val", "ListExpr", "TupleExpr", "DictExpr", "NotShapeable",
            "evaluate", "force", "lazify", "map", "map_with_location",
-           "shuffle", "smart_tile", "tiling_plan", "remat", "fori_loop", "while_loop", "scan_iters", "compile"] + list(_builtin_all)
+           "shuffle", "smart_tile", "tiling_plan", "remat", "fori_loop", "while_loop", "scan_iters", "cond", "compile"] + list(_builtin_all)

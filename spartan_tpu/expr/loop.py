@@ -299,3 +299,54 @@ def scan_iters(n: int, body: Callable, init, collect: Callable = None
   s_out = tuple(stacked) if (collect is not None and isinstance(
       collect(*args), (tuple, list))) else stacked[0]
   return f, s_out
+
+
+def cond(pred, true_fn: Callable, false_fn: Callable, operands) -> Any:
+  """Lazy conditional: evaluate ONE branch on device (``lax.cond``).
+
+  ``pred`` is a scalar lazy expr (or bool); branches are Expr-builders
+  over symbolic operands and must produce matching shapes/dtypes.
+  """
+  is_tuple = isinstance(operands, (tuple, list))
+  ops = list(operands) if is_tuple else [operands]
+  op_arrs = [lazify(v).evaluate() for v in ops]
+  syms = [SymbolicVal(jax.ShapeDtypeStruct(a.shape, a.dtype))
+          for a in op_arrs]
+  args = syms if is_tuple else [syms[0]]
+
+  def build(fn):
+    out = fn(*args)
+    outs = list(out) if isinstance(out, (tuple, list)) else [out]
+    return [lazify(o) for o in outs]
+
+  t_exprs = build(true_fn)
+  f_exprs = build(false_fn)
+  if len(t_exprs) != len(f_exprs):
+    raise ValueError("branches must return the same number of values")
+  for a, b in zip(t_exprs, f_exprs):
+    if tuple(a.shape) != tuple(b.shape):
+      raise ValueError(f"branch shapes differ: {a.shape} vs {b.shape}")
+
+  t_step, t_consts = _compile_carry_body(t_exprs, syms)
+  f_step, f_consts = _compile_carry_body(f_exprs, syms)
+  pred_expr = lazify(pred)
+  if tuple(pred_expr.shape) != ():
+    raise ValueError(f"pred must be scalar, got {pred_expr.shape}")
+  pred_val = pred_expr.evaluate().data
+
+  t_vals = tuple(l.leaf_value() for l in t_consts)
+  f_vals = tuple(l.leaf_value() for l in f_consts)
+  op_vals = tuple(a.data for a in op_arrs)
+
+  @jax.jit
+  def run(p, op_vals, t_vals, f_vals):
+    return jax.lax.cond(
+        p.astype(jnp.bool_),
+        lambda o: t_step(o, t_vals),
+        lambda o: f_step(o, f_vals),
+        op_vals)
+
+  out = run(pred_val, op_vals, t_vals, f_vals)
+  results = [SpartanArray(v) for v in out]
+  multi = isinstance(true_fn(*args), (tuple, list))
+  return tuple(results) if multi else results[0]

@@ -151,3 +151,27 @@ def test_sgd_train_one_compile(rng):
   for _ in range(200):
     wn = wn - 0.1 * (2.0 / 128) * (X_np.T @ (X_np @ wn - y_np))
   np.testing.assert_allclose(np.asarray(w_out.glom()), wn, atol=1e-10)
+
+
+def test_cond_branches(rng):
+  a_np = rng.standard_normal(8)
+  a = sp.from_numpy(a_np)
+  hi = sp.cond(sp.sum(a) > -1e9, lambda x: x * 2.0, lambda x: x * 0.5, a)
+  np.testing.assert_allclose(np.asarray(hi.glom()), a_np * 2.0, atol=1e-12)
+  lo = sp.cond(sp.sum(a) > 1e9, lambda x: x * 2.0, lambda x: x * 0.5, a)
+  np.testing.assert_allclose(np.asarray(lo.glom()), a_np * 0.5, atol=1e-12)
+
+
+def test_cond_tuple_operands(rng):
+  a, b = sp.ones((4,)), sp.full((4,), 3.0)
+  s, d = sp.cond(sp.sum(a) > 2.0,
+                 lambda x, y: (x + y, x - y),
+                 lambda x, y: (x * y, y / x), (a, b))
+  np.testing.assert_allclose(np.asarray(s.glom()), 4.0)
+  np.testing.assert_allclose(np.asarray(d.glom()), -2.0)
+
+
+def test_cond_shape_mismatch_rejected(rng):
+  a = sp.ones((4,))
+  with pytest.raises(ValueError, match="branch shapes"):
+    sp.cond(sp.sum(a) > 0, lambda x: x, lambda x: sp.sum(x), a)
