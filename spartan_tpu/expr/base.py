@@ -364,6 +364,26 @@ class Expr:
   def __rrshift__(self, o): return self._binop(o, jnp.right_shift, True)
   def __pos__(self): return self
 
+  def __bool__(self):
+    # numpy semantics: size-1 arrays are truthy-convertible (forces
+    # evaluation); larger arrays are ambiguous
+    if self.size != 1:
+      raise ValueError(
+          "The truth value of an array with more than one element is "
+          "ambiguous. Use sp.any()/sp.all() (this also forces evaluation "
+          "of the lazy expr).")
+    return bool(np.asarray(self.glom()).reshape(()))
+
+  def __float__(self):
+    if self.size != 1:
+      raise TypeError("only size-1 exprs convert to float")
+    return float(np.asarray(self.glom()).reshape(()))
+
+  def __int__(self):
+    if self.size != 1:
+      raise TypeError("only size-1 exprs convert to int")
+    return int(np.asarray(self.glom()).reshape(()))
+
   def __getitem__(self, idx) -> "Expr":
     from spartan_tpu.expr.slice import make_slice
     return make_slice(self, idx)

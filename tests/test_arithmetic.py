@@ -186,3 +186,17 @@ def test_digitize(rng):
   np.testing.assert_array_equal(got, np.digitize(x, bins))
   got_r = sp.digitize(sp.from_numpy(x), sp.from_numpy(bins), right=True).glom()
   np.testing.assert_array_equal(got_r, np.digitize(x, bins, right=True))
+
+
+def test_scalar_conversions(rng):
+  a = rng.standard_normal((4, 4))
+  sa = sp.from_numpy(a)
+  assert float(sp.sum(sa)) == pytest.approx(a.sum())
+  assert int(sp.from_numpy(np.int64(42))) == 42
+  if sp.sum(sa * 0.0 + 1.0) > 15.0:   # bool() of a scalar comparison
+    ok = True
+  assert ok
+  with pytest.raises(ValueError, match="ambiguous"):
+    bool(sa > 0)
+  with pytest.raises(TypeError):
+    float(sa)
