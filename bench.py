@@ -52,8 +52,8 @@ def _sync(x) -> float:
   return float(np.asarray(jax.device_get(x)).ravel()[0])
 
 
-def _slope_time(make_loop, k_lo: int = 8, k_hi: int = 24,
-                reps: int = 2):
+def _slope_time(make_loop, k_lo: int = 8, k_hi: int = 40,
+                reps: int = 3):
   """Marginal per-iteration seconds of ``make_loop(k)``.  ``k`` is a
   traced fori_loop bound, so ONE compile serves both K values."""
   lo, hi = make_loop(k_lo), make_loop(k_hi)
@@ -96,7 +96,8 @@ def bench_elementwise_reduce(n: int = 16384):
       return 2.0 * jnp.sum(b2, dtype=jnp.float32) + float(n) * n + 0.0 * c2
     return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
-  slope, t_lo, t_hi = _slope_time(lambda k: (lambda: loop(b, k)))
+  slope, t_lo, t_hi = _slope_time(lambda k: (lambda: loop(b, k)),
+                                  k_lo=8, k_hi=56, reps=4)
   bytes_moved = n * n * 4
   # hoist guard: if XLA hoisted the invariant body, the slope collapses
   hoisted = slope < bytes_moved / 2000e9  # implies >2 TB/s — impossible
