@@ -131,3 +131,68 @@ def test_mesh_switch_does_not_hit_stale_cache(rng, cluster):
     devs = {s.device for s in r4.data.addressable_shards}
     assert devs <= set(jax.devices()[4:8]), devs
   np.testing.assert_array_equal(r4.glom(), r8.glom())
+
+
+def test_loop_body_with_sparse_spmv(rng, cluster):
+  """spmv_expr inside a fori_loop body (sparse leaves become loop
+  constants)."""
+  import scipy.sparse as ss
+  from spartan_tpu.backend import sparse as sps
+  A = ss.random(24, 24, density=0.3,
+                random_state=np.random.RandomState(3), format="csr")
+  M = A / np.maximum(A.sum(0).A.ravel() if hasattr(A.sum(0), 'A')
+                     else np.asarray(A.sum(0)).ravel(), 1)
+  M = ss.csr_matrix(M)
+  S = sps.from_scipy(M)
+  r = sp.fori_loop(10, lambda r: sps.spmv_expr(S, r) * 0.9 + 0.1 / 24,
+                   sp.ones((24,)) / 24)
+  rn = np.ones(24) / 24
+  Mn = M.toarray()
+  for _ in range(10):
+    rn = 0.9 * (Mn @ rn) + 0.1 / 24
+  np.testing.assert_allclose(np.asarray(r.glom()), rn, atol=1e-12)
+
+
+def test_checkpoint_then_loop(rng, tmp_path):
+  """A checkpointed intermediate feeding a fori_loop body."""
+  a_np = rng.standard_normal((8, 8))
+  ck = sp.expr.checkpoint(sp.from_numpy(a_np) @ sp.from_numpy(a_np.T),
+                          str(tmp_path / "g"))
+  gram = ck.evaluate()   # materialize (and persist)
+  out = sp.fori_loop(3, lambda v: sp.dot(sp.Val(gram), v) * 0.1,
+                     sp.ones((8,)))
+  G = a_np @ a_np.T
+  want = np.ones(8)
+  for _ in range(3):
+    want = 0.1 * (G @ want)
+  np.testing.assert_allclose(np.asarray(out.glom()), want, rtol=1e-10)
+
+
+def test_smart_tile_then_loop(rng, cluster):
+  """smart_tile-placed leaves feed a fori_loop."""
+  X_np = rng.standard_normal((32, 8))
+  X = sp.from_numpy(X_np)
+  probe = sp.dot(X.T, sp.dot(X, sp.from_numpy(np.zeros(8))))
+  sp.smart_tile(probe)   # re-places X's underlying leaf copy
+  w = sp.fori_loop(5, lambda w: w - 0.01 * sp.dot(X.T, sp.dot(X, w)),
+                   sp.ones((8,)))
+  wn = np.ones(8)
+  for _ in range(5):
+    wn = wn - 0.01 * (X_np.T @ (X_np @ wn))
+  np.testing.assert_allclose(np.asarray(w.glom()), wn, atol=1e-12)
+
+
+def test_grad_of_loop_free_loss_with_remat(rng):
+  """autodiff through remat inside sgd_train."""
+  from spartan_tpu import autodiff
+  x_np = rng.standard_normal((32, 4))
+  y_np = rng.standard_normal(32)
+  w = sp.from_numpy(np.zeros(4))
+  X, y = sp.from_numpy(x_np), sp.from_numpy(y_np)
+  pred = sp.remat(sp.dot(X, w))
+  loss = sp.sum((pred - y) ** 2) / 32.0
+  (w2,) = autodiff.sgd_train(loss, [w], lr=0.1, steps=50)
+  wn = np.zeros(4)
+  for _ in range(50):
+    wn = wn - 0.1 * (2 / 32) * (x_np.T @ (x_np @ wn - y_np))
+  np.testing.assert_allclose(np.asarray(w2.glom()), wn, atol=1e-10)
