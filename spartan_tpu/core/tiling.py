@@ -117,7 +117,8 @@ def choose_spec(shape: Sequence[int], mesh: Mesh,
   """
   shape = tuple(int(s) for s in shape)
   axes = list(mesh.axis_names)
-  if not shape:
+  if not shape or any(s == 0 for s in shape):
+    # XLA treats empty arrays as replicated; any sharded spec conflicts
     return PartitionSpec()
   if split_dims is None:
     order = sorted(range(len(shape)), key=lambda i: -shape[i])

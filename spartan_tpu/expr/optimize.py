@@ -279,9 +279,12 @@ class AutoTiling:
 
   @staticmethod
   def _fits(spec: Optional[PartitionSpec], shape, mesh) -> bool:
-    """A spec fits when every sharded dim is evenly divisible."""
+    """A spec fits when every sharded dim is evenly divisible (and the
+    array is non-empty — XLA replicates empties unconditionally)."""
     if spec is None:
       return False
+    if any(s == 0 for s in shape):
+      return tuple(spec) == ()
     entries = tuple(spec)
     if len(entries) > len(shape):
       return False

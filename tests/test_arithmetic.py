@@ -200,3 +200,13 @@ def test_scalar_conversions(rng):
     bool(sa > 0)
   with pytest.raises(TypeError):
     float(sa)
+
+
+def test_empty_and_degenerate_arrays(rng):
+  e0 = sp.from_numpy(np.zeros((0, 4)))
+  assert float(sp.sum(e0).glom()) == 0.0
+  assert (e0 * 2.0).evaluate().shape == (0, 4)
+  z = sp.from_numpy(np.float64(5.0))     # 0-d
+  assert float((z * 2).glom()) == 10.0
+  one = sp.from_numpy(rng.standard_normal((1, 1)))
+  Assert.all_eq(one.T, one.value.glom().T)
