@@ -32,7 +32,11 @@ def dtype_for_reduction(dtype) -> np.dtype:
   dtype = np.dtype(dtype)
   if dtype.kind == "b":
     return np.dtype(np.int64)
-  if dtype.kind in "iu":
+  if dtype.kind == "u":
+    # numpy accumulates unsigned in uint64 (promote_types with int64
+    # would give int64/float64 — wrong sign/kind)
+    return np.promote_types(dtype, np.uint64)
+  if dtype.kind == "i":
     # numpy promotes sub-word ints to the default int accumulator
     return np.promote_types(dtype, np.int64)
   if dtype.kind == "f" and FLAGS.float64_reductions:

@@ -158,3 +158,16 @@ class TestAffineReduceRewrite:
     assert not is_const
     deps = [7.0, None, 3.0]
     assert a_fn(deps) == 3.0 and b_fn(deps) == 7.0
+
+
+def test_unsigned_accumulation(rng):
+  """numpy accumulates unsigned ints in uint64, signed in int64."""
+  for dt, want in [(np.uint16, np.uint64), (np.uint32, np.uint64),
+                   (np.uint64, np.uint64), (np.int16, np.int64),
+                   (np.int8, np.int64)]:
+    x = rng.integers(0, 50, (16,)).astype(dt)
+    got = sp.from_numpy(x).sum().glom()
+    assert got.dtype == np.sum(x).dtype == want, (dt, got.dtype)
+    assert got == np.sum(x)
+    gc = sp.cumsum(sp.from_numpy(x)).glom()
+    assert gc.dtype == np.cumsum(x).dtype, (dt, gc.dtype)
