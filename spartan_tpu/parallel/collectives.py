@@ -139,6 +139,9 @@ def stencil1d_halo(x, kernel, mesh: Optional[Mesh] = None):
   mesh = mesh or get_mesh()
   kernel = jnp.asarray(kernel)
   k = kernel.shape[0]
+  if k % 2 == 0:
+    raise ValueError(f"stencil1d_halo needs an odd-length kernel (got {k}) "
+                     "— 'SAME' centering is ambiguous for even lengths")
   halo = k // 2
   axes = _flat_axis(mesh)
   n = 1

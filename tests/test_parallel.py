@@ -96,3 +96,18 @@ def test_map_tiles_shape_guard(rng, cluster):
   arr = sp.from_numpy(rng.standard_normal((16, 8))).evaluate()
   with pytest.raises(Exception):
     map_tiles(arr, lambda b, ul: b[:1])
+
+
+def test_stencil1d_even_kernel_rejected(cluster):
+  with pytest.raises(ValueError, match="odd-length"):
+    stencil1d_halo(sp.from_numpy(np.ones((16, 2))).evaluate(),
+                   np.ones(4))
+
+
+def test_stencil1d_wider_kernel(rng, cluster):
+  a = rng.standard_normal((64, 3))
+  k = rng.standard_normal(5)
+  got = np.asarray(stencil1d_halo(sp.from_numpy(a).evaluate(), k))
+  padded = np.vstack([np.zeros((2, 3)), a, np.zeros((2, 3))])
+  want = sum(padded[i:i + 64] * k[i] for i in range(5))
+  np.testing.assert_allclose(got, want, atol=1e-12)
