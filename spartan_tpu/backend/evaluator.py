@@ -126,6 +126,68 @@ def _collect_leaves(root: Expr) -> List[Val]:
   return leaves
 
 
+class _StubVal(Val):
+  """Valueless leaf used inside compiled runners: keeps the structure the
+  runner traces over without pinning the original leaf's device buffer
+  for the lifetime of the compiled-region cache."""
+
+  _members = ()
+  _params = ()
+  _eager_skip = True  # never force-evaluated by --eager
+
+  def __init__(self, aval):
+    Expr.__init__(self)
+    self.value = None
+    self._stub_aval = aval
+
+  def aval(self):
+    return self._stub_aval
+
+  def leaf_value(self):
+    raise RuntimeError("stub leaf has no value (runner binds args "
+                       "positionally)")
+
+
+def _strip_leaf_values(root: Expr, leaves: List[Val]):
+  """Rebuild the DAG with stub leaves (same positional identity) so the
+  compiled closure holds no references to user device arrays."""
+  stubs = {l.expr_id: _StubVal(l.aval()) for l in leaves}
+  memo: Dict[int, Expr] = {}
+
+  def go(e: Expr) -> Expr:
+    hit = memo.get(e.expr_id)
+    if hit is not None:
+      return hit
+    if getattr(e, "_holds_subdag", False):
+      # nodes embedding a DAG in their params (RematExpr) bind their leaf
+      # inputs by identity — keep them (and their leaves) intact
+      memo[e.expr_id] = e
+      for l in e.children():
+        if isinstance(l, Val):
+          stubs.pop(l.expr_id, None)
+          memo[l.expr_id] = l
+      return e
+    if isinstance(e, Val):
+      out = stubs.get(e.expr_id, e)
+    else:
+      changed = {}
+      for name in e._members:
+        v = getattr(e, name)
+        if isinstance(v, Expr):
+          changed[name] = go(v)
+        elif isinstance(v, (list, tuple)):
+          changed[name] = [go(c) if isinstance(c, Expr) else c for c in v]
+      out = e.replace(**changed)
+      out.tiling_hint = e.tiling_hint
+    memo[e.expr_id] = out
+    return out
+
+  stripped = go(root)
+  # leaves under _holds_subdag nodes stay un-stubbed (identity preserved)
+  ordered_stubs = [stubs.get(l.expr_id, l) for l in leaves]
+  return stripped, ordered_stubs
+
+
 def _make_runner(root: Expr, leaf_index: Dict[int, int]) -> Callable:
   ctx = EmitCtx(abstract=False)
 
@@ -241,8 +303,10 @@ def evaluate(expr: Expr):
   compiled = _jit_cache.get(key)
   if compiled is None:
     stats["compiles"] += 1
-    runner = _make_runner(root, leaf_index)
-    shardings = _out_shardings(root)
+    stripped, stub_leaves = _strip_leaf_values(root, leaves)
+    stub_index = {s_.expr_id: i for i, s_ in enumerate(stub_leaves)}
+    runner = _make_runner(stripped, stub_index)
+    shardings = _out_shardings(stripped)
     if shardings is not None:
       compiled = jax.jit(runner, out_shardings=shardings)
     else:

@@ -109,7 +109,7 @@ class Expr:
       setattr(self, name, kw.pop(name))
     if kw:
       raise TypeError(f"unexpected args for {type(self).__name__}: {kw}")
-    if FLAGS.eager:
+    if FLAGS.eager and not getattr(self, "_eager_skip", False):
       self.force()
 
   # -- DAG structure --------------------------------------------------------

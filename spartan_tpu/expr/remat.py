@@ -25,6 +25,9 @@ class RematExpr(Expr):
 
   _members = ("inputs",)
   _params = ("child",)
+  # the sub-DAG lives in a param and binds self.inputs by identity — the
+  # evaluator's leaf-stripping must leave this node untouched
+  _holds_subdag = True
 
   def __init__(self, child):
     child = lazify(child)
