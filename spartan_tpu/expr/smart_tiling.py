@@ -329,10 +329,15 @@ def plan(expr: Expr, mesh=None) -> TilingPlan:
   best_key = min(root_tab, key=lambda k: root_tab[k][0])
   cost, root_spec, _ = root_tab[best_key]
 
-  # backtrack leaf choices
+  # backtrack leaf choices (memoized per (node, key) — shared subtrees
+  # would otherwise blow up combinatorially)
   leaf_specs: Dict[int, PartitionSpec] = {}
+  visited = set()
 
   def back(e: Expr, key: Tuple):
+    if (e.expr_id, key) in visited:
+      return
+    visited.add((e.expr_id, key))
     tab = table.get(e.expr_id, {})
     if key not in tab:
       if not tab:

@@ -93,3 +93,16 @@ def test_reduce_prefers_unsharded_reduce_axis(rng, cluster):
   mesh = sp.get_mesh()
   # reduced axis (1) should carry fewer shards than the surviving axis (0)
   assert _nshards(entries[1], mesh) <= _nshards(entries[0], mesh)
+
+
+def test_plan_deep_shared_dag_fast(rng, cluster):
+  """Backtracking must stay linear on diamond-heavy DAGs."""
+  import time
+  x = sp.from_numpy(rng.standard_normal((16, 16)))
+  e = x
+  for _ in range(24):            # 24 diamonds: naive backtrack = 2^24
+    e = e + e
+  t0 = time.perf_counter()
+  p = st.plan(sp.sum(e))
+  assert time.perf_counter() - t0 < 5.0
+  assert np.isfinite(p.cost)
