@@ -172,7 +172,13 @@ class Expr:
       else:
         parts.append(_safe_repr(v))
     sig = tuple(parts)
-    memo[self.expr_id] = sig
+    # sharing-aware: later references to this node collapse to a compact
+    # ordinal — otherwise diamond-shared DAGs produce exponentially large
+    # signature tuples (first occurrence stays fully expanded, so
+    # structure and aliasing remain distinguishable)
+    ordinal = memo.get("__node_counter__", 0)
+    memo["__node_counter__"] = ordinal + 1
+    memo[self.expr_id] = ("ref", ordinal)
     return sig
 
   # -- shape/dtype inference ------------------------------------------------
@@ -486,7 +492,7 @@ class Val(Expr):
     ordinal = memo.get("__leaf_counter__", 0)
     memo["__leaf_counter__"] = ordinal + 1
     sig = ("Val", ordinal, tuple(a.shape), str(a.dtype), spec)
-    memo[self.expr_id] = sig
+    memo[self.expr_id] = sig  # leaves stay small: re-reference by full sig
     return sig
 
 

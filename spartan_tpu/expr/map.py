@@ -47,7 +47,9 @@ class MapExpr(Expr):
       return hit
     sig = ("MapExpr", self.op.signature(),
            tuple(c.signature(memo) for c in self.inputs))
-    memo[self.expr_id] = sig
+    ordinal = memo.get("__node_counter__", 0)
+    memo["__node_counter__"] = ordinal + 1
+    memo[self.expr_id] = ("ref", ordinal)
     return sig
 
   def pretty_op(self) -> str:

@@ -224,7 +224,9 @@ class ReduceExpr(Expr):
            str(self.out_dtype), self.ddof,
            self.local_op.signature() if self.local_op is not None else None,
            tuple(c.signature(memo) for c in self.inputs))
-    memo[self.expr_id] = sig
+    ordinal = memo.get("__node_counter__", 0)
+    memo["__node_counter__"] = ordinal + 1
+    memo[self.expr_id] = ("ref", ordinal)
     return sig
 
 

@@ -76,7 +76,9 @@ class RematExpr(Expr):
       return hit
     sig = ("RematExpr", self.child.signature(dict(memo)),
            tuple(c.signature(memo) for c in self.inputs))
-    memo[self.expr_id] = sig
+    ordinal = memo.get("__node_counter__", 0)
+    memo["__node_counter__"] = ordinal + 1
+    memo[self.expr_id] = ("ref", ordinal)
     return sig
 
 
