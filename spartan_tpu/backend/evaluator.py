@@ -27,7 +27,8 @@ from spartan_tpu.core.array import SpartanArray
 from spartan_tpu.core.tiling import Tiling
 from spartan_tpu.expr import optimize as opt_mod
 from spartan_tpu.expr.base import (DictExpr, EmitCtx, Expr, ListExpr,
-                                   NotShapeable, Val)
+                                   NotShapeable, Val,
+                                   ensure_recursion_budget)
 from spartan_tpu.util import Timer, log_debug, log_info
 
 # structural signature → compiled callable
@@ -236,10 +237,53 @@ def _wrap(root: Expr, value) -> Any:
   return wrap_one(root, value)
 
 
+def _dag_size(expr: Expr) -> int:
+  n = [0]
+  expr.visit(lambda _: n.__setitem__(0, n[0] + 1))
+  return n[0]
+
+
+_chunking = [False]
+
+
+def _chunk_evaluate(expr: Expr) -> None:
+  """Segment a very deep DAG: materialize every Kth interior node in topo
+  order, so each jit region XLA sees stays small (compile time on a
+  multi-thousand-op region is superlinear).  Structurally identical
+  segments — the common case, e.g. long ``e = e + 1`` chains — share ONE
+  compiled runner via the post-optimize signature cache.  Each sub-eval
+  collapses at the previous cut (CollapseCached), so regions are ~K ops.
+  """
+  if _chunking[0]:
+    return  # the top-level call already planned the cuts; sub-evals run
+            # plain (their regions collapse at previously-cached cuts)
+  order: list = []
+
+  def collect(e: Expr):
+    if not isinstance(e, Val) and e._cache is None:
+      order.append(e)
+
+  expr.visit(collect)
+  k = max(2, FLAGS.chunk_eval_size)
+  _chunking[0] = True
+  try:
+    for node in order[k - 1:-1:k]:  # [:-1] keeps the root for the caller
+      if node._cache is None:
+        evaluate(node)
+  finally:
+    _chunking[0] = False
+
+
 def evaluate(expr: Expr):
   """Evaluate ``expr`` to SpartanArray(s), compiling its region on miss."""
   if expr._cache is not None:
     return expr._cache
+  # deep op chains exceed CPython's default recursion limit (the DAG
+  # walkers are recursive); size the limit to the DAG once per evaluation
+  ensure_recursion_budget(expr)
+  size = _dag_size(expr)
+  if size > FLAGS.chunk_eval_threshold and not isinstance(expr, Val):
+    _chunk_evaluate(expr)
   if isinstance(expr, Val):
     v = expr.value
     if isinstance(v, SpartanArray):

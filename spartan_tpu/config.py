@@ -185,4 +185,9 @@ FLAGS.add(IntFlag("log_level", 20, "python logging level (10=debug)"))
 FLAGS.add(BoolFlag("use_pallas", True,
                    "use Pallas kernels for hot ops on TPU backends"))
 FLAGS.add(IntFlag("max_expr_cache", 1024, "max cached compiled regions"))
+FLAGS.add(IntFlag("chunk_eval_threshold", 768,
+                  "DAGs larger than this (node count) are evaluated in "
+                  "segments to keep XLA region compile time linear"))
+FLAGS.add(IntFlag("chunk_eval_size", 256,
+                  "segment size (interior ops) for chunked evaluation"))
 FLAGS.add(BoolFlag("eager", False, "evaluate every expr immediately (debug)"))

@@ -145,41 +145,84 @@ class Expr:
 
   def visit(self, fn: Callable[["Expr"], None],
             memo: Optional[set] = None) -> None:
+    """Post-order DAG visit — iterative (deep op chains exceed CPython's
+    recursion limit)."""
     memo = memo if memo is not None else set()
-    if self.expr_id in memo:
-      return
-    memo.add(self.expr_id)
-    for c in self.children():
-      c.visit(fn, memo)
-    fn(self)
+    stack = [(self, False)]
+    while stack:
+      node, expanded = stack.pop()
+      if expanded:
+        fn(node)
+        continue
+      if node.expr_id in memo:
+        continue
+      memo.add(node.expr_id)
+      stack.append((node, True))
+      for c in reversed(node.children()):
+        if c.expr_id not in memo:
+          stack.append((c, False))
 
   def signature(self, memo: Dict[int, Tuple]) -> Tuple:
     """Structural cache key (shape/dtype of leaves, ops/params of interior
-    nodes) — the jit-region cache is keyed on this."""
+    nodes) — the jit-region cache is keyed on this.
+
+    Iterative post-order driver: deep op chains otherwise hit CPython's
+    *C* recursion limit (un-raisable) through nested ``tuple(genexpr)``
+    frames.  Per-node content comes from :meth:`_sig_local`, which runs
+    after all children's signatures are in ``memo``.
+    """
     hit = memo.get(self.expr_id)
     if hit is not None:
       return hit
+    result: Dict[int, Tuple] = {}
+    stack = [(self, False)]
+    while stack:
+      node, expanded = stack.pop()
+      if node.expr_id in memo:
+        continue
+      if expanded:
+        sig = node._sig_local(memo, result)
+        result[node.expr_id] = sig
+        # sharing-aware: later references collapse to a compact ordinal —
+        # diamond-shared DAGs otherwise produce exponentially large
+        # signature tuples (first occurrence stays fully expanded)
+        node._sig_store(memo, sig)
+        continue
+      stack.append((node, True))
+      for c in reversed(node.children()):
+        if c.expr_id not in memo:
+          stack.append((c, False))
+    return result[self.expr_id]
+
+  def _child_sig(self, c: "Expr", memo, result):
+    """Signature of a child during the iterative walk: the FIRST
+    reference consumes the full signature (pop), every later reference
+    gets the compact memo marker — without the pop, diamond-shared DAGs
+    embed the full child sig at every use site (exponential)."""
+    r = result.pop(c.expr_id, None)
+    return r if r is not None else memo[c.expr_id]
+
+  def _sig_store(self, memo, sig) -> None:
+    ordinal = memo.get("__node_counter__", 0)
+    memo["__node_counter__"] = ordinal + 1
+    memo[self.expr_id] = ("ref", ordinal)
+
+  def _sig_local(self, memo, result) -> Tuple:
+    """This node's signature, children's sigs already available."""
     parts: List[Any] = [type(self).__name__]
     for name in self._params:
       parts.append((name, _safe_repr(getattr(self, name))))
     for name in self._members:
       v = getattr(self, name)
       if isinstance(v, Expr):
-        parts.append(v.signature(memo))
+        parts.append(self._child_sig(v, memo, result))
       elif isinstance(v, (list, tuple)):
-        parts.append(tuple(c.signature(memo) if isinstance(c, Expr)
-                           else _safe_repr(c) for c in v))
+        parts.append(tuple(self._child_sig(c, memo, result)
+                           if isinstance(c, Expr) else _safe_repr(c)
+                           for c in v))
       else:
         parts.append(_safe_repr(v))
-    sig = tuple(parts)
-    # sharing-aware: later references to this node collapse to a compact
-    # ordinal — otherwise diamond-shared DAGs produce exponentially large
-    # signature tuples (first occurrence stays fully expanded, so
-    # structure and aliasing remain distinguishable)
-    ordinal = memo.get("__node_counter__", 0)
-    memo["__node_counter__"] = ordinal + 1
-    memo[self.expr_id] = ("ref", ordinal)
-    return sig
+    return tuple(parts)
 
   # -- shape/dtype inference ------------------------------------------------
 
@@ -194,6 +237,15 @@ class Expr:
     (millisecond-scale) abstract trace entirely.
     """
     if self._aval is None:
+      # fill descendant avals bottom-up first (iteratively): per-node
+      # inference then recurses at most one level into already-cached
+      # children — deep op chains otherwise blow the Python stack at
+      # construction time, before any evaluate() call sizes the limit
+      order: List[Expr] = []
+      self.visit(lambda n: order.append(n))
+      for n in order[:-1]:
+        if n._aval is None:
+          n.aval()
       key = (self.signature({}), semantic_flags_fingerprint())
       hit = _aval_cache.get(key)
       if hit is not None:
@@ -423,6 +475,20 @@ class _ExprKey:
     return isinstance(other, _ExprKey) and other.e is self.e
 
 
+def ensure_recursion_budget(expr: "Expr") -> None:
+  """Size the Python recursion limit to the DAG before any recursive
+  walk (optimizer passes, emission, autodiff tracing): deep op chains
+  exceed the default 1000-frame limit.  The iterative walkers
+  (``visit``, ``signature``, LocalExpr folds) don't need this, but the
+  rewriters and emitters are recursive by design — one frame per node."""
+  import sys
+  n = [0]
+  expr.visit(lambda _: n.__setitem__(0, n[0] + 1))
+  budget = 10 * n[0] + 1000
+  if sys.getrecursionlimit() < budget:
+    sys.setrecursionlimit(min(budget, 1_000_000))
+
+
 class EmitCtx:
   """Context threaded through region emission."""
 
@@ -477,10 +543,7 @@ class Val(Expr):
       return v
     return jnp.asarray(v)
 
-  def signature(self, memo):
-    hit = memo.get(self.expr_id)
-    if hit is not None:
-      return hit
+  def _sig_local(self, memo, result):
     a = self.aval()
     v = self.value
     spec = None
@@ -491,9 +554,10 @@ class Val(Expr):
     # (two leaves) — the runner's positional binding differs
     ordinal = memo.get("__leaf_counter__", 0)
     memo["__leaf_counter__"] = ordinal + 1
-    sig = ("Val", ordinal, tuple(a.shape), str(a.dtype), spec)
+    return ("Val", ordinal, tuple(a.shape), str(a.dtype), spec)
+
+  def _sig_store(self, memo, sig):
     memo[self.expr_id] = sig  # leaves stay small: re-reference by full sig
-    return sig
 
 
 class ListExpr(Expr):

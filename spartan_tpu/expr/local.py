@@ -18,6 +18,31 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 from spartan_tpu.expr.base import fn_key
 
 
+def _postorder(root: "LocalExpr", leaf_fn, call_fn):
+  """Iterative post-order fold over a LocalExpr DAG, memoized by object
+  identity (fusion splices shared producers into several consumer slots,
+  and deep op chains fuse into trees thousands of levels deep — recursion
+  here hits CPython's un-raisable C-frame limit)."""
+  memo: Dict[int, Any] = {}
+  stack = [(root, False)]
+  while stack:
+    node, expanded = stack.pop()
+    key = id(node)
+    if key in memo and not expanded:
+      continue
+    if isinstance(node, FnCallExpr):
+      if expanded:
+        memo[key] = call_fn(node, [memo[id(d)] for d in node.deps])
+      else:
+        stack.append((node, True))
+        for d in reversed(node.deps):
+          if id(d) not in memo:
+            stack.append((d, False))
+    else:
+      memo[key] = leaf_fn(node)
+  return memo[id(root)]
+
+
 class LocalExpr:
   """Base class for local-computation nodes."""
 
@@ -94,47 +119,49 @@ class FnCallExpr(LocalExpr):
     self.pretty_name = pretty_name or getattr(fn, "__name__", "fn")
 
   def evaluate(self, inputs):
-    args = [d.evaluate(inputs) for d in self.deps]
-    return self.fn(*args, **self.kw)
+    return _postorder(
+        self, lambda n: n.evaluate(inputs),
+        lambda n, args: n.fn(*args, **n.kw))
 
   def signature(self):
-    return ("call", fn_key(self.fn),
-            tuple(d.signature() for d in self.deps),
-            tuple(sorted((k, repr(v)) for k, v in self.kw.items())))
+    return _postorder(
+        self, lambda n: n.signature(),
+        lambda n, dep_sigs: ("call", fn_key(n.fn), tuple(dep_sigs),
+                             tuple(sorted((k, repr(v))
+                                          for k, v in n.kw.items()))))
 
   def pretty(self, indent=0):
-    pad = " " * indent
-    args = ", ".join(d.pretty() for d in self.deps)
-    kw = (", " + ", ".join(f"{k}={v!r}" for k, v in self.kw.items())
-          if self.kw else "")
-    return f"{pad}{self.pretty_name}({args}{kw})"
+    def call(n, dep_strs):
+      kw = (", " + ", ".join(f"{k}={v!r}" for k, v in n.kw.items())
+            if n.kw else "")
+      return f"{n.pretty_name}({', '.join(dep_strs)}{kw})"
+    return " " * indent + _postorder(
+        self, lambda n: n.pretty(), call)
 
   def max_input(self):
-    return max([d.max_input() for d in self.deps], default=-1)
+    return _postorder(
+        self, lambda n: n.max_input(),
+        lambda n, deps: max(deps, default=-1))
 
 
 def substitute_inputs(node: LocalExpr,
                       mapping: Dict[int, LocalExpr]) -> LocalExpr:
   """Replace ``LocalInput(i)`` with ``mapping[i]`` (for splicing a producer
-  kernel into a consumer during map-map fusion)."""
-  if isinstance(node, LocalInput):
-    return mapping.get(node.idx, node)
-  if isinstance(node, FnCallExpr):
-    return FnCallExpr(node.fn,
-                      [substitute_inputs(d, mapping) for d in node.deps],
-                      node.kw, node.pretty_name)
-  return node
+  kernel into a consumer during map-map fusion).  Identity-memoized, so
+  subtree sharing is preserved in the rebuilt DAG."""
+  return _postorder(
+      node,
+      lambda n: mapping.get(n.idx, n) if isinstance(n, LocalInput) else n,
+      lambda n, deps: FnCallExpr(n.fn, deps, n.kw, n.pretty_name))
 
 
 def shift_inputs(node: LocalExpr, offset_map: Dict[int, int]) -> LocalExpr:
-  """Renumber input slots."""
-  if isinstance(node, LocalInput):
-    return LocalInput(offset_map[node.idx])
-  if isinstance(node, FnCallExpr):
-    return FnCallExpr(node.fn,
-                      [shift_inputs(d, offset_map) for d in node.deps],
-                      node.kw, node.pretty_name)
-  return node
+  """Renumber input slots (identity-memoized, sharing-preserving)."""
+  return _postorder(
+      node,
+      lambda n: (LocalInput(offset_map[n.idx])
+                 if isinstance(n, LocalInput) else n),
+      lambda n, deps: FnCallExpr(n.fn, deps, n.kw, n.pretty_name))
 
 
 def compile_local(node: LocalExpr) -> Callable:

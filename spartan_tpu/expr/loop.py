@@ -47,16 +47,14 @@ class SymbolicVal(Val):
         "SymbolicVal has no value — it is the loop carry placeholder and "
         "only exists inside sp.fori_loop bodies")
 
-  def signature(self, memo):
-    hit = memo.get(self.expr_id)
-    if hit is not None:
-      return hit
+  def _sig_local(self, memo, result):
     ordinal = memo.get("__leaf_counter__", 0)
     memo["__leaf_counter__"] = ordinal + 1
-    sig = ("SymVal", ordinal, tuple(self._sym_aval.shape),
-           str(self._sym_aval.dtype))
+    return ("SymVal", ordinal, tuple(self._sym_aval.shape),
+            str(self._sym_aval.dtype))
+
+  def _sig_store(self, memo, sig):
     memo[self.expr_id] = sig
-    return sig
 
 
 def _compile_carry_body(body_out_exprs, syms):

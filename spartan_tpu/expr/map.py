@@ -41,16 +41,9 @@ class MapExpr(Expr):
   def _emit(self, ctx: EmitCtx, deps: List[Any]):
     return self.op.evaluate(deps)
 
-  def signature(self, memo):
-    hit = memo.get(self.expr_id)
-    if hit is not None:
-      return hit
-    sig = ("MapExpr", self.op.signature(),
-           tuple(c.signature(memo) for c in self.inputs))
-    ordinal = memo.get("__node_counter__", 0)
-    memo["__node_counter__"] = ordinal + 1
-    memo[self.expr_id] = ("ref", ordinal)
-    return sig
+  def _sig_local(self, memo, result):
+    return ("MapExpr", self.op.signature(),
+            tuple(self._child_sig(c, memo, result) for c in self.inputs))
 
   def pretty_op(self) -> str:
     return self.op.pretty()

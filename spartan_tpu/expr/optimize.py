@@ -35,7 +35,8 @@ from spartan_tpu.config import FLAGS
 from spartan_tpu.core.mesh import get_mesh
 from spartan_tpu.core.tiling import Tiling, auto_tiling, choose_spec
 from spartan_tpu.expr import local as local_mod
-from spartan_tpu.expr.base import Expr, ListExpr, NotShapeable, Val
+from spartan_tpu.expr.base import (Expr, ListExpr, NotShapeable, Val,
+                                  ensure_recursion_budget)
 from spartan_tpu.expr.dot import DotExpr, OuterExpr, TensorDotExpr
 from spartan_tpu.expr.map import MapExpr, MapWithLocationExpr
 from spartan_tpu.expr.ndarray import CreationExpr
@@ -399,6 +400,7 @@ class AutoTiling:
 
 def optimize(expr: Expr) -> Expr:
   """Run the flag-gated pass pipeline (reference ``optimize``)."""
+  ensure_recursion_budget(expr)
   if not FLAGS.optimization:
     if FLAGS.opt_auto_tiling:
       expr = AutoTiling().run(expr)

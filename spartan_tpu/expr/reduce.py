@@ -216,18 +216,11 @@ class ReduceExpr(Expr):
       return jnp.nansum(x, axis=axis, dtype=acc, keepdims=keepdims)
     raise ValueError(f"unknown reduction {op!r}")
 
-  def signature(self, memo):
-    hit = memo.get(self.expr_id)
-    if hit is not None:
-      return hit
-    sig = ("ReduceExpr", self.op, self.axis, self.keepdims,
-           str(self.out_dtype), self.ddof,
-           self.local_op.signature() if self.local_op is not None else None,
-           tuple(c.signature(memo) for c in self.inputs))
-    ordinal = memo.get("__node_counter__", 0)
-    memo["__node_counter__"] = ordinal + 1
-    memo[self.expr_id] = ("ref", ordinal)
-    return sig
+  def _sig_local(self, memo, result):
+    return ("ReduceExpr", self.op, self.axis, self.keepdims,
+            str(self.out_dtype), self.ddof,
+            self.local_op.signature() if self.local_op is not None else None,
+            tuple(self._child_sig(c, memo, result) for c in self.inputs))
 
 
 def _reduced_count(shape, axis) -> int:

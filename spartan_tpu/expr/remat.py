@@ -70,16 +70,9 @@ class RematExpr(Expr):
       return run(*deps)
     return jax.checkpoint(run)(*deps)
 
-  def signature(self, memo):
-    hit = memo.get(self.expr_id)
-    if hit is not None:
-      return hit
-    sig = ("RematExpr", self.child.signature(dict(memo)),
-           tuple(c.signature(memo) for c in self.inputs))
-    ordinal = memo.get("__node_counter__", 0)
-    memo["__node_counter__"] = ordinal + 1
-    memo[self.expr_id] = ("ref", ordinal)
-    return sig
+  def _sig_local(self, memo, result):
+    return ("RematExpr", self.child.signature(dict(memo)),
+            tuple(self._child_sig(c, memo, result) for c in self.inputs))
 
 
 def remat(v) -> RematExpr:
