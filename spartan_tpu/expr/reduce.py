@@ -276,7 +276,44 @@ def _extract_affine(node, big_idx: int):
   return None
 
 
-def reduce(v, op: str, axis=None, keepdims=False, out_dtype=None,
-           ddof: int = 0) -> ReduceExpr:
+class CustomReduceExpr(Expr):
+  """User-supplied reduction (reference ``expr.reduce`` with
+  ``local_reduce_fn``/``accumulate_fn``; reference: spartan/expr/reduce.py).
+
+  TPU-first semantics: ``fn(x, axis=axis, **fn_kw)`` runs over the
+  *global* traced array inside the fused region — XLA's partitioner
+  emits the cross-shard combine, so the reference's separate
+  ``accumulate_fn`` (tile-partial merge) is only a consistency contract:
+  the reduction must be associative for sharded execution to agree with
+  single-device execution, exactly as it had to be in the reference."""
+
+  _members = ("inputs",)
+  _params = ("fn", "axis", "fn_kw")
+
+  def __init__(self, inputs, fn, axis=None, fn_kw=None):
+    if isinstance(inputs, Expr):
+      inputs = [inputs]
+    super().__init__(inputs=[lazify(v) for v in inputs], fn=fn, axis=axis,
+                     fn_kw=dict(fn_kw or {}))
+
+  def _emit(self, ctx: EmitCtx, deps: List[Any]):
+    return self.fn(deps[0], axis=self.axis, **self.fn_kw)
+
+
+def reduce(v, op=None, axis=None, keepdims=False, out_dtype=None,
+           ddof: int = 0, dtype_fn=None, local_reduce_fn=None,
+           accumulate_fn=None, fn_kw=None):
+  """Named-op reduction (``op`` a string: "sum", "max", ...) or, in the
+  reference's extensible form, a custom reduction via
+  ``local_reduce_fn(x, axis=..., **fn_kw)``.  ``dtype_fn`` and
+  ``accumulate_fn`` are accepted for API parity; with XLA there is no
+  per-tile merge step — ``local_reduce_fn`` sees the global array and
+  must be associative along sharded axes (same contract as the
+  reference's tile-combiner)."""
+  if local_reduce_fn is not None:
+    del accumulate_fn, dtype_fn  # parity-only (see docstring)
+    return CustomReduceExpr(v, fn=local_reduce_fn, axis=axis, fn_kw=fn_kw)
+  if not isinstance(op, str):
+    raise TypeError("reduce needs op=<str> or local_reduce_fn=<callable>")
   return ReduceExpr(v, op=op, axis=axis, keepdims=keepdims,
                     out_dtype=out_dtype, ddof=ddof)

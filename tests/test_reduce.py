@@ -171,3 +171,41 @@ def test_unsigned_accumulation(rng):
     assert got == np.sum(x)
     gc = sp.cumsum(sp.from_numpy(x)).glom()
     assert gc.dtype == np.cumsum(x).dtype, (dt, gc.dtype)
+
+
+def test_custom_reduce_reference_form(rng, cluster):
+  """Reference extensible reduce: local_reduce_fn over the (global) array;
+  accumulate_fn/dtype_fn accepted for parity (reference
+  spartan/expr/reduce.py reduce(...))."""
+  import jax.numpy as jnp
+  a = rng.standard_normal((16, 8))
+  x = sp.from_numpy(a)
+  # log-sum-exp: a real custom associative-ish reduction users write
+  out = sp.reduce(x, axis=0,
+                  local_reduce_fn=lambda v, axis: jnp.log(
+                      jnp.sum(jnp.exp(v), axis=axis)),
+                  accumulate_fn=lambda p, q: jnp.logaddexp(p, q))
+  want = np.log(np.exp(a).sum(axis=0))
+  np.testing.assert_allclose(out.glom(), want, rtol=1e-10)
+
+
+def test_custom_reduce_with_fn_kw(rng, cluster):
+  import jax.numpy as jnp
+  a = rng.standard_normal((8, 8))
+  out = sp.reduce(sp.from_numpy(a), axis=1,
+                  local_reduce_fn=lambda v, axis, q: jnp.quantile(
+                      v, q, axis=axis),
+                  fn_kw={"q": 0.5})
+  np.testing.assert_allclose(out.glom(), np.quantile(a, 0.5, axis=1),
+                             rtol=1e-10)
+
+
+def test_named_reduce_rejects_non_string_op(cluster):
+  with pytest.raises(TypeError):
+    sp.reduce(sp.ones((4, 4)), op=123)
+
+
+def test_top_level_parity_exports(cluster):
+  for name in ("reduce", "save", "load", "checkpoint", "from_file",
+               "sparse", "SparseArray", "sparse_diagonal", "sprandn"):
+    assert hasattr(sp, name), name
