@@ -274,16 +274,45 @@ def _chunk_evaluate(expr: Expr) -> None:
     _chunking[0] = False
 
 
+def _prepass(expr: Expr, mesh_devices):
+  """ONE iterative pre-order walk computing everything the hot path needs
+  (size, interior caches, leaf list in ``_collect_leaves`` order, and
+  whether the rare unshapeable/stray-leaf walkers must run) — the fast
+  lane previously paid ~5 separate DAG traversals per evaluation."""
+  size = 0
+  interior_cached = False
+  has_eager = False
+  has_stray = False
+  leaves: List[Val] = []
+  seen = set()
+  stack = [expr]
+  while stack:
+    e = stack.pop()
+    if e.expr_id in seen:
+      continue
+    seen.add(e.expr_id)
+    size += 1
+    if isinstance(e, Val):
+      leaves.append(e)
+      v = e.value
+      if (isinstance(v, SpartanArray)
+          and tuple(v.tiling.mesh.devices.flat) != mesh_devices):
+        has_stray = True
+      continue
+    if e._cache is not None:
+      interior_cached = True
+      continue  # subtree collapses; don't count/collect under it
+    if getattr(e, "evaluate_eager", None) is not None:
+      has_eager = True
+    for c in reversed(e.children()):
+      stack.append(c)
+  return size, interior_cached, has_eager, has_stray, leaves
+
+
 def evaluate(expr: Expr):
   """Evaluate ``expr`` to SpartanArray(s), compiling its region on miss."""
   if expr._cache is not None:
     return expr._cache
-  # deep op chains exceed CPython's default recursion limit (the DAG
-  # walkers are recursive); size the limit to the DAG once per evaluation
-  ensure_recursion_budget(expr)
-  size = _dag_size(expr)
-  if size > FLAGS.chunk_eval_threshold and not isinstance(expr, Val):
-    _chunk_evaluate(expr)
   if isinstance(expr, Val):
     v = expr.value
     if isinstance(v, SpartanArray):
@@ -292,15 +321,40 @@ def evaluate(expr: Expr):
     expr._cache = result
     return result
 
-  stats["evals"] += 1
-  _materialize_unshapeable(expr)
-  _migrate_stray_leaves(expr)
-
   from spartan_tpu.core.mesh import get_mesh
   from spartan_tpu.expr.base import semantic_flags_fingerprint
   mesh = get_mesh()
+  mesh_devices = tuple(mesh.devices.flat)
+  (size, interior_cached, has_eager,
+   has_stray, raw_leaves) = _prepass(expr, mesh_devices)
+
+  # deep op chains exceed CPython's default recursion limit (the DAG
+  # walkers are recursive); size the limit to the DAG once per evaluation
+  import sys
+  depth_budget = 10 * size + 1000
+  if sys.getrecursionlimit() < depth_budget:
+    sys.setrecursionlimit(min(depth_budget, 1_000_000))
+  if size > FLAGS.chunk_eval_threshold:
+    _chunk_evaluate(expr)
+    interior_cached = True  # cuts now carry caches
+
+  stats["evals"] += 1
+  if has_eager:
+    _materialize_unshapeable(expr)
+    # materialization may have cached interior nodes; recheck cheaply
+    flag = [interior_cached]
+
+    def _scan(e: Expr):
+      if e._cache is not None and not isinstance(e, Val):
+        flag[0] = True
+
+    expr.visit(_scan)
+    interior_cached = flag[0]
+  if has_stray:
+    _migrate_stray_leaves(expr)
+
   mesh_key = (tuple(mesh.axis_names), tuple(mesh.devices.shape),
-              tuple(int(d.id) for d in mesh.devices.flat))
+              tuple(int(d.id) for d in mesh_devices))
   flags_key = (semantic_flags_fingerprint(), FLAGS.use_pallas,
                FLAGS.pallas_interpret, _opt_flags_fingerprint(), mesh_key)
 
@@ -308,21 +362,13 @@ def evaluate(expr: Expr):
   # Only valid when no interior node carries an eval cache (a cached
   # interior changes what CollapseCached produces, invisibly to the raw
   # signature).
-  interior_cached = [False]
-
-  def _scan(e: Expr):
-    if e._cache is not None and not isinstance(e, Val):
-      interior_cached[0] = True
-
-  expr.visit(_scan)
   raw_key = None
-  if not interior_cached[0]:
+  if not interior_cached:
     raw_key = (expr.signature({}), flags_key)
     hit = _fast_cache.get(raw_key)
     if hit is not None:
       compiled, recipe, wrap_root = hit
       stats["fast_hits"] += 1
-      raw_leaves = _collect_leaves(expr)
       args = [raw_leaves[i].leaf_value() if kind == "raw" else const
               for kind, i, const in recipe]
       if FLAGS.profile_kernels:
@@ -371,8 +417,8 @@ def evaluate(expr: Expr):
     # binding recipe: each optimized leaf is either one of the raw DAG's
     # leaves (bind fresh value by position) or a pass-created constant
     # (e.g. ConstFoldCreations' scalar — fully determined by the raw
-    # signature, safe to freeze)
-    raw_leaves = _collect_leaves(expr)
+    # signature, safe to freeze).  Positions refer to the _prepass leaf
+    # order — the same order the fast lane binds with.
     raw_pos = {id(l): i for i, l in enumerate(raw_leaves)}
     recipe = []
     for leaf in leaves:

@@ -39,25 +39,43 @@ class NotShapeable(Exception):
   """Raised when a node's shape cannot be known before evaluation."""
 
 
+_fn_key_cache: Dict[int, Tuple[Any, Tuple]] = {}
+
+
 def fn_key(fn: Any) -> Tuple:
   """Stable-ish structural identity for a kernel function, so that
   semantically-identical lambdas recreated across loop iterations still hit
-  the compiled-region cache."""
+  the compiled-region cache.  Memoized per function object (the repr walk
+  over code/consts/closure is hot on the evaluator fast lane); the entry
+  pins the function so the id stays valid."""
   if fn is None:
     return ("none",)
+  hit = _fn_key_cache.get(id(fn))
+  if hit is not None and hit[0] is fn:
+    return hit[1]
   if isinstance(fn, functools.partial):
-    return ("partial", fn_key(fn.func), _safe_repr(fn.args),
-            _safe_repr(tuple(sorted(fn.keywords.items()))))
-  if isinstance(fn, np.ufunc):
-    return ("ufunc", fn.__name__)
-  code = getattr(fn, "__code__", None)
-  if code is not None:
-    closure = getattr(fn, "__closure__", None) or ()
-    cells = tuple(_safe_repr(c.cell_contents) for c in closure)
-    return ("fn", fn.__qualname__, code.co_code, _safe_repr(code.co_consts),
-            cells)
-  return ("obj", getattr(fn, "__module__", ""), getattr(fn, "__name__",
-                                                        repr(fn)))
+    key = ("partial", fn_key(fn.func), _safe_repr(fn.args),
+           _safe_repr(tuple(sorted(fn.keywords.items()))))
+  elif isinstance(fn, np.ufunc):
+    key = ("ufunc", fn.__name__)
+  else:
+    code = getattr(fn, "__code__", None)
+    if code is not None:
+      closure = getattr(fn, "__closure__", None) or ()
+      # closures over exprs/arrays may mutate — only cache closure-free fns
+      if closure:
+        cells = tuple(_safe_repr(c.cell_contents) for c in closure)
+        return ("fn", fn.__qualname__, code.co_code,
+                _safe_repr(code.co_consts), cells)
+      key = ("fn", fn.__qualname__, code.co_code, _safe_repr(code.co_consts),
+             ())
+    else:
+      key = ("obj", getattr(fn, "__module__", ""), getattr(fn, "__name__",
+                                                           repr(fn)))
+  if len(_fn_key_cache) > 4096:
+    _fn_key_cache.clear()
+  _fn_key_cache[id(fn)] = (fn, key)
+  return key
 
 
 def _safe_repr(obj: Any) -> str:

@@ -108,7 +108,7 @@ class LocalConst(LocalExpr):
 class FnCallExpr(LocalExpr):
   """Apply ``fn(*deps, **kw)``."""
 
-  __slots__ = ("fn", "deps", "kw", "pretty_name")
+  __slots__ = ("fn", "deps", "kw", "pretty_name", "_sig")
 
   def __init__(self, fn: Callable, deps: Sequence[LocalExpr],
                kw: Optional[Dict[str, Any]] = None,
@@ -117,6 +117,7 @@ class FnCallExpr(LocalExpr):
     self.deps = list(deps)
     self.kw = dict(kw or {})
     self.pretty_name = pretty_name or getattr(fn, "__name__", "fn")
+    self._sig = None  # LocalExpr trees are immutable: signature caches
 
   def evaluate(self, inputs):
     return _postorder(
@@ -124,11 +125,18 @@ class FnCallExpr(LocalExpr):
         lambda n, args: n.fn(*args, **n.kw))
 
   def signature(self):
-    return _postorder(
-        self, lambda n: n.signature(),
-        lambda n, dep_sigs: ("call", fn_key(n.fn), tuple(dep_sigs),
-                             tuple(sorted((k, repr(v))
-                                          for k, v in n.kw.items()))))
+    if self._sig is None:
+
+      def call(n, dep_sigs):
+        if n._sig is None:
+          n._sig = ("call", fn_key(n.fn), tuple(dep_sigs),
+                    tuple(sorted((k, repr(v)) for k, v in n.kw.items())))
+        return n._sig
+
+      self._sig = _postorder(
+          self, lambda n: n.signature(),
+          call)
+    return self._sig
 
   def pretty(self, indent=0):
     def call(n, dep_strs):
