@@ -196,6 +196,23 @@ class TilingPlan:
             f"root={self.root_spec})")
 
 
+def _stencil_halo_bytes(shape, dtype, spec, mesh, halo: int = 1) -> float:
+  """Halo-exchange traffic for a stencil over a sharded input: each
+  sharded spatial dim moves ``halo`` boundary rows per shard per side
+  (the reference's neighbor-tile fetch, as one ppermute ring)."""
+  entries = _norm(spec, len(shape))
+  item = np.dtype(dtype).itemsize
+  total = 0.0
+  for d, entry in enumerate(entries):
+    k = _n_shards(entry, mesh)
+    if k <= 1:
+      continue
+    ghost_rows = 2 * halo * k  # both directions, every boundary
+    row_bytes = float(np.prod(shape or (1,))) / max(shape[d], 1) * item
+    total += ghost_rows * row_bytes
+  return total
+
+
 def plan(expr: Expr, mesh=None) -> TilingPlan:
   """Bottom-up DP: for every node and candidate output spec, the minimal
   bytes moved in the subtree; argmin at the root, choices backtracked to
@@ -309,6 +326,73 @@ def plan(expr: Expr, mesh=None) -> TilingPlan:
               best = (t, sa, sb)
         out[_norm(s, len(shape))] = (best[0], s, [(a, best[1]),
                                                   (bb, best[2])])
+    elif type(e).__name__ == "TransposeExpr" and len(e.children()) == 1:
+      # transpose is free under sharding: the output spec is the child's
+      # spec with axes permuted — no data moves, XLA relabels the layout
+      (c,) = e.children()
+      tab = solve(c)
+      axes = e.axes if e.axes else tuple(range(c.ndim))[::-1]
+      for key, (ccost, cspec, _) in tab.items():
+        centries = _norm(cspec, c.ndim)
+        permuted = PartitionSpec(*(centries[a] for a in axes))
+        out_key = _norm(permuted, len(shape))
+        prev = out.get(out_key)
+        if prev is None or ccost < prev[0]:
+          out[out_key] = (ccost, permuted, [(c, cspec)])
+      # also admit the remaining candidates via an explicit reshard
+      for s in cands:
+        k = _norm(s, len(shape))
+        if k in out:
+          continue
+        best = None
+        for key, (ccost, cspec, _) in tab.items():
+          centries = _norm(cspec, c.ndim)
+          permuted = PartitionSpec(*(centries[a] for a in axes))
+          t = ccost + reshard_bytes(shape, dtype, permuted, s, mesh)
+          if best is None or t < best[0]:
+            best = (t, cspec)
+        out[k] = (best[0], s, [(c, best[1])])
+    elif type(e).__name__ in ("StencilExpr", "PoolExpr"):
+      # stencil/pool: batch/channel dims shard free; sharded spatial dims
+      # pay a halo exchange per step (reference stencil neighbor fetch)
+      kids = e.children()
+      kid_tabs = [solve(c) for c in kids]
+      c0, tab0 = kids[0], kid_tabs[0]
+      others = 0.0
+      opicks = []
+      for c, tab in list(zip(kids, kid_tabs))[1:]:
+        bc = min(tab.values(), key=lambda v: v[0])
+        others += bc[0]
+        opicks.append((c, bc[1]))
+      for s in cands:
+        best = None
+        for key, (ccost, cspec, _) in tab0.items():
+          try:
+            halo = _stencil_halo_bytes(c0.shape, c0.dtype, cspec, mesh)
+            move = reshard_bytes(shape, dtype, cspec, s, mesh)
+          except Exception:
+            halo, move = 0.0, 0.0
+          t = ccost + halo + move
+          if best is None or t < best[0]:
+            best = (t, cspec)
+        out[_norm(s, len(shape))] = (best[0] + others, s,
+                                     [(c0, best[1])] + opicks)
+    elif type(e).__name__ == "ShuffleExpr":
+      # generic scatter re-tile: charge a full all-to-all of the output
+      # ((n-1)/n of the bytes cross shards) on top of the inputs' best
+      kids = e.children()
+      kid_tabs = [solve(c) for c in kids]
+      base = 0.0
+      picks = []
+      for c, tab in zip(kids, kid_tabs):
+        bc = min(tab.values(), key=lambda v: v[0])
+        base += bc[0]
+        picks.append((c, bc[1]))
+      n_total = float(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+      a2a = (float(np.prod(shape or (1,))) * np.dtype(dtype).itemsize *
+             (n_total - 1) / max(n_total, 1))
+      for s in cands:
+        out[_norm(s, len(shape))] = (base + a2a, s, picks)
     else:
       # structural ops: chain through the dominant child
       kids = e.children()
@@ -393,3 +477,38 @@ def smart_tile(expr: Expr, mesh=None) -> TilingPlan:
   p = plan(expr, mesh)
   apply_plan(expr, p, mesh)
   return p
+
+
+def validate_plan(expr: Expr, mesh=None):
+  """Measurement hook: compare the planner's predicted bytes-moved with
+  XLA's own cost analysis of the compiled region (the closest thing to
+  ground truth without running a profiler).  Returns a dict with the
+  planner's prediction and XLA's ``bytes accessed`` estimate for the
+  region compiled (a) with default leaf layouts and (b) with the plan
+  applied — so the cost model can be sanity-checked per workload."""
+  import jax
+  from spartan_tpu.backend import evaluator as ev
+
+  mesh = mesh or get_mesh()
+  p = plan(expr, mesh)
+
+  def _xla_bytes(root: Expr) -> float:
+    from spartan_tpu.expr import optimize as opt_mod
+    opt = opt_mod.optimize(root)
+    leaves = ev._collect_leaves(opt)
+    stripped, stub_leaves = ev._strip_leaf_values(opt, leaves)
+    stub_index = {s_.expr_id: i for i, s_ in enumerate(stub_leaves)}
+    runner = ev._make_runner(stripped, stub_index)
+    args = [leaf.leaf_value() for leaf in leaves]
+    lowered = jax.jit(runner).lower(*args)
+    cost = lowered.compile().cost_analysis()
+    if isinstance(cost, list):
+      cost = cost[0] if cost else {}
+    return float((cost or {}).get("bytes accessed", float("nan")))
+
+  before = _xla_bytes(expr)
+  apply_plan(expr, p, mesh)
+  after = _xla_bytes(expr)
+  return {"predicted_moved_bytes": p.cost,
+          "xla_bytes_accessed_default": before,
+          "xla_bytes_accessed_planned": after}

@@ -106,3 +106,43 @@ def test_plan_deep_shared_dag_fast(rng, cluster):
   p = st.plan(sp.sum(e))
   assert time.perf_counter() - t0 < 5.0
   assert np.isfinite(p.cost)
+
+
+def test_plan_transpose_is_free(rng, cluster):
+  """Transpose must not charge a reshard: the output spec is the child's
+  permuted spec."""
+  x = sp.from_numpy(rng.standard_normal((32, 16)))
+  p_plain = st.plan(x * 2.0)
+  p_t = st.plan(sp.transpose(x * 2.0))
+  assert p_t.cost <= p_plain.cost + 1e-6
+
+
+def test_plan_stencil_charges_halo(rng, cluster):
+  """Sharding a stencil's spatial dim must cost halo bytes; the planner
+  should still produce a finite plan."""
+  img = sp.from_numpy(rng.standard_normal((1, 1, 32, 32)))
+  k = sp.from_numpy(rng.standard_normal((1, 1, 3, 3)))
+  p = st.plan(sp.stencil(img, k))
+  assert np.isfinite(p.cost)
+
+
+def test_plan_shuffle_charges_all_to_all(rng, cluster):
+  a = sp.from_numpy(rng.standard_normal((16, 16)))
+  # transpose-scatter: a genuine re-tiling shuffle kernel
+  e = sp.shuffle([a], lambda v, coords: ((coords[1], coords[0]), v),
+                 target_shape=(16, 16))
+  p = st.plan(e)
+  # a 16x16 f64 all-to-all over 8 shards moves ~ (7/8)*2048 bytes
+  assert p.cost >= 16 * 16 * 8 * 0.5
+
+
+def test_validate_plan_returns_measurements(rng, cluster):
+  """The measurement hook must return the planner prediction and XLA's
+  bytes-accessed figures for unplanned vs planned layouts."""
+  a = sp.from_numpy(rng.standard_normal((64, 64)))
+  b = sp.from_numpy(rng.standard_normal((64, 64)))
+  e = (a + b).sum(axis=0)
+  m = st.validate_plan(e)
+  assert set(m) == {"predicted_moved_bytes", "xla_bytes_accessed_default",
+                    "xla_bytes_accessed_planned"}
+  assert np.isfinite(m["predicted_moved_bytes"])
