@@ -188,6 +188,10 @@ FLAGS.add(IntFlag("max_expr_cache", 1024, "max cached compiled regions"))
 FLAGS.add(IntFlag("chunk_eval_threshold", 768,
                   "DAGs larger than this (node count) are evaluated in "
                   "segments to keep XLA region compile time linear"))
+FLAGS.add(IntFlag("max_fused_kernel_ops", 128,
+                  "stop splicing map kernels beyond this op count — XLA "
+                  "fuses within the region anyway; unbounded splicing is "
+                  "quadratic on long chains"))
 FLAGS.add(IntFlag("chunk_eval_size", 256,
                   "segment size (interior ops) for chunked evaluation"))
 FLAGS.add(BoolFlag("eager", False, "evaluate every expr immediately (debug)"))

@@ -61,14 +61,19 @@ def fn_key(fn: Any) -> Tuple:
   else:
     code = getattr(fn, "__code__", None)
     if code is not None:
+      # co_names is essential: attribute/global references are indices
+      # into it, so e.g. ``v.astype(jnp.float32)`` and ``...int32`` have
+      # IDENTICAL co_code. Defaults live outside co_consts.
+      defaults = (_safe_repr(getattr(fn, "__defaults__", None)),
+                  _safe_repr(getattr(fn, "__kwdefaults__", None)))
       closure = getattr(fn, "__closure__", None) or ()
       # closures over exprs/arrays may mutate — only cache closure-free fns
       if closure:
         cells = tuple(_safe_repr(c.cell_contents) for c in closure)
-        return ("fn", fn.__qualname__, code.co_code,
-                _safe_repr(code.co_consts), cells)
-      key = ("fn", fn.__qualname__, code.co_code, _safe_repr(code.co_consts),
-             ())
+        return ("fn", fn.__qualname__, code.co_code, code.co_names,
+                _safe_repr(code.co_consts), defaults, cells)
+      key = ("fn", fn.__qualname__, code.co_code, code.co_names,
+             _safe_repr(code.co_consts), defaults, ())
     else:
       key = ("obj", getattr(fn, "__module__", ""), getattr(fn, "__name__",
                                                            repr(fn)))
@@ -264,12 +269,31 @@ class Expr:
       for n in order[:-1]:
         if n._aval is None:
           n.aval()
-      key = (self.signature({}), semantic_flags_fingerprint())
+      dep_avals = [c.aval() for c in self.children()]
+      # the abstract value is a pure function of (node type, params,
+      # child avals) — a LOCAL key, O(1) per node.  Keying by the full
+      # subtree signature (as before) made chain construction O(n²).
+      # _holds_subdag nodes (remat) bake a whole DAG into a param, so
+      # they fall back to the full signature.
+      if getattr(self, "_holds_subdag", False):
+        key = (self.signature({}), semantic_flags_fingerprint())
+      else:
+        parts: List[Any] = [type(self).__name__]
+        for name in self._params:
+          v = getattr(self, name)
+          sig_fn = getattr(v, "signature", None)
+          if sig_fn is not None and not isinstance(v, Expr):
+            parts.append(sig_fn())  # LocalExpr kernels: cached signature
+          else:
+            parts.append(_safe_repr(v))
+        child_key = tuple(
+            (tuple(a.shape), str(a.dtype),
+             bool(getattr(a, "weak_type", False))) for a in dep_avals)
+        key = (tuple(parts), child_key, semantic_flags_fingerprint())
       hit = _aval_cache.get(key)
       if hit is not None:
         self._aval = hit
         return hit
-      dep_avals = [c.aval() for c in self.children()]
       ctx = EmitCtx(abstract=True)
       self._aval = jax.eval_shape(
           lambda *deps: self._emit(ctx, list(deps)), *dep_avals)

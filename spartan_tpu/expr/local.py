@@ -67,6 +67,7 @@ class LocalInput(LocalExpr):
   """Reads fused-region input slot ``idx``."""
 
   __slots__ = ("idx",)
+  approx_size = 1
 
   def __init__(self, idx: int):
     self.idx = idx
@@ -88,6 +89,7 @@ class LocalConst(LocalExpr):
   """A small captured constant (scalars baked into the kernel)."""
 
   __slots__ = ("value",)
+  approx_size = 1
 
   def __init__(self, value):
     self.value = value
@@ -108,7 +110,7 @@ class LocalConst(LocalExpr):
 class FnCallExpr(LocalExpr):
   """Apply ``fn(*deps, **kw)``."""
 
-  __slots__ = ("fn", "deps", "kw", "pretty_name", "_sig")
+  __slots__ = ("fn", "deps", "kw", "pretty_name", "_sig", "approx_size")
 
   def __init__(self, fn: Callable, deps: Sequence[LocalExpr],
                kw: Optional[Dict[str, Any]] = None,
@@ -118,6 +120,9 @@ class FnCallExpr(LocalExpr):
     self.kw = dict(kw or {})
     self.pretty_name = pretty_name or getattr(fn, "__name__", "fn")
     self._sig = None  # LocalExpr trees are immutable: signature caches
+    # tree-size upper bound (counts shared subtrees repeatedly — O(1) to
+    # maintain, used only as a fusion-growth cap)
+    self.approx_size = 1 + sum(d.approx_size for d in self.deps)
 
   def evaluate(self, inputs):
     return _postorder(

@@ -146,11 +146,16 @@ class MapMapFusion:
   def run(self, root: Expr) -> Expr:
     refs = count_refs(root)
 
+    cap = FLAGS.max_fused_kernel_ops
+
+    def fusable(c: Expr, parent: "MapExpr") -> bool:
+      return (isinstance(c, MapExpr) and refs.get(c.expr_id, 1) == 1
+              and c.op.approx_size + parent.op.approx_size <= cap)
+
     def fuse(e: Expr) -> Expr:
       if not isinstance(e, MapExpr):
         return e
-      if not any(isinstance(c, MapExpr) and refs.get(c.expr_id, 1) == 1
-                 for c in e.inputs):
+      if not any(fusable(c, e) for c in e.inputs):
         return e
       new_inputs: List[Expr] = []
       slot_of: Dict[int, int] = {}
@@ -165,7 +170,7 @@ class MapMapFusion:
 
       mapping: Dict[int, local_mod.LocalExpr] = {}
       for i, child in enumerate(e.inputs):
-        if isinstance(child, MapExpr) and refs.get(child.expr_id, 1) == 1:
+        if fusable(child, e):
           inner_map = {j: local_mod.LocalInput(slot(gc))
                        for j, gc in enumerate(child.inputs)}
           mapping[i] = local_mod.substitute_inputs(child.op, inner_map)
