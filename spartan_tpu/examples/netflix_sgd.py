@@ -74,6 +74,40 @@ def fit(users, items, ratings, n_users: int, n_items: int, k: int = 8,
   return U, V
 
 
+def fit_compiled(users, items, ratings, n_users: int, n_items: int,
+                 k: int = 8, epochs: int = 10, batch: int = 1024,
+                 lr: float = 0.05, reg: float = 0.02, seed: int = 0):
+  """Serving-style training: the SGD step is compiled ONCE via
+  ``sp.compile`` and every minibatch streams through the same runner —
+  removes per-batch DAG construction/evaluation overhead (the python
+  loop's only remaining cost is the jitted dispatch)."""
+  rng = np.random.default_rng(seed)
+  U0 = rng.standard_normal((n_users, k)) * 0.1
+  V0 = rng.standard_normal((n_items, k)) * 0.1
+  users = np.asarray(users)
+  items = np.asarray(items)
+  ratings = np.asarray(ratings, dtype=np.float64)
+
+  # template leaves define the compiled step's signature
+  Ut = sp.from_numpy(U0)
+  Vt = sp.from_numpy(V0)
+  ut = sp.from_numpy(users[:batch])
+  it_ = sp.from_numpy(items[:batch])
+  rt = sp.from_numpy(ratings[:batch])
+  u2, v2 = sgd_step(Ut, Vt, ut, it_, rt, lr, reg)
+  step = sp.compile(sp.ListExpr([u2, v2]), wrt=[Ut, Vt, ut, it_, rt])
+
+  U, V = U0, V0
+  n = users.shape[0]
+  for _ in range(epochs):
+    order = rng.permutation(n)
+    for s in range(0, n - batch + 1, batch):
+      sel = order[s:s + batch]
+      out = step(U, V, users[sel], items[sel], ratings[sel])
+      U, V = out[0], out[1]
+  return U, V
+
+
 def rmse(U, V, users, items, ratings):
   Uu = sp.lazify(U)[sp.from_numpy(np.asarray(users))]
   Vi = sp.lazify(V)[sp.from_numpy(np.asarray(items))]

@@ -468,11 +468,36 @@ def argsort(v, axis=-1) -> Expr:
 
 
 def percentile(v, q, axis=None) -> Expr:
+  qa = np.asarray(q)
+  if np.any(qa < 0) or np.any(qa > 100):
+    raise ValueError("Percentiles must be in the range [0, 100]")
   return PercentileExpr(lazify(v), q, axis)
 
 
 def median(v, axis=None) -> Expr:
   return PercentileExpr(lazify(v), 50.0, axis)
+
+
+def quantile(v, q, axis=None) -> Expr:
+  """NumPy quantile (q in [0, 1]) — percentile scaled."""
+  q = np.asarray(q)
+  if np.any(q < 0) or np.any(q > 1):
+    raise ValueError("Quantiles must be in the range [0, 1]")
+  return PercentileExpr(lazify(v), q * 100.0, axis)
+
+
+def partition(v, kth, axis=-1) -> Expr:
+  """NumPy partition semantics via a full sort: element ``kth`` lands at
+  its sorted position with smaller values before and larger after — a
+  total sort satisfies the partial-order contract exactly, and XLA has
+  no cheaper partial sort on TPU (reference: spartan/expr/sort.py)."""
+  del kth
+  return map([lazify(v)], jnp.sort, fn_kw={"axis": axis})
+
+
+def argpartition(v, kth, axis=-1) -> Expr:
+  del kth
+  return map([lazify(v)], jnp.argsort, fn_kw={"axis": axis})
 
 
 def bincount(v, minlength=None, weights=None) -> Expr:
@@ -582,7 +607,8 @@ __all__ = [
     "stack", "vstack", "hstack", "tile", "expand_dims", "squeeze", "take",
     "broadcast_to",
     # sort/search
-    "sort", "argsort", "percentile", "median", "bincount", "unique",
+    "sort", "argsort", "percentile", "median", "quantile", "partition",
+    "argpartition", "bincount", "unique",
     "histogram", "take_along_axis", "searchsorted", "digitize",
     "nonzero",
     # stencil

@@ -213,3 +213,22 @@ def test_cg_solve_fused_matches():
   A, b, x_true = cg.make_spd(48, seed=10)
   x = cg.solve_fused(sp.from_numpy(A), sp.from_numpy(b), tol=1e-11)
   np.testing.assert_allclose(np.asarray(x.glom()), x_true, atol=1e-7)
+
+
+def test_netflix_fit_compiled_matches_lazy(rng, cluster):
+  """The sp.compile-streamed SGD must produce bit-identical factors to
+  the per-batch lazy evaluation (same seeds, same batch order)."""
+  from spartan_tpu.examples import netflix_sgd as nf
+  n_users, n_items, k, n_r = 64, 32, 4, 1024
+  U0 = rng.standard_normal((n_users, k)) * 0.5
+  V0 = rng.standard_normal((n_items, k)) * 0.5
+  users = rng.integers(0, n_users, n_r)
+  items = rng.integers(0, n_items, n_r)
+  ratings = (U0[users] * V0[items]).sum(1)
+  U1, V1 = nf.fit(users, items, ratings, n_users, n_items, k,
+                  epochs=2, batch=256)
+  U2, V2 = nf.fit_compiled(users, items, ratings, n_users, n_items, k,
+                           epochs=2, batch=256)
+  a1 = np.asarray(U1.glom() if hasattr(U1, "glom") else U1)
+  a2 = np.asarray(U2.glom() if hasattr(U2, "glom") else U2)
+  np.testing.assert_allclose(a1, a2, rtol=1e-12)

@@ -45,3 +45,26 @@ def test_sort_feeds_lazy_chain(rng):
 def test_int_sort(rng):
   x = rng.integers(0, 1000, (50,))
   Assert.all_eq(sp.sort(sp.from_numpy(x)), np.sort(x))
+
+
+def test_quantile_matches_numpy(rng, cluster):
+  a = rng.standard_normal((32,))
+  for q in (0.0, 0.25, 0.5, 0.9, 1.0):
+    np.testing.assert_allclose(sp.quantile(sp.from_numpy(a), q).glom(),
+                               np.quantile(a, q), rtol=1e-12)
+  # vector q and axis
+  a2 = rng.standard_normal((8, 16))
+  np.testing.assert_allclose(
+      sp.quantile(sp.from_numpy(a2), [0.1, 0.9], axis=1).glom(),
+      np.quantile(a2, [0.1, 0.9], axis=1), rtol=1e-12)
+
+
+def test_partition_contract(rng, cluster):
+  a = rng.standard_normal(33)
+  k = 7
+  got = np.asarray(sp.partition(sp.from_numpy(a), k).glom())
+  want_val = np.partition(a, k)[k]
+  assert got[k] == want_val
+  assert (got[:k] <= got[k]).all() and (got[k:] >= got[k]).all()
+  gi = np.asarray(sp.argpartition(sp.from_numpy(a), k).glom())
+  assert a[gi[k]] == want_val
