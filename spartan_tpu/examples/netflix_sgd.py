@@ -55,8 +55,12 @@ def fit(users, items, ratings, n_users: int, n_items: int, k: int = 8,
         epochs: int = 10, batch: int = 1024, lr: float = 0.05,
         reg: float = 0.02, seed: int = 0):
   rng = np.random.default_rng(seed)
-  U = sp.from_numpy(rng.standard_normal((n_users, k)) * 0.1)
-  V = sp.from_numpy(rng.standard_normal((n_items, k)) * 0.1)
+  # factor matrices are small relative to the batch: replicate them (one
+  # big tile) so per-batch row gathers don't force an SPMD reshard of U/V
+  U = sp.from_numpy(rng.standard_normal((n_users, k)) * 0.1,
+                    tile_hint=(n_users, k))
+  V = sp.from_numpy(rng.standard_normal((n_items, k)) * 0.1,
+                    tile_hint=(n_items, k))
   users = np.asarray(users)
   items = np.asarray(items)
   ratings = np.asarray(ratings, dtype=np.float64)
@@ -88,9 +92,10 @@ def fit_compiled(users, items, ratings, n_users: int, n_items: int,
   items = np.asarray(items)
   ratings = np.asarray(ratings, dtype=np.float64)
 
-  # template leaves define the compiled step's signature
-  Ut = sp.from_numpy(U0)
-  Vt = sp.from_numpy(V0)
+  # template leaves define the compiled step's signature (factors
+  # replicated — see fit())
+  Ut = sp.from_numpy(U0, tile_hint=(n_users, k))
+  Vt = sp.from_numpy(V0, tile_hint=(n_items, k))
   ut = sp.from_numpy(users[:batch])
   it_ = sp.from_numpy(items[:batch])
   rt = sp.from_numpy(ratings[:batch])
