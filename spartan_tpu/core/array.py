@@ -39,6 +39,34 @@ _REDUCERS = {
 }
 
 
+_halfswap = None
+
+
+def host_fetch(data) -> np.ndarray:
+  """``jax.device_get`` with a workaround for the axon dev-tunnel quirk:
+  fetching a monotonically-increasing int32 buffer (arange outputs,
+  sorted sparse column indices) hits a pathological ~quadratic path in
+  the tunnel's transfer encoding (measured 96 s for 2 MB vs 0.08 s for
+  the same bytes scrambled).  On the axon platform, 32-bit integer
+  buffers are half-word-swapped on device, fetched, and swapped back —
+  a bit-exact round trip.  Real TPU/CPU platforms take the plain path."""
+  global _halfswap
+  if not isinstance(data, jax.Array):
+    return np.asarray(data)
+  try:
+    platform = list(data.devices())[0].platform
+  except Exception:
+    platform = ""
+  dt = np.dtype(data.dtype)
+  if platform != "axon" or dt.kind not in "iu" or dt.itemsize != 4:
+    return np.asarray(jax.device_get(data))
+  if _halfswap is None:
+    _halfswap = jax.jit(
+        lambda v: (v << 16) | ((v >> 16) & v.dtype.type(0xFFFF)))
+  raw = np.asarray(jax.device_get(_halfswap(data)))
+  return ((raw & dt.type(0xFFFF)) << 16) | ((raw >> 16) & dt.type(0xFFFF))
+
+
 def canonical_reducer(reducer: Any) -> str:
   try:
     if reducer in _REDUCERS:
@@ -101,7 +129,7 @@ class SpartanArray:
 
   def glom(self) -> np.ndarray:
     """Gather the full array to the host (reference ``DistArray.glom``)."""
-    return np.asarray(jax.device_get(self.data))
+    return host_fetch(self.data)
 
   def fetch(self, region) -> np.ndarray:
     """Gather an arbitrary rectangle to the host (reference
@@ -110,7 +138,7 @@ class SpartanArray:
       idx = region.to_slice()
     else:
       idx = region
-    return np.asarray(jax.device_get(self.data[idx]))
+    return host_fetch(self.data[idx])
 
   def update(self, region, value, reducer: Any = None) -> "SpartanArray":
     """Functional scatter-merge of ``value`` into ``region`` with a

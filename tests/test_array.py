@@ -101,3 +101,29 @@ def test_astype_and_numpy_protocol(arr):
   a, host = arr
   assert a.astype(np.float32).dtype == np.float32
   np.testing.assert_array_equal(np.asarray(a), host)
+
+
+def test_host_fetch_halfswap_bit_exact(cluster):
+  """The axon-tunnel int32 fetch workaround's swap/unswap pair must be a
+  bit-exact involution for all 32-bit patterns (the device half is a
+  jitted lambda; here both halves run through jax on CPU)."""
+  import jax
+  import jax.numpy as jnp
+  from spartan_tpu.core import array as arr_mod
+  swap = jax.jit(lambda v: (v << 16) | ((v >> 16) & v.dtype.type(0xFFFF)))
+  for a in (np.arange(-500, 500, dtype=np.int32),
+            np.array([-2**31, 2**31 - 1, 0, -1, 1], dtype=np.int32),
+            np.arange(2**31, 2**31 + 100, dtype=np.uint32)):
+    raw = np.asarray(swap(a))
+    dt = a.dtype
+    back = ((raw & dt.type(0xFFFF)) << 16) | ((raw >> 16) & dt.type(0xFFFF))
+    np.testing.assert_array_equal(back, a)
+
+
+def test_host_fetch_noop_on_cpu(cluster):
+  """On non-axon platforms host_fetch must be a plain device_get."""
+  import jax
+  from spartan_tpu.core.array import host_fetch
+  a = np.arange(1000, dtype=np.int32)
+  d = jax.device_put(a)
+  np.testing.assert_array_equal(host_fetch(d), a)

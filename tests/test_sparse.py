@@ -185,3 +185,36 @@ def test_to_scipy_roundtrip(rng):
   S = sps.from_scipy(A)
   back = S.to_scipy()
   np.testing.assert_allclose(back.toarray(), A.toarray(), atol=1e-12)
+
+
+def test_to_bsr_roundtrip_and_spmv(rng, cluster):
+  """Unstructured -> block-ELL bridging must preserve the matrix and give
+  identical SpMV results (the opt-in MXU path)."""
+  import scipy.sparse as ss
+  from spartan_tpu.backend import sparse as sps
+  dense = np.zeros((256, 384))
+  # clustered blocks + stray entries
+  dense[0:128, 128:256] = rng.standard_normal((128, 128))
+  dense[130, 7] = 3.5
+  A = sps.from_scipy(ss.csr_matrix(dense))
+  B = A.to_bsr(bs=128)
+  np.testing.assert_allclose(B.todense(), dense, rtol=1e-12)
+  x = rng.standard_normal(384)
+  y_ell = np.asarray(sps.spmv(A, x))
+  y_bsr = np.asarray(sps.bsr_spmv(B, x))
+  np.testing.assert_allclose(y_bsr, y_ell, rtol=1e-10)
+
+
+def test_to_bsr_pads_odd_shapes(rng, cluster):
+  import scipy.sparse as ss
+  from spartan_tpu.backend import sparse as sps
+  dense = np.zeros((130, 70))
+  dense[5, 60] = 2.0
+  dense[129, 69] = -1.0
+  A = sps.from_scipy(ss.csr_matrix(dense))
+  B = A.to_bsr(bs=128)          # pads to 256 x 128
+  assert B.shape == (256, 128)
+  x = rng.standard_normal(70)
+  xp = np.zeros(128); xp[:70] = x
+  y = np.asarray(sps.bsr_spmv(B, xp))[:130]
+  np.testing.assert_allclose(y, dense @ x, rtol=1e-10)
