@@ -444,6 +444,70 @@ def expand_dims(v, axis) -> Expr:
   return map([lazify(v)], jnp.expand_dims, fn_kw={"axis": axis})
 
 
+def fmod(a, b) -> Expr:
+  return map([lazify(a), lazify(b)], jnp.fmod)
+
+
+def inner(a, b) -> Expr:
+  return map([lazify(a), lazify(b)], jnp.inner)
+
+
+def logspace(start, stop, num=50, base=10.0, dtype=None) -> Expr:
+  return map([lazify(np.asarray(0.0))],
+             lambda _: jnp.logspace(start, stop, num, base=base,
+                                    dtype=dtype))
+
+
+def repeat(v, repeats, axis=None) -> Expr:
+  """NumPy repeat with a static (python int) ``repeats`` — data-dependent
+  repeat counts would make the output shape dynamic (NotShapeable)."""
+  return map([lazify(v)], jnp.repeat,
+             fn_kw={"repeats": int(repeats), "axis": axis})
+
+
+def flip(v, axis=None) -> Expr:
+  return map([lazify(v)], jnp.flip, fn_kw={"axis": axis})
+
+
+def roll(v, shift, axis=None) -> Expr:
+  return map([lazify(v)], jnp.roll, fn_kw={"shift": shift, "axis": axis})
+
+
+def isclose(a, b, rtol=1e-05, atol=1e-08) -> Expr:
+  return map([lazify(a), lazify(b)], jnp.isclose,
+             fn_kw={"rtol": rtol, "atol": atol})
+
+
+def meshgrid(*coords, indexing="xy"):
+  """Eager (host) meshgrid over small coordinate vectors — returns a list
+  of lazy leaves (reference usage: building index grids for examples)."""
+  from spartan_tpu.expr.base import Val
+  arrs = [np.asarray(c.glom() if isinstance(c, Expr) else c)
+          for c in coords]
+  return [from_numpy(g) for g in np.meshgrid(*arrs, indexing=indexing)]
+
+
+def split(v, indices_or_sections, axis=0):
+  """Lazy split: a list of slice exprs (shapes static when the split is)."""
+  v = lazify(v)
+  n = v.shape[axis]
+  if isinstance(indices_or_sections, int):
+    k = indices_or_sections
+    if n % k:
+      raise ValueError(f"array split does not result in an equal division "
+                       f"({n} into {k})")
+    bounds = [(i * (n // k), (i + 1) * (n // k)) for i in range(k)]
+  else:
+    pts = [0] + [int(i) for i in indices_or_sections] + [n]
+    bounds = list(zip(pts[:-1], pts[1:]))
+  out = []
+  for lo, hi in bounds:
+    idx = [slice(None)] * v.ndim
+    idx[axis] = slice(lo, hi)
+    out.append(v[tuple(idx)])
+  return out
+
+
 def squeeze(v, axis=None) -> Expr:
   return map([lazify(v)], jnp.squeeze, fn_kw={"axis": axis})
 
@@ -577,6 +641,8 @@ def array_equal(a, b) -> bool:
 
 
 __all__ = [
+    "fmod", "inner", "logspace", "repeat", "flip", "roll", "isclose",
+    "meshgrid", "split",
     # creation
     "zeros", "ones", "full", "empty", "zeros_like", "ones_like", "full_like",
     "arange", "linspace", "eye", "identity", "rand", "randn", "randint",
