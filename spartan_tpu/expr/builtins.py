@@ -448,6 +448,90 @@ def fmod(a, b) -> Expr:
   return map([lazify(a), lazify(b)], jnp.fmod)
 
 
+def _unary_builtin(jfn):
+  def op(v):
+    return map([lazify(v)], jfn)
+  op.__name__ = jfn.__name__
+  return op
+
+
+nanargmax = _unary_builtin(jnp.nanargmax)
+nanargmin = _unary_builtin(jnp.nanargmin)
+rad2deg = _unary_builtin(jnp.rad2deg)
+deg2rad = _unary_builtin(jnp.deg2rad)
+degrees = _unary_builtin(jnp.degrees)
+radians = _unary_builtin(jnp.radians)
+cbrt = _unary_builtin(jnp.cbrt)
+fabs = _unary_builtin(jnp.fabs)
+positive = _unary_builtin(jnp.positive)
+atleast_1d = _unary_builtin(jnp.atleast_1d)
+atleast_2d = _unary_builtin(jnp.atleast_2d)
+real = _unary_builtin(jnp.real)
+imag = _unary_builtin(jnp.imag)
+
+
+def remainder(a, b) -> Expr:
+  return map([lazify(a), lazify(b)], jnp.remainder)
+
+
+def cross(a, b, axis=-1) -> Expr:
+  return map([lazify(a), lazify(b)], jnp.cross, fn_kw={"axis": axis})
+
+
+def kron(a, b) -> Expr:
+  return map([lazify(a), lazify(b)], jnp.kron)
+
+
+def choose(idx, choices) -> Expr:
+  return map([lazify(idx)] + [lazify(c) for c in choices],
+             lambda i, *cs: jnp.choose(i, list(cs), mode="clip"))
+
+
+def around(v, decimals=0) -> Expr:
+  return map([lazify(v)], jnp.around, fn_kw={"decimals": decimals})
+
+
+def moveaxis(v, source, destination) -> Expr:
+  return map([lazify(v)], jnp.moveaxis,
+             fn_kw={"source": source, "destination": destination})
+
+
+def dstack(arrays) -> Expr:
+  return map([lazify(a) for a in arrays], lambda *xs: jnp.dstack(xs))
+
+
+def column_stack(arrays) -> Expr:
+  return map([lazify(a) for a in arrays], lambda *xs: jnp.column_stack(xs))
+
+
+def diff(v, n=1, axis=-1) -> Expr:
+  return map([lazify(v)], jnp.diff, fn_kw={"n": n, "axis": axis})
+
+
+def gradient(v, *varargs, axis=None):
+  out = map([lazify(v)],
+            lambda x: jnp.gradient(x, *varargs, axis=axis))
+  return out
+
+
+def cov(m, rowvar=True, ddof=None) -> Expr:
+  kw = {"rowvar": rowvar}
+  if ddof is not None:
+    kw["ddof"] = ddof
+  return map([lazify(m)], jnp.cov, fn_kw=kw)
+
+
+def corrcoef(m, rowvar=True) -> Expr:
+  return map([lazify(m)], jnp.corrcoef, fn_kw={"rowvar": rowvar})
+
+
+def average(v, axis=None, weights=None) -> Expr:
+  if weights is None:
+    return mean(v, axis=axis)
+  return map([lazify(v), lazify(weights)],
+             lambda x, w: jnp.average(x, axis=axis, weights=w))
+
+
 def inner(a, b) -> Expr:
   return map([lazify(a), lazify(b)], jnp.inner)
 
@@ -642,7 +726,11 @@ def array_equal(a, b) -> bool:
 
 __all__ = [
     "fmod", "inner", "logspace", "repeat", "flip", "roll", "isclose",
-    "meshgrid", "split",
+    "meshgrid", "split", "nanargmax", "nanargmin", "rad2deg", "deg2rad",
+    "degrees", "radians", "cbrt", "fabs", "positive", "atleast_1d",
+    "atleast_2d", "real", "imag", "remainder", "cross", "kron", "choose",
+    "around", "moveaxis", "dstack", "column_stack", "diff", "gradient",
+    "cov", "corrcoef", "average",
     # creation
     "zeros", "ones", "full", "empty", "zeros_like", "ones_like", "full_like",
     "arange", "linspace", "eye", "identity", "rand", "randn", "randint",

@@ -47,3 +47,46 @@ def test_split_matches_numpy(rng, cluster):
     np.testing.assert_array_equal(got.glom(), want)
   with pytest.raises(ValueError):
     sp.split(sp.from_numpy(a), 5)
+
+
+def test_second_sweep_parity(rng, cluster):
+  a = rng.standard_normal((6, 8))
+  v3 = rng.standard_normal((4, 3))
+  w3 = rng.standard_normal((4, 3))
+  pairs = [
+      (sp.rad2deg(sp.from_numpy(a)), np.rad2deg(a)),
+      (sp.deg2rad(sp.from_numpy(a)), np.deg2rad(a)),
+      (sp.cbrt(sp.from_numpy(a)), np.cbrt(a)),
+      (sp.fabs(sp.from_numpy(a)), np.fabs(a)),
+      (sp.remainder(sp.from_numpy(a), 2.5), np.remainder(a, 2.5)),
+      (sp.cross(sp.from_numpy(v3), sp.from_numpy(w3)), np.cross(v3, w3)),
+      (sp.kron(sp.from_numpy(a[:2, :2]), sp.from_numpy(a[2:4, 2:4])),
+       np.kron(a[:2, :2], a[2:4, 2:4])),
+      (sp.around(sp.from_numpy(a), 2), np.around(a, 2)),
+      (sp.moveaxis(sp.from_numpy(a), 0, 1), np.moveaxis(a, 0, 1)),
+      (sp.diff(sp.from_numpy(a), axis=1), np.diff(a, axis=1)),
+      (sp.cov(sp.from_numpy(a)), np.cov(a)),
+      (sp.corrcoef(sp.from_numpy(a)), np.corrcoef(a)),
+      (sp.average(sp.from_numpy(a), axis=0), np.average(a, axis=0)),
+  ]
+  for got, want in pairs:
+    np.testing.assert_allclose(got.glom(), want, rtol=1e-10, atol=1e-12)
+  wts = np.abs(rng.standard_normal(8)) + 0.1
+  np.testing.assert_allclose(
+      sp.average(sp.from_numpy(a), axis=1, weights=sp.from_numpy(wts)).glom(),
+      np.average(a, axis=1, weights=wts), rtol=1e-10)
+  b = a.copy(); b[2, 3] = np.nan
+  assert int(sp.nanargmax(sp.from_numpy(b.ravel())).glom()) == np.nanargmax(b.ravel())
+  np.testing.assert_array_equal(
+      sp.column_stack([sp.from_numpy(a[:, 0]), sp.from_numpy(a[:, 1])]).glom(),
+      np.column_stack([a[:, 0], a[:, 1]]))
+  np.testing.assert_array_equal(
+      sp.dstack([sp.from_numpy(a), sp.from_numpy(a)]).glom(),
+      np.dstack([a, a]))
+  idx = rng.integers(0, 2, 8)
+  np.testing.assert_array_equal(
+      sp.choose(sp.from_numpy(idx), [sp.from_numpy(a[0]), sp.from_numpy(a[1])]).glom(),
+      np.choose(idx, [a[0], a[1]]))
+  for g_sp, g_np in zip([sp.gradient(sp.from_numpy(a), axis=0)],
+                        [np.gradient(a, axis=0)]):
+    np.testing.assert_allclose(g_sp.glom(), g_np, rtol=1e-10)
