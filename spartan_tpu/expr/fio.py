@@ -139,9 +139,21 @@ def save(v, path: str) -> None:
     i = ext_index.get((ul, lr))
     if i is None or i in written:
       continue  # replica of an already-written tile
-    np.save(os.path.join(path, f"shard_{i:05d}.npy"), np.asarray(sh.data))
+    # temp + rename: in multi-process runs two processes may hold
+    # replicas of the same tile and race on the file — writes are
+    # identical content, so an atomic rename makes either winner fine
+    tmp = os.path.join(path, f".shard_{i:05d}.{os.getpid()}.tmp.npy")
+    np.save(tmp, np.asarray(sh.data))
+    os.replace(tmp, os.path.join(path, f"shard_{i:05d}.npy"))
     written.add(i)
-  if len(written) != len(extents):  # multi-process or odd layout: glom
+  if len(written) != len(extents):
+    import jax
+    if jax.process_count() > 1:
+      # multi-host: every process writes its ADDRESSABLE shards; the
+      # missing ones belong to peer processes (caller synchronizes,
+      # e.g. multihost_utils.sync_global_devices, before load)
+      return
+    # single-process odd layout: fill the gaps from a host gather
     host = arr.glom()
     for i, ext in enumerate(extents):
       if i not in written:

@@ -55,3 +55,20 @@ def test_from_file(rng, tmp_path):
   p = str(tmp_path / "x.npy")
   np.save(p, a)
   Assert.all_eq(sp.expr.from_file(p), a)
+
+
+def test_multiprocess_checkpoint_roundtrip():
+  """Two real jax.distributed CPU processes write their addressable
+  shards and SPMD-reload (TODO #4 / SURVEY §5 multi-host checkpoint).
+  Runs the tools/multiproc_ckpt_test.py harness as subprocesses."""
+  import subprocess, sys, os
+  env = dict(os.environ)
+  env.pop("XLA_FLAGS", None)
+  env["JAX_PLATFORMS"] = ""
+  env["PYTHONPATH"] = os.pathsep.join(
+      p for p in (env.get("PYTHONPATH", ""), os.getcwd()) if p)
+  out = subprocess.run(
+      [sys.executable, "tools/multiproc_ckpt_test.py"],
+      capture_output=True, text=True, timeout=280, env=env,
+      cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+  assert "RESULT: PASS" in out.stdout, out.stdout[-2000:] + out.stderr[-500:]

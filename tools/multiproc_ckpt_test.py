@@ -1,0 +1,82 @@
+"""Two-process jax.distributed checkpoint round-trip (TODO #4 validation).
+
+Each process owns 2 virtual CPU devices (global mesh = 4). Process 0 and
+process 1 each write their ADDRESSABLE shards of one sharded array via
+``sp.save``; after a barrier, process 0 reloads with ``sp.load`` and
+checks the full array. Run::
+
+    python tools/multiproc_ckpt_test.py            # parent: spawns both
+    python tools/multiproc_ckpt_test.py <pid> <dir>  # child (internal)
+"""
+
+import os
+import subprocess
+import sys
+import tempfile
+
+import numpy as np
+
+PORT = 17771
+
+
+def child(pid: int, workdir: str) -> None:
+  os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+  import jax
+  jax.config.update("jax_platforms", "cpu")
+  jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
+                             num_processes=2, process_id=pid)
+  jax.config.update("jax_enable_x64", True)
+  assert jax.process_count() == 2, jax.process_count()
+  assert len(jax.devices()) == 4, len(jax.devices())
+
+  import spartan_tpu as sp
+  sp.initialize(["--log_level=30"])
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  from spartan_tpu.core.array import SpartanArray
+  from spartan_tpu.core.tiling import Tiling
+
+  mesh = sp.get_mesh()
+  full = np.arange(16.0 * 4).reshape(16, 4)  # global value, same everywhere
+  tiling = Tiling(mesh, P(tuple(mesh.axis_names)))
+  arr = jax.make_array_from_callback(
+      full.shape, NamedSharding(mesh, tiling.spec),
+      lambda idx: full[idx])
+  sarr = SpartanArray(arr, tiling)
+
+  path = os.path.join(workdir, "ckpt")
+  sp.save(sarr, path)
+
+  # barrier: both processes finished writing
+  import jax.experimental.multihost_utils as mhu
+  mhu.sync_global_devices("ckpt_written")
+
+  # SPMD: every process runs the same load (device_put over the global
+  # mesh is a collective); each verifies its ADDRESSABLE shards
+  back = sp.load(path)
+  data = back.data if hasattr(back, "data") else back
+  for sh in data.addressable_shards:
+    np.testing.assert_array_equal(np.asarray(sh.data), full[sh.index])
+  mhu.sync_global_devices("done")
+  print("MULTIPROC_CKPT_OK", flush=True)
+
+
+def parent() -> int:
+  workdir = tempfile.mkdtemp(prefix="spt_mp_")
+  procs = [subprocess.Popen(
+      [sys.executable, __file__, str(pid), workdir],
+      stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+      for pid in (0, 1)]
+  outs = [p.communicate(timeout=300)[0] for p in procs]
+  ok = (all(p.returncode == 0 for p in procs)
+        and all("MULTIPROC_CKPT_OK" in o for o in outs))
+  for i, o in enumerate(outs):
+    print(f"--- process {i} ---\n{o[-2000:]}")
+  print("RESULT:", "PASS" if ok else "FAIL")
+  return 0 if ok else 1
+
+
+if __name__ == "__main__":
+  if len(sys.argv) == 3:
+    child(int(sys.argv[1]), sys.argv[2])
+  else:
+    raise SystemExit(parent())
