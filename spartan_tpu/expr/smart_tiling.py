@@ -150,8 +150,19 @@ def _dot_cost(a_shape, b_shape, dtype, a_spec, b_spec, out_spec,
   a_b = float(np.prod(a_shape)) * itemsize
   b_b = float(np.prod(b_shape)) * itemsize
   m_entry, n_entry = (_norm(out_spec, 2) + (None, None))[:2]
-  a_m, a_k = _norm(a_spec, 2) if len(a_shape) == 2 else (None, None)
-  b_k, b_n = _norm(b_spec, 2) if len(b_shape) == 2 else (None, None)
+  # 1-D operands: the single dim IS the contraction dim
+  if len(a_shape) == 2:
+    a_m, a_k = _norm(a_spec, 2)
+  elif len(a_shape) == 1:
+    a_m, a_k = None, _norm(a_spec, 1)[0]
+  else:
+    a_m, a_k = None, None
+  if len(b_shape) == 2:
+    b_k, b_n = _norm(b_spec, 2)
+  elif len(b_shape) == 1:
+    b_k, b_n = _norm(b_spec, 1)[0], None
+  else:
+    b_k, b_n = None, None
   cost = 0.0
   # B must be visible to every shard-row of A's m-partition: all-gather B
   # over the axes sharding m (unless B already replicated over them)
@@ -161,18 +172,38 @@ def _dot_cost(a_shape, b_shape, dtype, a_spec, b_spec, out_spec,
     cost += b_b * (km - 1) / km
   if kn > 1:
     cost += a_b * (kn - 1) / kn
+  # contracted-dim sharding MISMATCH: operands must re-align before the
+  # local contraction — charge moving the smaller operand
+  ka, kb = _n_shards(a_k, mesh), _n_shards(b_k, mesh)
+  def _ax(e):
+    return tuple(e) if isinstance(e, (tuple, list)) else (e,)
+  if ka > 1 and kb > 1 and _ax(a_k) != _ax(b_k):
+    cost += min(a_b, b_b) * (1 - 1.0 / max(ka, kb))
+  elif ka != kb:
+    # one side sharded on k, the other not: the unsharded side must be
+    # sliced/visible per k-shard — usually free (replication), but the
+    # SHARDED side's partials still combine below; charge distributing
+    # the unsharded operand when it is the smaller vector
+    pass
   # contracted dim sharded → partial-sum reduce of C
-  kk = max(_n_shards(a_k, mesh), _n_shards(b_k, mesh))
+  kk = max(ka, kb)
   if kk > 1:
     m = a_shape[0] if len(a_shape) == 2 else 1
     n = b_shape[1] if len(b_shape) == 2 else 1
     cost += float(m) * n * itemsize * (kk - 1) / kk
-  # layout mismatches beyond the gathered copies
+  # layout mismatches beyond the gathered copies.  A consistently
+  # sharded contraction dim is the reduce-scatter dot pattern and must
+  # NOT be charged as a gather — keep it in the wanted layout.
+  mismatch = ka > 1 and kb > 1 and _ax(a_k) != _ax(b_k)
+  keep_ak = a_k if (ka > 1 and not mismatch) else None
+  keep_bk = b_k if (kb > 1 and not mismatch) else None
   if len(a_shape) == 2:
-    want_a = PartitionSpec(m_entry, None)
+    want_a = PartitionSpec(m_entry if _ax(m_entry) != _ax(keep_ak)
+                           else None, keep_ak)
     cost += reshard_bytes(a_shape, dtype, a_spec, want_a, mesh) * 0.5
   if len(b_shape) == 2:
-    want_b = PartitionSpec(None, n_entry)
+    want_b = PartitionSpec(keep_bk, n_entry if _ax(n_entry) != _ax(keep_bk)
+                           else None)
     cost += reshard_bytes(b_shape, dtype, b_spec, want_b, mesh) * 0.5
   return cost
 
@@ -414,8 +445,13 @@ def plan(expr: Expr, mesh=None) -> TilingPlan:
   cost, root_spec, _ = root_tab[best_key]
 
   # backtrack leaf choices (memoized per (node, key) — shared subtrees
-  # would otherwise blow up combinatorially)
-  leaf_specs: Dict[int, PartitionSpec] = {}
+  # would otherwise blow up combinatorially).  A shared leaf may receive
+  # CONFLICTING spec demands from different parents (the per-node DP is
+  # independent per consumer); collect every demand and resolve to the
+  # consensus spec minimizing total reshard bytes to all demand sites —
+  # a leaf can only live in one layout.
+  demands: Dict[int, List[PartitionSpec]] = {}
+  leaf_nodes: Dict[int, Expr] = {}
   visited = set()
 
   def back(e: Expr, key: Tuple):
@@ -429,7 +465,8 @@ def plan(expr: Expr, mesh=None) -> TilingPlan:
       key = min(tab, key=lambda k: tab[k][0])
     _, spec, picks = tab[key]
     if isinstance(e, Val):
-      leaf_specs[e.expr_id] = spec
+      demands.setdefault(e.expr_id, []).append(spec)
+      leaf_nodes[e.expr_id] = e
       return
     for c, cspec in picks:
       try:
@@ -438,6 +475,28 @@ def plan(expr: Expr, mesh=None) -> TilingPlan:
         back(c, ())
 
   back(expr, best_key)
+  leaf_specs: Dict[int, PartitionSpec] = {}
+  for eid, specs in demands.items():
+    uniq = {}
+    for sp_ in specs:
+      uniq.setdefault(_norm(sp_, 8), sp_)
+    if len(uniq) == 1:
+      leaf_specs[eid] = specs[0]
+      continue
+    leaf = leaf_nodes[eid]
+    try:
+      shape, dtype = leaf.shape, leaf.dtype
+    except Exception:
+      leaf_specs[eid] = specs[0]
+      continue
+    best_spec, best_cost = None, None
+    for cand in uniq.values():
+      total = 0.0
+      for want in specs:
+        total += reshard_bytes(shape, dtype, cand, want, mesh)
+      if best_cost is None or total < best_cost:
+        best_cost, best_spec = total, cand
+    leaf_specs[eid] = best_spec
   return TilingPlan(leaf_specs, root_spec, cost)
 
 
