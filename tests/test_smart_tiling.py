@@ -146,3 +146,19 @@ def test_validate_plan_returns_measurements(rng, cluster):
   assert set(m) == {"predicted_moved_bytes", "xla_bytes_accessed_default",
                     "xla_bytes_accessed_planned"}
   assert np.isfinite(m["predicted_moved_bytes"])
+
+
+def test_gradient_chain_prefers_row_sharded_design_matrix(rng, cluster):
+  """X^T(Xw - y): the reduce-scatter dot pattern (row-sharded X, both
+  contractions local-with-psum) must cost LESS than column-sharding X —
+  the cost model used to charge aligned contraction sharding a phantom
+  gather and picked an 8x-slower layout."""
+  X = sp.from_numpy(rng.standard_normal((256, 32)))
+  w = sp.from_numpy(rng.standard_normal(32))
+  y = sp.from_numpy(rng.standard_normal(256))
+  p = st.plan(sp.dot(sp.transpose(X), sp.dot(X, w) - y))
+  x_spec = p.leaf_specs[min(p.leaf_specs)]  # X is the first-created leaf
+  entries = st._norm(x_spec, 2)
+  mesh = sp.get_mesh()
+  # rows (dim 0) must carry at least as many shards as columns (dim 1)
+  assert _nshards(entries[0], mesh) >= _nshards(entries[1], mesh), x_spec
