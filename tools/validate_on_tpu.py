@@ -14,7 +14,9 @@ print("device:", jax.devices()[0].device_kind, flush=True)
 from spartan_tpu.examples import linear_reg
 X, y, wt = linear_reg.make_data(4096, 16)
 t0 = time.time()
-w = linear_reg.fit(X, y, iterations=30, alpha=0.05)
+w = linear_reg.fit_fused(X, y, iterations=30, alpha=0.05)  # one compile,
+# 30 on-device steps — the host-loop fit() costs ~4.7 s/iter through
+# the tunnel and validates the same code path via tests
 err = float(np.abs(np.asarray(w.glom()) - wt).max())
 print(f"1. linreg on TPU: err={err:.4f} ({time.time()-t0:.1f}s, 30 iters)", flush=True)
 
