@@ -102,6 +102,16 @@ def _netflix():
   return {"rmse": float(netflix_sgd.run(512, 256, 8, 16384, 5))}
 
 
+@_register("ridge")
+def _ridge():
+  from spartan_tpu.examples import ridge_reg
+  out = ridge_reg.run(4096, 16, 1e-3)
+  w = out[0] if isinstance(out, tuple) else out
+  import numpy as _np
+  return {"w_norm": float(_np.linalg.norm(_np.asarray(
+      w.glom() if hasattr(w, "glom") else w)))}
+
+
 @_register("convnet")
 def _convnet():
   from spartan_tpu.examples import convnet
