@@ -474,6 +474,17 @@ def remainder(a, b) -> Expr:
   return map([lazify(a), lazify(b)], jnp.remainder)
 
 
+def einsum(subscripts: str, *operands) -> Expr:
+  """Lazy einsum — contractions lower onto the MXU; XLA chooses the
+  collective schedule from the operand shardings."""
+  return map([lazify(o) for o in operands],
+             functools.partial(_einsum_call, subscripts))
+
+
+def _einsum_call(subscripts, *xs):
+  return jnp.einsum(subscripts, *xs)
+
+
 def cross(a, b, axis=-1) -> Expr:
   return map([lazify(a), lazify(b)], jnp.cross, fn_kw={"axis": axis})
 
@@ -730,7 +741,7 @@ __all__ = [
     "degrees", "radians", "cbrt", "fabs", "positive", "atleast_1d",
     "atleast_2d", "real", "imag", "remainder", "cross", "kron", "choose",
     "around", "moveaxis", "dstack", "column_stack", "diff", "gradient",
-    "cov", "corrcoef", "average",
+    "cov", "corrcoef", "average", "einsum",
     # creation
     "zeros", "ones", "full", "empty", "zeros_like", "ones_like", "full_like",
     "arange", "linspace", "eye", "identity", "rand", "randn", "randint",

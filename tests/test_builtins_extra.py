@@ -90,3 +90,19 @@ def test_second_sweep_parity(rng, cluster):
   for g_sp, g_np in zip([sp.gradient(sp.from_numpy(a), axis=0)],
                         [np.gradient(a, axis=0)]):
     np.testing.assert_allclose(g_sp.glom(), g_np, rtol=1e-10)
+
+
+def test_einsum_parity_and_caching(rng, cluster):
+  a = rng.standard_normal((6, 8))
+  b = rng.standard_normal((8, 4))
+  np.testing.assert_allclose(
+      sp.einsum("ij,jk->ik", sp.from_numpy(a), sp.from_numpy(b)).glom(),
+      np.einsum("ij,jk->ik", a, b), rtol=1e-12)
+  np.testing.assert_allclose(
+      sp.einsum("ij->j", sp.from_numpy(a)).glom(),
+      np.einsum("ij->j", a), rtol=1e-12)
+  # different subscripts must NOT alias in the compiled-region cache
+  t1 = sp.einsum("ij,ij->", sp.from_numpy(a), sp.from_numpy(a)).glom()
+  t2 = sp.einsum("ij,ij->i", sp.from_numpy(a), sp.from_numpy(a)).glom()
+  np.testing.assert_allclose(t1, np.einsum("ij,ij->", a, a), rtol=1e-12)
+  np.testing.assert_allclose(t2, np.einsum("ij,ij->i", a, a), rtol=1e-12)
