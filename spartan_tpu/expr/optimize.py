@@ -407,6 +407,12 @@ def optimize(expr: Expr) -> Expr:
   """Run the flag-gated pass pipeline (reference ``optimize``)."""
   ensure_recursion_budget(expr)
   if not FLAGS.optimization:
+    # CollapseCached is cache SEMANTICS, not an optimization: interior
+    # nodes holding results (checkpoint restores, chunked-eval cuts,
+    # eager boundaries) must still collapse to leaves or the runner
+    # would recompute them (and checkpoints would silently re-execute)
+    if FLAGS.opt_collapse_cached:
+      expr = CollapsedCachedExprs().run(expr)
     if FLAGS.opt_auto_tiling:
       expr = AutoTiling().run(expr)
     return expr

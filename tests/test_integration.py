@@ -196,3 +196,23 @@ def test_grad_of_loop_free_loss_with_remat(rng):
   for _ in range(50):
     wn = wn - 0.1 * (2 / 32) * (x_np.T @ (x_np @ wn - y_np))
   np.testing.assert_allclose(np.asarray(w2.glom()), wn, atol=1e-10)
+
+
+def test_checkpoint_restores_with_optimizer_disabled(rng, tmp_path):
+  """--optimization=0 must not silently re-execute checkpoints:
+  CollapseCached is cache semantics, not an optimization."""
+  from spartan_tpu.config import FLAGS
+  from spartan_tpu.backend import evaluator
+  path = str(tmp_path / "noopt")
+  a_np = rng.standard_normal((16, 16))
+  out1 = (checkpoint(sp.dot(sp.from_numpy(a_np), sp.from_numpy(a_np.T)),
+                     path) + 1.0).sum().glom()
+  evaluator.clear_cache()
+  FLAGS.optimization = False
+  try:
+    ck2 = checkpoint(sp.dot(sp.from_numpy(np.zeros((16, 16))),
+                            sp.from_numpy(np.zeros((16, 16)))), path)
+    out2 = (ck2 + 1.0).sum().glom()
+  finally:
+    FLAGS.lookup("optimization").reset()
+  np.testing.assert_allclose(out2, out1, rtol=1e-12)
