@@ -55,17 +55,14 @@ def to_dot(expr: Expr) -> str:
   edges: List[str] = []
   seen: Set[int] = set()
 
-  def go(e: Expr):
-    if e.expr_id in seen:
-      return
-    seen.add(e.expr_id)
+  def emit(e: Expr):
     shape = "box" if isinstance(e, Val) else "ellipse"
     nodes.append(f'  n{e.expr_id} [label="{_label(e)}", shape={shape}];')
     for c in e.children():
       edges.append(f"  n{c.expr_id} -> n{e.expr_id};")
-      go(c)
 
-  go(expr)
+  # iterative visit: deep op chains exceed the recursion limit
+  expr.visit(emit, memo=seen)
   return "digraph expr {\n" + "\n".join(nodes + edges) + "\n}\n"
 
 

@@ -90,3 +90,13 @@ def test_grad_through_deep_unevaluated_chain(rng, cluster):
   fn, args = autodiff.as_function(loss, [x])
   g = np.asarray(jax.grad(fn)(*args))
   np.testing.assert_allclose(g, 2 * (x.glom() + 1.0), rtol=1e-10)
+
+
+def test_deep_chain_to_dot(cluster):
+  """The DAG visualizer must handle deep chains (iterative walk)."""
+  from spartan_tpu.expr import visualize
+  e = sp.from_numpy(np.ones(4))
+  for _ in range(1500):
+    e = e + 1.0
+  out = visualize.to_dot(e)
+  assert out.startswith("digraph") and out.count("->") >= 1500
