@@ -248,6 +248,8 @@ def plan(expr: Expr, mesh=None) -> TilingPlan:
   """Bottom-up DP: for every node and candidate output spec, the minimal
   bytes moved in the subtree; argmin at the root, choices backtracked to
   the leaves."""
+  from spartan_tpu.expr.base import ensure_recursion_budget
+  ensure_recursion_budget(expr)  # solve/back are recursive per node
   mesh = mesh or get_mesh()
   # table: expr_id -> {norm_spec: (cost, spec, [(child, child_spec)])}
   table: Dict[int, Dict[Tuple, Tuple[float, PartitionSpec, list]]] = {}

@@ -100,3 +100,13 @@ def test_deep_chain_to_dot(cluster):
     e = e + 1.0
   out = visualize.to_dot(e)
   assert out.startswith("digraph") and out.count("->") >= 1500
+
+
+def test_deep_chain_smart_tile_plan(cluster):
+  """Standalone smart_tile/plan must size its own recursion budget."""
+  from spartan_tpu.expr import smart_tiling as st
+  e = sp.from_numpy(np.ones((8, 8)))
+  for _ in range(1500):
+    e = e + 1.0
+  p = st.plan(sp.sum(e))
+  assert np.isfinite(p.cost)
