@@ -31,20 +31,21 @@ class RematExpr(Expr):
 
   def __init__(self, child):
     child = lazify(child)
+    # iterative pre-order leaf collection (deep sub-DAGs exceed the
+    # recursion limit at construction time)
     leaves: List[Val] = []
     seen = set()
-
-    def collect(e: Expr):
+    stack = [child]
+    while stack:
+      e = stack.pop()
       if e.expr_id in seen:
-        return
+        continue
       seen.add(e.expr_id)
       if isinstance(e, Val):
         leaves.append(e)
-        return
-      for c in e.children():
-        collect(c)
-
-    collect(child)
+        continue
+      for c in reversed(e.children()):
+        stack.append(c)
     super().__init__(inputs=list(leaves), child=child)
 
   def _emit(self, ctx: EmitCtx, deps: List[Any]):

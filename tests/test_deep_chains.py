@@ -110,3 +110,19 @@ def test_deep_chain_smart_tile_plan(cluster):
     e = e + 1.0
   p = st.plan(sp.sum(e))
   assert np.isfinite(p.cost)
+
+
+def test_deep_chain_under_remat(rng, cluster):
+  """remat over a deep sub-DAG: construction (leaf collection), value,
+  and gradient all work."""
+  import jax
+  from spartan_tpu import autodiff
+  x = sp.from_numpy(np.ones(4))
+  e = x
+  for _ in range(1200):
+    e = e * 1.001
+  loss = sp.sum(sp.remat(e) ** 2)
+  fn, args = autodiff.as_function(loss, [x])
+  g = np.asarray(jax.grad(fn)(*args))
+  want = 2 * (1.001 ** 2400)
+  np.testing.assert_allclose(g, want, rtol=1e-9)
