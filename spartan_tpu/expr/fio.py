@@ -121,8 +121,15 @@ def save(v, path: str) -> None:
       "num_shards": len(extents),
       "shards": [{"ul": list(e.ul), "lr": list(e.lr)} for e in extents],
   }
-  with open(os.path.join(path, "manifest.json"), "w") as f:
-    json.dump(manifest, f)
+
+  def write_manifest():
+    # Manifest is written LAST (tmp + atomic rename): its presence implies
+    # every shard is on disk, so a crash mid-save leaves a recomputable
+    # directory instead of a permanently-broken restore.
+    tmp = os.path.join(path, f".manifest.{os.getpid()}.tmp")
+    with open(tmp, "w") as f:
+      json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "manifest.json"))
 
   ext_index = {(e.ul, e.lr): i for i, e in enumerate(extents)}
   written = set()
@@ -151,7 +158,9 @@ def save(v, path: str) -> None:
     if jax.process_count() > 1:
       # multi-host: every process writes its ADDRESSABLE shards; the
       # missing ones belong to peer processes (caller synchronizes,
-      # e.g. multihost_utils.sync_global_devices, before load)
+      # e.g. multihost_utils.sync_global_devices, before load — after
+      # the barrier all shards named by the manifest exist)
+      write_manifest()
       return
     # single-process odd layout: fill the gaps from a host gather
     host = arr.glom()
@@ -159,6 +168,7 @@ def save(v, path: str) -> None:
       if i not in written:
         np.save(os.path.join(path, f"shard_{i:05d}.npy"),
                 host[ext.to_slice()])
+  write_manifest()
 
 
 def load(path: str, mesh=None) -> SpartanArray:

@@ -357,16 +357,18 @@ class AutoTiling:
         return choose_spec(shape, mesh)
       child_spec = spec_of(rep)
       cshape = rep.shape
-      if child_spec is None or len(cshape) != len(shape) + (0 if e.keepdims
-                                                            else 1):
+      axes = e.axis if isinstance(e.axis, tuple) else (e.axis,)
+      if child_spec is None or len(cshape) != len(shape) + (
+          0 if e.keepdims else len(axes)):
         return choose_spec(shape, mesh)
       entries = list(tuple(child_spec)) + [None] * (
           len(cshape) - len(tuple(child_spec)))
-      axis = e.axis % len(cshape)
+      reduced = {a % len(cshape) for a in axes}
       if e.keepdims:
-        entries[axis] = None
+        for a in reduced:
+          entries[a] = None
       else:
-        entries = entries[:axis] + entries[axis + 1:]
+        entries = [s for i, s in enumerate(entries) if i not in reduced]
       while entries and entries[-1] is None:
         entries.pop()
       return self._fit_or_choose(PartitionSpec(*entries), shape, mesh)

@@ -70,6 +70,7 @@ class ReduceExpr(Expr):
                ddof: int = 0):
     if isinstance(inputs, Expr):
       inputs = [inputs]
+    axis = _canon_axis(axis)
     super().__init__(inputs=[lazify(v) for v in inputs], op=op, axis=axis,
                      keepdims=keepdims, out_dtype=out_dtype,
                      local_op=local_op, ddof=ddof)
@@ -108,9 +109,15 @@ class ReduceExpr(Expr):
     x = deps[bi]
     if np.dtype(x.dtype).kind not in "fiu":
       return None
-    acc = _canon(self.out_dtype or dtype_for_reduction(x.dtype))
-    if self.op == "mean" and np.dtype(acc).kind in "iu":
-      acc = _canon(np.float64)
+    # Accumulator = the node's abstract output dtype (computed over the
+    # UNREWRITTEN local_op chain).  Deriving it from the raw operand was
+    # wrong: sum(int_arr / 2) would truncate the 0.5 coefficient into an
+    # int accumulator and silently return 0.
+    acc = _canon(self.aval().dtype)
+    if np.dtype(acc).kind not in "fc" and any(
+        np.dtype(getattr(d, "dtype", np.float64)).kind not in "iub"
+        for d in deps):
+      return None  # mixed-kind corner: leave it to the unrewritten path
     a = jnp.asarray(a_fn(deps), dtype=acc)
     b = jnp.asarray(b_fn(deps), dtype=acc)
     if self.op == "sum":
@@ -223,13 +230,25 @@ class ReduceExpr(Expr):
             tuple(self._child_sig(c, memo, result) for c in self.inputs))
 
 
+def _canon_axis(axis):
+  """NumPy-style axis → None | int | tuple[int] (single ints unwrapped)."""
+  if axis is None:
+    return None
+  if isinstance(axis, (list, tuple, np.ndarray)):
+    axes = tuple(int(a) for a in axis)
+    return axes[0] if len(axes) == 1 else axes
+  return int(axis)
+
+
 def _reduced_count(shape, axis) -> int:
   if axis is None:
-    n = 1
-    for s in shape:
-      n *= int(s)
-    return n
-  return int(shape[axis % len(shape)])
+    axis = range(len(shape))
+  elif not isinstance(axis, tuple):
+    axis = (axis,)
+  n = 1
+  for a in axis:
+    n *= int(shape[a % len(shape)])
+  return n
 
 
 def _extract_affine(node, big_idx: int):

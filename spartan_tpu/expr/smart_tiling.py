@@ -322,12 +322,14 @@ def plan(expr: Expr, mesh=None) -> TilingPlan:
           except Exception:
             derived = PartitionSpec()
           move = reshard_bytes(shape, dtype, derived, s, mesh)
-          # partial-sum combine over the reduced axis's shards
-          axis_entry = None
-          if e.axis is not None and len(_norm(cspec, rep.ndim)) > (
-              e.axis % max(rep.ndim, 1)):
-            axis_entry = _norm(cspec, rep.ndim)[e.axis % rep.ndim]
-          kk = _n_shards(axis_entry, mesh)
+          # partial-sum combine over the reduced axes' shards
+          kk = 1
+          if e.axis is not None and rep.ndim:
+            centr = _norm(cspec, rep.ndim)
+            for a in (e.axis if isinstance(e.axis, tuple) else (e.axis,)):
+              a %= rep.ndim
+              if a < len(centr):
+                kk *= _n_shards(centr[a], mesh)
           combine = (float(np.prod(shape or (1,))) *
                      np.dtype(dtype).itemsize * (kk - 1) / max(kk, 1))
           t = ccost + move + combine
@@ -508,11 +510,12 @@ def _reduce_out_spec(child_spec: PartitionSpec, child_shape, axis,
     return PartitionSpec()
   nd = len(child_shape)
   entries = list(_norm(child_spec, nd))
-  ax = axis % nd
+  axes = {a % nd for a in (axis if isinstance(axis, tuple) else (axis,))}
   if keepdims:
-    entries[ax] = None
+    for ax in axes:
+      entries[ax] = None
   else:
-    entries = entries[:ax] + entries[ax + 1:]
+    entries = [s for i, s in enumerate(entries) if i not in axes]
   while entries and entries[-1] is None:
     entries.pop()
   return PartitionSpec(*entries)

@@ -72,3 +72,30 @@ def test_multiprocess_checkpoint_roundtrip():
       capture_output=True, text=True, timeout=280, env=env,
       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
   assert "RESULT: PASS" in out.stdout, out.stdout[-2000:] + out.stderr[-500:]
+
+
+def test_crash_mid_save_leaves_no_manifest(rng, tmp_path, monkeypatch):
+  """Regression (ADVICE r1 low): the manifest must be written LAST, so a
+  crash mid-save never leaves a manifest pointing at missing shards
+  (which made checkpoint restore raise FileNotFoundError forever)."""
+  a = rng.standard_normal((16, 8))
+  arr = sp.from_numpy(a).evaluate()
+  path = str(tmp_path / "crash")
+
+  calls = {"n": 0}
+  real_save = np.save
+
+  def failing_save(f, *args, **kw):
+    calls["n"] += 1
+    if calls["n"] >= 2:
+      raise OSError("disk full (simulated)")
+    return real_save(f, *args, **kw)
+
+  monkeypatch.setattr(np, "save", failing_save)
+  with pytest.raises(OSError):
+    save(arr, path)
+  monkeypatch.undo()
+  assert not os.path.exists(os.path.join(path, "manifest.json"))
+  # and a checkpoint over the same path recomputes instead of failing
+  ck = checkpoint(sp.from_numpy(a) * 2.0, path)
+  np.testing.assert_allclose(ck.glom(), a * 2.0, atol=1e-12)

@@ -209,3 +209,36 @@ def test_top_level_parity_exports(cluster):
   for name in ("reduce", "save", "load", "checkpoint", "from_file",
                "sparse", "SparseArray", "sparse_diagonal", "sprandn"):
     assert hasattr(sp, name), name
+
+
+def test_affine_rewrite_int_input_float_coeff(rng):
+  """Regression (ADVICE r1 high): sum(int_arr / 2) and sum(int_arr + 2.5)
+  must accumulate in the FUSED chain's output dtype, not the raw int
+  operand's — the affine rewrite used to truncate float coefficients
+  into an int accumulator."""
+  a = rng.integers(-20, 20, size=(8, 17)).astype(np.int32)
+  sa = sp.from_numpy(a)
+  Assert.all_close((sa / 2).sum(), (a / 2).sum(), rtol=1e-13)
+  Assert.all_close((sa + 2.5).sum(), (a + 2.5).sum(), rtol=1e-13)
+  Assert.all_close((sa * 0.25 - 1.5).mean(), (a * 0.25 - 1.5).mean(),
+                   rtol=1e-13)
+  # runtime dtype must agree with the node's aval
+  e = (sa / 2).sum()
+  assert np.dtype(e.dtype) == np.asarray(e.glom()).dtype
+
+
+def test_tuple_axis(rng):
+  """Regression (ADVICE r1 medium): tuple axes through reduce + the
+  optimizer (axis=(1,) on a bare leaf; axis=(0,1) on a fused affine sum)."""
+  a = rng.standard_normal((8, 6, 4))
+  sa = sp.from_numpy(a)
+  Assert.all_close(sp.sum(sa, axis=(1,)), a.sum(axis=(1,)), rtol=1e-13)
+  Assert.all_close(sp.sum(sa, axis=(0, 1)), a.sum(axis=(0, 1)), rtol=1e-13)
+  Assert.all_close(sp.sum(sa * 2.0 + 1.0, axis=(0, 1)),
+                   (a * 2.0 + 1.0).sum(axis=(0, 1)), rtol=1e-13)
+  Assert.all_close(sp.sum(sa, axis=(0, 2), keepdims=True),
+                   a.sum(axis=(0, 2), keepdims=True), rtol=1e-13)
+  Assert.all_close(sp.mean(sa + 1.0, axis=(1, 2)),
+                   (a + 1.0).mean(axis=(1, 2)), rtol=1e-13)
+  Assert.all_close(sp.sum(sa, axis=(-1, -2)), a.sum(axis=(-1, -2)),
+                   rtol=1e-13)
