@@ -64,7 +64,7 @@ from spartan_tpu.expr.map import map, map_with_location  # noqa: E402
 from spartan_tpu.expr.shuffle import shuffle  # noqa: E402
 from spartan_tpu.expr.smart_tiling import smart_tile, plan as tiling_plan  # noqa: E402
 from spartan_tpu.expr.remat import remat  # noqa: E402
-from spartan_tpu.expr.loop import fori_loop, while_loop, scan_iters, cond  # noqa: E402
+from spartan_tpu.expr.loop import fori_loop, make_fori, while_loop, scan_iters, cond  # noqa: E402
 from spartan_tpu.autodiff import compile_fn as compile  # noqa: E402,A001
 from spartan_tpu.expr.reduce import reduce  # noqa: E402,A001
 from spartan_tpu.expr.fio import checkpoint, from_file, load, save  # noqa: E402
@@ -76,7 +76,7 @@ __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "SpartanArray", "get_mesh", "make_mesh", "with_mesh", "Expr",
            "Val", "ListExpr", "TupleExpr", "DictExpr", "NotShapeable",
            "evaluate", "force", "lazify", "map", "map_with_location",
-           "shuffle", "smart_tile", "tiling_plan", "remat", "fori_loop",
+           "shuffle", "smart_tile", "tiling_plan", "remat", "fori_loop", "make_fori",
            "while_loop", "scan_iters", "cond", "compile", "reduce",
            "checkpoint", "from_file", "load", "save", "sparse",
            "SparseArray", "sparse_diagonal", "sprandn"] + list(_builtin_all)

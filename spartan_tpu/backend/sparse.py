@@ -38,7 +38,7 @@ from spartan_tpu.expr.base import Expr, Val, lazify
 class SparseArray:
   """A 2-D sparse matrix in padded-ELL device layout."""
 
-  __slots__ = ("cols", "vals", "shape", "nnz")
+  __slots__ = ("cols", "vals", "shape", "nnz", "_bsr_cache")
 
   def __init__(self, cols: jax.Array, vals: jax.Array,
                shape: Tuple[int, int], nnz: int):
@@ -46,6 +46,7 @@ class SparseArray:
     self.vals = vals    # (rows, max_nnz) dtype
     self.shape = tuple(shape)
     self.nnz = int(nnz)
+    self._bsr_cache = None  # (bs, BlockSparseArray|None) from auto_route
 
   @property
   def dtype(self):
@@ -99,6 +100,50 @@ class SparseArray:
                           shape=(n, m))
       mat.resize((np_, mp))
     return from_scipy_bsr(mat, bs=bs, dtype=self.vals.dtype)
+
+  def block_stats(self, bs: int = 128) -> Tuple[int, float]:
+    """(occupied ``bs×bs`` blocks, storage expansion factor) — the
+    expansion is ``blocks·bs² / nnz``: how many stored elements the
+    block-ELL repack needs per actual nonzero.  Host-side, one pass."""
+    from spartan_tpu.core.array import host_fetch
+    cols = host_fetch(self.cols)
+    vals = np.asarray(self.vals)
+    rows = np.broadcast_to(np.arange(cols.shape[0])[:, None], cols.shape)
+    keep = vals != 0
+    nbc = -(-self.shape[1] // bs)
+    block_ids = (rows[keep] // bs) * nbc + cols[keep] // bs
+    n_blocks = int(np.unique(block_ids).size)
+    expansion = n_blocks * bs * bs / max(self.nnz, 1)
+    return n_blocks, expansion
+
+  def auto_route(self, bs: int = 128) -> Optional["BlockSparseArray"]:
+    """Detect block structure and return the MXU-path repack, or None.
+
+    The block-ELL SpMV runs ~1000× faster per nonzero than unstructured
+    gathers on TPU, so a repack paying up to
+    ``FLAGS.sparse_bsr_max_expansion`` stored elements per nonzero still
+    wins by orders of magnitude.  Result is cached (one detection pass
+    per matrix).  Gated by ``FLAGS.sparse_auto_bsr``.
+    """
+    from spartan_tpu.config import FLAGS
+    if not FLAGS.sparse_auto_bsr or self.nnz == 0:
+      return None
+    if self._bsr_cache is not None and self._bsr_cache[0] == bs:
+      return self._bsr_cache[1]
+    _, expansion = self.block_stats(bs)
+    routed = None
+    if expansion <= FLAGS.sparse_bsr_max_expansion:
+      routed = self.to_bsr(bs=bs, pad=True)
+    else:
+      from spartan_tpu.util import log_info
+      log_info(
+          "spmv: %s has no exploitable %dx%d block structure "
+          "(expansion %.1fx > %.1fx limit) — staying on the gather path; "
+          "pre-pack with to_bsr()/a smaller block size if the layout is "
+          "under your control", self, bs, bs, expansion,
+          FLAGS.sparse_bsr_max_expansion)
+    self._bsr_cache = (bs, routed)
+    return routed
 
   def shard(self, mesh=None) -> "SparseArray":
     """Row-shard the ELL tiles over the mesh (owner-computes SpMV: each
@@ -259,6 +304,14 @@ def spmv(A, x, use_pallas: Optional[bool] = None) -> jax.Array:
     # jnp.take clamps out-of-bounds gathers silently — fail loudly instead
     raise ValueError(f"spmv dim mismatch: A is {A.shape}, x has "
                      f"{xj.shape[0]} rows")
+  if jax.devices()[0].platform != "cpu":
+    # unstructured gathers are the TPU sparse bottleneck (~0.1 Gnnz/s);
+    # auto-detect block structure and take the MXU path when it exists
+    routed = A.auto_route()
+    if routed is not None:
+      xp = xj if xj.shape[0] == routed.shape[1] else jnp.pad(
+          xj, (0, routed.shape[1] - xj.shape[0]))
+      return bsr_spmv(routed, xp)[: A.shape[0]].astype(xj.dtype)
   if use_pallas is None:
     from spartan_tpu.config import FLAGS
     use_pallas = FLAGS.use_pallas and jax.devices()[0].platform not in (
@@ -395,22 +448,45 @@ def bsr_spmm(A: BlockSparseArray, B) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 class SpMVExpr(Expr):
-  """Lazy SpMV over a SparseArray leaf — composes with the rest of the DAG
-  (e.g. the PageRank damping map fuses in after it)."""
+  """Lazy SpMV over a sparse leaf — composes with the rest of the DAG
+  (e.g. the PageRank damping map fuses in after it).
+
+  Construction picks the layout: a SparseArray with detectable block
+  structure is repacked once into block-ELL (``auto_route``) so the node
+  emits the MXU batched-matvec formulation; otherwise the padded-ELL
+  gather.  The choice is captured in ``fmt`` (a cache-key param)."""
 
   _members = ("inputs",)
-  _params = ("n_rows",)
+  _params = ("n_rows", "fmt", "bs", "pad_m")
 
-  def __init__(self, A: SparseArray, x):
+  def __init__(self, A, x):
     self._A = A
-    super().__init__(inputs=[Val(A.cols), Val(A.vals), lazify(x)],
-                     n_rows=A.shape[0])
+    if isinstance(A, SparseArray) and jax.devices()[0].platform != "cpu":
+      routed = A.auto_route()
+      if routed is not None:
+        A = routed
+    if isinstance(A, BlockSparseArray):
+      super().__init__(
+          inputs=[Val(A.block_cols), Val(A.block_vals), lazify(x)],
+          n_rows=self._A.shape[0], fmt="bsr", bs=A.bs, pad_m=A.shape[1])
+    else:
+      super().__init__(inputs=[Val(A.cols), Val(A.vals), lazify(x)],
+                       n_rows=A.shape[0], fmt="ell", bs=0, pad_m=A.shape[1])
 
   def _emit(self, ctx, deps):
     cols, vals, x = deps
-    return _spmv_ell(cols, vals.astype(jnp.promote_types(vals.dtype,
-                                                         x.dtype)), x)
+    dt = jnp.promote_types(vals.dtype, x.dtype)
+    if self.fmt == "bsr":
+      if x.shape[0] < self.pad_m:
+        x = jnp.pad(x, (0, self.pad_m - x.shape[0]))
+      xb = x.astype(dt).reshape(-1, self.bs)
+      gathered = jnp.take(xb, cols, axis=0)        # (nbr, mb, bs)
+      y = jnp.einsum(
+          "rmij,rmj->ri", vals.astype(dt), gathered,
+          preferred_element_type=None if dt == jnp.float64 else jnp.float32)
+      return y.reshape(-1)[: self.n_rows].astype(dt)
+    return _spmv_ell(cols, vals.astype(dt), x)
 
 
-def spmv_expr(A: SparseArray, x) -> SpMVExpr:
+def spmv_expr(A, x) -> SpMVExpr:
   return SpMVExpr(A, x)

@@ -185,6 +185,13 @@ FLAGS.add(IntFlag("log_level", 20, "python logging level (10=debug)"))
 FLAGS.add(BoolFlag("use_pallas", True,
                    "use Pallas kernels for hot ops on TPU backends"))
 FLAGS.add(IntFlag("max_expr_cache", 1024, "max cached compiled regions"))
+FLAGS.add(BoolFlag("sparse_auto_bsr", True,
+                   "auto-detect block structure in sparse matrices and "
+                   "route SpMV to the MXU block-ELL path"))
+FLAGS.add(FloatFlag("sparse_bsr_max_expansion", 16.0,
+                    "max stored-elements-per-nonzero the block-ELL repack "
+                    "may pay (the MXU path is ~1000x faster per element, "
+                    "so modest expansion still wins)"))
 FLAGS.add(IntFlag("chunk_eval_threshold", 768,
                   "DAGs larger than this (node count) are evaluated in "
                   "segments to keep XLA region compile time linear"))

@@ -23,40 +23,29 @@ def step(M, r, damping: float = 0.85):
 
 
 def fit(M, iterations: int = 30, damping: float = 0.85):
-  """Dense power iteration; ``M`` is the column-stochastic link matrix."""
+  """Dense power iteration; ``M`` is the column-stochastic link matrix.
+  Runs as ONE compiled on-device loop (``sp.fori_loop``) — no per-step
+  host dispatch (the reference re-dispatched per-tile kernels every
+  iteration)."""
   M = sp.lazify(M)
   n = M.shape[0]
-  r = sp.ones((n,), dtype=np.float64) / n
-  for _ in range(iterations):
-    r = sp.Val(step(M, r, damping).evaluate())
-  return r.evaluate()
+  r0 = sp.ones((n,), dtype=np.float64) / n
+  return sp.fori_loop(iterations, lambda r: step(M, r, damping), r0)
 
 
 def fit_sparse(A_sp, iterations: int = 30, damping: float = 0.85):
   """Sparse power iteration over a SparseArray adjacency (column-stochastic
-  already applied).  The whole iteration runs on device in ONE compiled
-  ``fori_loop`` — SpMV + damping per step, no host round-trips (the
-  reference re-dispatched per-tile kernels every iteration)."""
-  import functools
-
-  import jax
-  import jax.numpy as jnp
-  from jax import lax
+  already applied) — the framework path: ``spmv_expr`` (which auto-routes
+  block-structured matrices to the MXU block-ELL formulation) composed
+  with the damping map, compiled once by ``sp.fori_loop``."""
+  from spartan_tpu.backend.sparse import spmv_expr
 
   n = A_sp.shape[0]
-
-  @functools.partial(jax.jit, static_argnames=("iters",))
-  def run(cols, vals, iters):
-    r0 = jnp.full((n,), 1.0 / n, dtype=vals.dtype)
-
-    def body(_, r):
-      gathered = jnp.take(r, cols, axis=0)
-      y = jnp.sum(vals * gathered, axis=1)
-      return y * damping + (1.0 - damping) / n
-
-    return lax.fori_loop(0, iters, body, r0)
-
-  return np.asarray(jax.device_get(run(A_sp.cols, A_sp.vals, iterations)))
+  r0 = sp.ones((n,), dtype=A_sp.dtype) / n
+  out = sp.fori_loop(
+      iterations,
+      lambda r: spmv_expr(A_sp, r) * damping + (1.0 - damping) / n, r0)
+  return np.asarray(out.glom())
 
 
 def make_link_matrix(n: int = 256, avg_degree: int = 8, seed: int = 0):

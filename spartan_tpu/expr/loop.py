@@ -170,6 +170,15 @@ def fori_loop(n: int, body: Callable, init) -> Any:
   (other SpartanArrays/exprs) is evaluated once and baked in as loop
   constants.
   """
+  return make_fori(body, init)(n)
+
+
+def make_fori(body: Callable, init) -> Callable[[int], Any]:
+  """Trace/compile a :func:`fori_loop` once, run it for any iteration
+  count: returns ``run_fn(n) -> result``.  The count is a traced operand
+  of the one compiled program, so successive calls with different ``n``
+  (convergence studies, slope benchmarking) pay zero retrace/recompile.
+  """
   from spartan_tpu.expr import optimize as opt_mod
 
   is_tuple = isinstance(init, (tuple, list))
@@ -238,11 +247,14 @@ def fori_loop(n: int, body: Callable, init) -> Any:
       return step(carries, const_vals)
     return jax.lax.fori_loop(0, k, body_fn, tuple(init_vals))
 
-  final = run(tuple(init_vals), tuple(const_vals), jnp.asarray(n))
-  results = [SpartanArray(v, a.tiling if tuple(v.shape) == tuple(a.shape)
-                          else None)
-             for v, a in zip(final, init_arrs)]
-  return tuple(results) if is_tuple else results[0]
+  def run_fn(n: int):
+    final = run(tuple(init_vals), tuple(const_vals), jnp.asarray(n))
+    results = [SpartanArray(v, a.tiling if tuple(v.shape) == tuple(a.shape)
+                            else None)
+               for v, a in zip(final, init_arrs)]
+    return tuple(results) if is_tuple else results[0]
+
+  return run_fn
 
 
 def scan_iters(n: int, body: Callable, init, collect: Callable = None
