@@ -57,15 +57,19 @@ def _slope_time(make_loop, k_lo: int = 8, k_hi: int = 40,
   """Marginal per-iteration seconds of ``make_loop(k)``.  ``k`` is a
   traced fori_loop bound, so ONE compile serves both K values.
 
-  Best-of-N: each rep yields an independent slope; the reported value is
-  the fastest *physically plausible* one (> ``floor`` seconds — callers
-  pass the roofline-impossible threshold so a hoisted/noise-corrupted
-  pair can never be reported as a record)."""
+  Robust over N reps: timing noise through the tunnel is additive and
+  positive, so ``min`` over reps of each endpoint converges to the true
+  floor and the slope ``(min t_hi − min t_lo)/Δk`` is the defensible
+  estimate.  (Taking the best of per-rep PAIR slopes instead is biased
+  upward — one fast-noise t_hi sample yields an impossible >roofline
+  figure; measured 148 % of roofline that way.)  ``floor`` is the
+  physically-impossible threshold callers use for the hoist guard."""
+  del floor  # callers apply their own plausibility checks on the result
   lo, hi = make_loop(k_lo), make_loop(k_hi)
   _sync(lo())
   _sync(hi())  # same compiled program, different k operand
   _stamp("compiled + warm")
-  t_lo, t_hi, pair_slopes = [], [], []
+  t_lo, t_hi = [], []
   for _ in range(reps):
     t0 = time.perf_counter()
     _sync(lo())
@@ -73,10 +77,7 @@ def _slope_time(make_loop, k_lo: int = 8, k_hi: int = 40,
     t0 = time.perf_counter()
     _sync(hi())
     t_hi.append(time.perf_counter() - t0)
-    pair_slopes.append((t_hi[-1] - t_lo[-1]) / (k_hi - k_lo))
-  combined = (min(t_hi) - min(t_lo)) / (k_hi - k_lo)
-  cands = [s for s in pair_slopes + [combined] if s > floor]
-  slope = min(cands) if cands else combined
+  slope = (min(t_hi) - min(t_lo)) / (k_hi - k_lo)
   return slope, min(t_lo), min(t_hi)
 
 
@@ -107,7 +108,7 @@ def bench_elementwise_reduce(n: int = 16384):
   bytes_moved = n * n * 4
   floor = bytes_moved / 2000e9  # a slope below this implies >2 TB/s
   slope, t_lo, t_hi = _slope_time(lambda k: (lambda: loop(b, k)),
-                                  k_lo=8, k_hi=56, reps=8, floor=floor)
+                                  k_lo=8, k_hi=56, reps=10)
   # hoist guard: if XLA hoisted the invariant body, the slope collapses
   hoisted = slope < floor
   if hoisted:
@@ -190,7 +191,7 @@ def bench_matmul(n: int = 8192):
     return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
   slope, _, _ = _slope_time(lambda k: (lambda: loop(a, b, k)),
-                            k_lo=4, k_hi=12)
+                            k_lo=4, k_hi=12, reps=6)
   tflops = 2 * n ** 3 / slope / 1e12
   peak = _lookup(jax.devices()[0], _MXU_PEAK_BF16, 1.0)
   return {"metric": f"dot {n}^2 {'f32' if on_cpu else 'bf16'}",
@@ -204,18 +205,15 @@ def _fori_slope_ms(run_fn, sync_result, k_lo: int, k_hi: int,
   two iteration counts — same methodology as :func:`_slope_time`)."""
   sync_result(run_fn(k_lo))
   sync_result(run_fn(k_hi))
-  best = None
+  t_lo, t_hi = [], []
   for _ in range(reps):
     t0 = time.perf_counter()
     sync_result(run_fn(k_lo))
-    a = time.perf_counter() - t0
+    t_lo.append(time.perf_counter() - t0)
     t0 = time.perf_counter()
     sync_result(run_fn(k_hi))
-    b = time.perf_counter() - t0
-    s = (b - a) / (k_hi - k_lo)
-    if s > 0 and (best is None or s < best):
-      best = s
-  return (best if best is not None else 0.0) * 1e3
+    t_hi.append(time.perf_counter() - t0)
+  return max((min(t_hi) - min(t_lo)) / (k_hi - k_lo), 0.0) * 1e3
 
 
 def bench_linreg_step(n: int = 1 << 20, d: int = 64) -> float:

@@ -52,7 +52,7 @@ def _opt_flags_fingerprint() -> tuple:
   program depends on which passes ran)."""
   return (FLAGS.optimization, FLAGS.opt_fusion, FLAGS.opt_reduce_fusion,
           FLAGS.opt_collapse_cached, FLAGS.opt_const_fold,
-          FLAGS.opt_auto_tiling)
+          FLAGS.opt_auto_tiling, FLAGS.replicate_small_bytes)
 
 
 def _materialize_unshapeable(expr: Expr) -> None:

@@ -185,6 +185,10 @@ FLAGS.add(IntFlag("log_level", 20, "python logging level (10=debug)"))
 FLAGS.add(BoolFlag("use_pallas", True,
                    "use Pallas kernels for hot ops on TPU backends"))
 FLAGS.add(IntFlag("max_expr_cache", 1024, "max cached compiled regions"))
+FLAGS.add(IntFlag("replicate_small_bytes", 65536,
+                  "replicate (instead of shard) arrays smaller than this "
+                  "many bytes — sharding tiny arrays buys nothing and "
+                  "forces gathers/remat in consumers; 0 disables"))
 FLAGS.add(BoolFlag("sparse_auto_bsr", True,
                    "auto-detect block structure in sparse matrices and "
                    "route SpMV to the MXU block-ELL path"))

@@ -188,7 +188,8 @@ def from_numpy(arr, tile_hint: Optional[Sequence[int]] = None,
   """Distribute host data over the mesh (reference ``expr/fio.from_numpy``)."""
   arr = np.asarray(arr)
   if tiling is None:
-    tiling = auto_tiling(arr.shape, tile_hint, mesh or get_mesh())
+    tiling = auto_tiling(arr.shape, tile_hint, mesh or get_mesh(),
+                         nbytes=arr.nbytes)
   data = jax.device_put(jnp.asarray(arr), tiling.sharding)
   return SpartanArray(data, tiling)
 
@@ -201,8 +202,9 @@ def create(shape: Sequence[int], dtype=np.float64,
            tile_hint: Optional[Sequence[int]] = None, mesh=None,
            fill: float = 0) -> SpartanArray:
   """Allocate a distributed array (reference ``DistArray.create``)."""
-  tiling = auto_tiling(shape, tile_hint, mesh or get_mesh())
   dt = jax.dtypes.canonicalize_dtype(np.dtype(dtype))
+  nbytes = int(np.prod(tuple(shape) or (1,))) * dt.itemsize
+  tiling = auto_tiling(shape, tile_hint, mesh or get_mesh(), nbytes=nbytes)
 
   @jax.jit
   def _alloc():

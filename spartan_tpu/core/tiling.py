@@ -106,7 +106,8 @@ def split_dims_from_hint(shape: Sequence[int],
 
 
 def choose_spec(shape: Sequence[int], mesh: Mesh,
-                split_dims: Optional[Sequence[int]] = None) -> PartitionSpec:
+                split_dims: Optional[Sequence[int]] = None,
+                nbytes: Optional[int] = None) -> PartitionSpec:
   """Map mesh axes onto array dims.
 
   Default policy (no explicit split dims): split the largest dims.  For a
@@ -114,6 +115,13 @@ def choose_spec(shape: Sequence[int], mesh: Mesh,
   reference's default for matrices); rank-1 arrays shard over all axes
   flattened.  Dims smaller than their axis stay unsplit (replicated over
   that axis) — tiny arrays are replicated outright.
+
+  Arrays below ``FLAGS.replicate_small_bytes`` are replicated: sharding
+  them saves no memory worth having, and gathers *from* a small sharded
+  array force cross-shard collectives (or SPMD rematerialization) in
+  every consumer — the netflix-factors lesson generalized.  ``nbytes``
+  is the real byte size when the caller knows it (8 bytes/element is
+  assumed otherwise).  Explicit ``split_dims`` (a user tile_hint) wins.
   """
   shape = tuple(int(s) for s in shape)
   axes = list(mesh.axis_names)
@@ -121,6 +129,10 @@ def choose_spec(shape: Sequence[int], mesh: Mesh,
     # XLA treats empty arrays as replicated; any sharded spec conflicts
     return PartitionSpec()
   if split_dims is None:
+    from spartan_tpu.config import FLAGS
+    est = nbytes if nbytes is not None else int(np.prod(shape)) * 8
+    if est < FLAGS.replicate_small_bytes:
+      return PartitionSpec()
     order = sorted(range(len(shape)), key=lambda i: -shape[i])
     split_dims = [i for i in order if shape[i] > 1][: len(axes)]
     split_dims.sort()
@@ -159,14 +171,15 @@ def choose_spec(shape: Sequence[int], mesh: Mesh,
 
 def auto_tiling(shape: Sequence[int],
                 tile_hint: Optional[Sequence[int]] = None,
-                mesh: Optional[Mesh] = None) -> Tiling:
+                mesh: Optional[Mesh] = None,
+                nbytes: Optional[int] = None) -> Tiling:
   """Default tiling for a freshly-created array."""
   mesh = mesh or get_mesh()
   split = split_dims_from_hint(shape, tile_hint) if tile_hint is not None else None
   if split == []:
     # hint says "one big tile" → replicate
     return Tiling(mesh, PartitionSpec())
-  return Tiling(mesh, choose_spec(shape, mesh, split))
+  return Tiling(mesh, choose_spec(shape, mesh, split, nbytes=nbytes))
 
 
 def replicated_tiling(mesh: Optional[Mesh] = None) -> Tiling:

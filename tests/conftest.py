@@ -34,6 +34,11 @@ def cluster():
   """Session-wide default mesh over the 8 virtual CPU devices."""
   assert len(jax.devices()) == 8, (
       "expected 8 virtual CPU devices; XLA_FLAGS was applied too late")
+  # Tests use small arrays as stand-ins for big ones: disable the
+  # replicate-small-arrays default so sharded-path semantics (collectives,
+  # SPMD lowering) stay exercised.  Dedicated tests re-enable it.
+  from spartan_tpu.config import FLAGS
+  FLAGS.replicate_small_bytes = 0
   m = mesh_mod.make_mesh((2, 4), ("x", "y"))
   mesh_mod.set_default_mesh(m)
   yield m
