@@ -59,6 +59,42 @@ def child(pid: int, workdir: str) -> None:
   mhu.sync_global_devices("done")
   print("MULTIPROC_CKPT_OK", flush=True)
 
+  # --- evaluator smoke over the 2-process global mesh (VERDICT r1 #6):
+  # one linreg gradient step and one k-means step run SPMD through the
+  # full expr/optimizer/evaluator path; every process checks its
+  # ADDRESSABLE shards against the NumPy oracle ------------------------
+  rng = np.random.default_rng(0)
+  n, d, k = 32, 8, 4
+  Xn = rng.standard_normal((n, d))
+  yn = rng.standard_normal(n)
+  wn = np.zeros(d)
+
+  from spartan_tpu.examples import kmeans, linear_reg
+
+  X, y, w = sp.from_numpy(Xn), sp.from_numpy(yn), sp.from_numpy(wn)
+  w1 = linear_reg.gradient_step(X, y, w, 0.01).evaluate()
+  oracle_w1 = wn - 0.01 * (2.0 / n) * (Xn.T @ (Xn @ wn - yn))
+  for sh in w1.data.addressable_shards:
+    np.testing.assert_allclose(np.asarray(sh.data), oracle_w1[sh.index],
+                               atol=1e-12)
+
+  ctr = rng.standard_normal((k, d))
+  labels_np = np.argmin(((Xn[:, None, :] - ctr[None]) ** 2).sum(-1), axis=1)
+  sums = np.zeros((k, d))
+  np.add.at(sums, labels_np, Xn)
+  counts = np.bincount(labels_np, minlength=k)
+  oracle_c = sums / np.maximum(counts, 1)[:, None]
+
+  pts = sp.from_numpy(Xn)
+  labels = kmeans.assign_labels(pts, sp.from_numpy(ctr))
+  c1 = kmeans.update_centers(pts, labels, k).evaluate()
+  for sh in c1.data.addressable_shards:
+    np.testing.assert_allclose(np.asarray(sh.data), oracle_c[sh.index],
+                               atol=1e-12)
+
+  mhu.sync_global_devices("evaluator_done")
+  print("MULTIPROC_EVAL_OK", flush=True)
+
 
 def parent() -> int:
   workdir = tempfile.mkdtemp(prefix="spt_mp_")
@@ -68,7 +104,8 @@ def parent() -> int:
       for pid in (0, 1)]
   outs = [p.communicate(timeout=300)[0] for p in procs]
   ok = (all(p.returncode == 0 for p in procs)
-        and all("MULTIPROC_CKPT_OK" in o for o in outs))
+        and all("MULTIPROC_CKPT_OK" in o for o in outs)
+        and all("MULTIPROC_EVAL_OK" in o for o in outs))
   for i, o in enumerate(outs):
     print(f"--- process {i} ---\n{o[-2000:]}")
   print("RESULT:", "PASS" if ok else "FAIL")
