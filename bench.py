@@ -108,7 +108,7 @@ def bench_elementwise_reduce(n: int = 16384):
   bytes_moved = n * n * 4
   floor = bytes_moved / 2000e9  # a slope below this implies >2 TB/s
   slope, t_lo, t_hi = _slope_time(lambda k: (lambda: loop(b, k)),
-                                  k_lo=8, k_hi=56, reps=10)
+                                  k_lo=8, k_hi=104, reps=12)
   # hoist guard: if XLA hoisted the invariant body, the slope collapses
   hoisted = slope < floor
   if hoisted:

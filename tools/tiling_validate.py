@@ -71,6 +71,14 @@ def main():
   case("elementwise chain", lambda c, d: ((c + d) * 2.0 - d).sum(),
        [C, D], [P(("x", "y"), None), P(None, ("x", "y"))])
 
+  # mixed k-sharded/unsharded dot (the VERDICT r1 uncharged branch):
+  # A k-sharded over x while B rides the SAME axis on its n dim — B's
+  # pieces live on the wrong devices and must gather before contraction
+  E = sp.from_numpy(rng.standard_normal((n, n))).value
+  F = sp.from_numpy(rng.standard_normal((n, n))).value
+  case("mixed k-sharded dot", lambda e, f: sp.dot(e, f),
+       [E, F], [P(None, "x"), P(None, "x")])
+
 
 if __name__ == "__main__":
   main()
