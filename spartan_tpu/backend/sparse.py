@@ -316,10 +316,13 @@ def spmv(A, x, use_pallas: Optional[bool] = None) -> jax.Array:
     from spartan_tpu.config import FLAGS
     use_pallas = FLAGS.use_pallas and jax.devices()[0].platform not in (
         "cpu",)
-  if use_pallas:
+  if use_pallas and xj.shape[0] <= 32768 and xj.dtype != jnp.float64:
+    # one-hot MXU kernel: gather cost is 2n FLOP/nonzero, so it beats the
+    # ~0.1 Gnnz/s XLA gather path only while n is small enough for the
+    # MXU to amortize it (measured crossover ~32K on v5e; BASELINE.md)
     try:
       from spartan_tpu.backend.kernels import spmv_pallas
-      return spmv_pallas.spmv(A.cols, A.vals, xj)
+      return spmv_pallas.spmv(A.cols, A.vals, xj).astype(xj.dtype)
     except Exception:
       pass  # fall back to the XLA gather path
   return _spmv_jit(A.cols, A.vals, xj)
@@ -485,6 +488,14 @@ class SpMVExpr(Expr):
           "rmij,rmj->ri", vals.astype(dt), gathered,
           preferred_element_type=None if dt == jnp.float64 else jnp.float32)
       return y.reshape(-1)[: self.n_rows].astype(dt)
+    from spartan_tpu.config import FLAGS
+    if (not ctx.abstract and FLAGS.use_pallas and dt == jnp.float32
+        and x.shape[0] <= 32768 and jax.default_backend() != "cpu"):
+      # unstructured fast path: one-hot MXU gather kernel (see
+      # kernels/spmv_pallas.py for the crossover analysis)
+      from spartan_tpu.backend.kernels import spmv_pallas
+      return spmv_pallas.spmv(cols, vals.astype(dt), x.astype(dt)
+                              ).astype(dt)
     return _spmv_ell(cols, vals.astype(dt), x)
 
 
