@@ -123,10 +123,15 @@ def bench_elementwise_reduce(n: int = 16384):
     slope, t_lo, t_hi = _slope_time(lambda k: (lambda: loop2(b, k)))
   _stamp(f"slope={slope*1e3:.3f} ms/iter (t8={t_lo*1e3:.1f} t24={t_hi*1e3:.1f})")
 
-  # correctness: the real expr-layer chain vs the host oracle
-  expected = n * n + 2.0 * host_b.astype(np.float64).sum()
-  expr_val = float((sp.ones((n, n), dtype=jnp.float32)
-                    + sp.Val(b) * 2.0).sum().glom())
+  # correctness: the real expr-layer chain vs the host oracle.  Small n —
+  # the semantics check doesn't need the bench size, and a full-size pass
+  # costs a second region compile (~100 s through the tunnel's remote
+  # compile service) that once timed the whole bench out.
+  nv = 2048
+  host_v = host_b[:nv, :nv]
+  expected = nv * nv + 2.0 * host_v.astype(np.float64).sum()
+  expr_val = float((sp.ones((nv, nv), dtype=jnp.float32)
+                    + sp.Val(jnp.asarray(host_v)) * 2.0).sum().glom())
   assert abs(expr_val - expected) / abs(expected) < 1e-3
   _stamp("verified vs host oracle")
 
@@ -250,7 +255,7 @@ def bench_kmeans_step(n: int = 1 << 19, d: int = 64, k: int = 64) -> float:
   return _fori_slope_ms(run, lambda r: _sync(r.data), 2, 8)
 
 
-def bench_pagerank_step(n_blocks: int = 128, blocks_per_row: int = 8,
+def bench_pagerank_step(n_blocks: int = 64, blocks_per_row: int = 8,
                         bs: int = 128) -> dict:
   """Config 5: framework sparse PageRank step (spmv_expr + damping in
   sp.make_fori).  Block-structured adjacency → auto-routed to the MXU
@@ -281,20 +286,44 @@ def bench_pagerank_step(n_blocks: int = 128, blocks_per_row: int = 8,
 
 
 def main():
-  t_budget = 480.0  # soft cap: skip remaining extras once exceeded
-  result = bench_elementwise_reduce()
+  import os
+  import signal
 
+  t_budget = float(os.environ.get("SPARTAN_BENCH_BUDGET", 420.0))
+  result = {}
+  emitted = []
+
+  def _emit_once():
+    if not emitted:
+      emitted.append(True)
+      print(json.dumps(result), flush=True)
+
+  def _on_term(signum, frame):
+    # driver/timeout kill mid-extra: the primary metric must still reach
+    # stdout (one JSON line) — an empty BENCH record is worse than a
+    # partial one.
+    _stamp(f"signal {signum} — emitting partial result")
+    _emit_once()
+    raise SystemExit(1)
+
+  signal.signal(signal.SIGTERM, _on_term)
+  signal.signal(signal.SIGINT, _on_term)
+
+  result.update(bench_elementwise_reduce())
+
+  # rough per-extra cost through a cold tunnel (compile-dominated); an
+  # extra only starts if its estimate fits the remaining budget.
   extras = [
-      ("dot", lambda: {"dot_tflops": (m := bench_matmul())["value"],
-                       "dot_vs_mxu_peak": m["vs_baseline"]}),
-      ("linreg", lambda: {"linreg_step_ms":
-                          round(bench_linreg_step(), 4)}),
-      ("kmeans", lambda: {"kmeans_step_ms":
-                          round(bench_kmeans_step(), 4)}),
-      ("pagerank", bench_pagerank_step),
+      ("dot", 110.0, lambda: {"dot_tflops": (m := bench_matmul())["value"],
+                              "dot_vs_mxu_peak": m["vs_baseline"]}),
+      ("linreg", 120.0, lambda: {"linreg_step_ms":
+                                 round(bench_linreg_step(), 4)}),
+      ("kmeans", 100.0, lambda: {"kmeans_step_ms":
+                                 round(bench_kmeans_step(), 4)}),
+      ("pagerank", 120.0, bench_pagerank_step),
   ]
-  for name, fn in extras:
-    if time.time() - _T0 > t_budget:
+  for name, est, fn in extras:
+    if time.time() - _T0 + est > t_budget:
       _stamp(f"time budget hit — skipping {name}")
       continue
     try:
@@ -309,7 +338,7 @@ def main():
     except Exception as e:
       print(json.dumps({"metric": "pallas non-affine",
                         "error": str(e)[:200]}), file=sys.stderr)
-  print(json.dumps(result))
+  _emit_once()
 
 
 if __name__ == "__main__":

@@ -196,6 +196,15 @@ FLAGS.add(FloatFlag("sparse_bsr_max_expansion", 16.0,
                     "max stored-elements-per-nonzero the block-ELL repack "
                     "may pay (the MXU path is ~1000x faster per element, "
                     "so modest expansion still wins)"))
+FLAGS.add(StrFlag("sort_method", "auto",
+                  "sort/percentile lowering for sharded 1-D arrays: "
+                  "'gather' = all-gather + local sort (XLA's SPMD plan), "
+                  "'sample' = distributed sample sort / rank selection, "
+                  "'auto' = sample above sort_sample_threshold elements"))
+FLAGS.add(IntFlag("sort_sample_threshold", 1 << 22,
+                  "element count above which 'auto' sort_method takes the "
+                  "distributed sample-sort/selection path (below it the "
+                  "gather plan's single collective wins on latency)"))
 FLAGS.add(IntFlag("chunk_eval_threshold", 768,
                   "DAGs larger than this (node count) are evaluated in "
                   "segments to keep XLA region compile time linear"))

@@ -649,14 +649,16 @@ def partition(v, kth, axis=-1) -> Expr:
   """NumPy partition semantics via a full sort: element ``kth`` lands at
   its sorted position with smaller values before and larger after — a
   total sort satisfies the partial-order contract exactly, and XLA has
-  no cheaper partial sort on TPU (reference: spartan/expr/sort.py)."""
+  no cheaper partial sort on TPU (reference: spartan/expr/sort.py).
+  Routes through SortExpr, so large sharded 1-D inputs inherit the
+  distributed sample-sort path."""
   del kth
-  return map([lazify(v)], jnp.sort, fn_kw={"axis": axis})
+  return SortExpr(lazify(v), axis, "sort")
 
 
 def argpartition(v, kth, axis=-1) -> Expr:
   del kth
-  return map([lazify(v)], jnp.argsort, fn_kw={"axis": axis})
+  return SortExpr(lazify(v), axis, "argsort")
 
 
 def bincount(v, minlength=None, weights=None) -> Expr:

@@ -13,3 +13,5 @@ from spartan_tpu.parallel.collectives import (all_to_all_retile,
                                               halo_exchange, map_tiles,
                                               psum_across, reshard,
                                               ring_shift, stencil1d_halo)
+from spartan_tpu.parallel.sample_sort import (rank_values,
+                                              sample_sort_traced)
