@@ -196,6 +196,11 @@ FLAGS.add(FloatFlag("sparse_bsr_max_expansion", 16.0,
                     "max stored-elements-per-nonzero the block-ELL repack "
                     "may pay (the MXU path is ~1000x faster per element, "
                     "so modest expansion still wins)"))
+FLAGS.add(StrFlag("dot_precision", "default",
+                  "matmul precision for float inputs: 'default' = MXU "
+                  "native (bf16 passes for f32 on TPU, fastest), 'high', "
+                  "'highest' = f32-faithful (the reference's numpy-BLAS "
+                  "accuracy); per-call sp.dot(precision=...) overrides"))
 FLAGS.add(StrFlag("sort_method", "auto",
                   "sort/percentile lowering for sharded 1-D arrays: "
                   "'gather' = all-gather + local sort (XLA's SPMD plan), "

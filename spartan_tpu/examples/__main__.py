@@ -112,6 +112,35 @@ def _ridge():
       w.glom() if hasattr(w, "glom") else w)))}
 
 
+@_register("black_scholes")
+def _black_scholes():
+  from spartan_tpu.examples import black_scholes
+  call, put = black_scholes.run(1 << 16)
+  return {"mean_call": float(np.mean(np.asarray(call.glom()))),
+          "mean_put": float(np.mean(np.asarray(put.glom())))}
+
+
+@_register("lanczos")
+def _lanczos():
+  from spartan_tpu.examples import lanczos
+  est, true = lanczos.run(512, 40)
+  return {"top_eig_est": est, "top_eig_true": true}
+
+
+@_register("cholesky")
+def _cholesky():
+  from spartan_tpu.examples import cholesky
+  _, err = cholesky.run(512, 128)
+  return {"max_err_vs_numpy": err}
+
+
+@_register("qr")
+def _qr():
+  from spartan_tpu.examples import qr
+  orth_err, recon_err = qr.run(1 << 14, 32)
+  return {"orth_err": orth_err, "recon_err": recon_err}
+
+
 @_register("convnet")
 def _convnet():
   from spartan_tpu.examples import convnet

@@ -107,7 +107,8 @@ _aval_cache: Dict[Tuple, Any] = {}
 def semantic_flags_fingerprint() -> Tuple:
   """Flags that change emitted computations — part of every cache key."""
   return (FLAGS.float64_reductions, FLAGS.opt_affine_reduce,
-          FLAGS.sort_method, FLAGS.sort_sample_threshold)
+          FLAGS.sort_method, FLAGS.sort_sample_threshold,
+          FLAGS.dot_precision)
 
 
 class Expr:

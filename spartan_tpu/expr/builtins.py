@@ -464,6 +464,8 @@ radians = _unary_builtin(jnp.radians)
 cbrt = _unary_builtin(jnp.cbrt)
 fabs = _unary_builtin(jnp.fabs)
 positive = _unary_builtin(jnp.positive)
+erf = _unary_builtin(jax.scipy.special.erf)
+erfc = _unary_builtin(jax.scipy.special.erfc)
 atleast_1d = _unary_builtin(jnp.atleast_1d)
 atleast_2d = _unary_builtin(jnp.atleast_2d)
 real = _unary_builtin(jnp.real)
@@ -482,7 +484,8 @@ def einsum(subscripts: str, *operands) -> Expr:
 
 
 def _einsum_call(subscripts, *xs):
-  return jnp.einsum(subscripts, *xs)
+  from spartan_tpu.expr.dot import _resolve_precision
+  return jnp.einsum(subscripts, *xs, precision=_resolve_precision(None))
 
 
 def cross(a, b, axis=-1) -> Expr:
@@ -740,7 +743,8 @@ def array_equal(a, b) -> bool:
 __all__ = [
     "fmod", "inner", "logspace", "repeat", "flip", "roll", "isclose",
     "meshgrid", "split", "nanargmax", "nanargmin", "rad2deg", "deg2rad",
-    "degrees", "radians", "cbrt", "fabs", "positive", "atleast_1d",
+    "degrees", "radians", "cbrt", "fabs", "positive", "erf", "erfc",
+    "atleast_1d",
     "atleast_2d", "real", "imag", "remainder", "cross", "kron", "choose",
     "around", "moveaxis", "dstack", "column_stack", "diff", "gradient",
     "cov", "corrcoef", "average", "einsum",

@@ -33,19 +33,28 @@ def _acc_type(a_dtype, b_dtype):
   return jax.dtypes.canonicalize_dtype(out)
 
 
+def _resolve_precision(precision):
+  """Per-call precision, else the --dot_precision flag ('default' = MXU
+  native: bf16 multiply passes for f32 inputs on TPU — fastest; 'highest'
+  = f32-faithful multiplies, the reference's numpy-BLAS accuracy)."""
+  p = precision if precision is not None else FLAGS.dot_precision
+  return None if p in (None, "default") else p
+
+
 class DotExpr(Expr):
   """Matrix/vector contraction of the trailing/leading dims."""
 
   _members = ("inputs",)
-  _params = ()
+  _params = ("precision",)
 
-  def __init__(self, a, b):
-    super().__init__(inputs=[lazify(a), lazify(b)])
+  def __init__(self, a, b, precision=None):
+    super().__init__(inputs=[lazify(a), lazify(b)], precision=precision)
 
   def _emit(self, ctx: EmitCtx, deps: List[Any]):
     a, b = deps
     acc = _acc_type(a.dtype, b.dtype)
-    out = jnp.matmul(a, b, preferred_element_type=acc) if (
+    out = jnp.matmul(a, b, preferred_element_type=acc,
+                     precision=_resolve_precision(self.precision)) if (
         a.ndim >= 1 and b.ndim >= 1) else a * b
     # numpy semantics: result dtype is the promotion of the inputs, unless
     # f64 accumulation promoted it (reference returns the accumulator type)
@@ -79,11 +88,15 @@ class TensorDotExpr(Expr):
     a, b = deps
     acc = _acc_type(a.dtype, b.dtype)
     return jnp.tensordot(a, b, axes=self.axes,
-                         preferred_element_type=acc)
+                         preferred_element_type=acc,
+                         precision=_resolve_precision(None))
 
 
-def dot(a, b) -> Expr:
-  return DotExpr(a, b)
+def dot(a, b, precision=None) -> Expr:
+  """Contraction; ``precision`` overrides --dot_precision for this node
+  ('default' | 'high' | 'highest' — TPU f32 matmuls run bf16 passes at
+  'default'; numerics-critical algorithms want 'highest')."""
+  return DotExpr(a, b, precision=precision)
 
 
 def outer(a, b) -> Expr:

