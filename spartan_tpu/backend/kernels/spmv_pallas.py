@@ -120,3 +120,237 @@ def spmv(cols: jax.Array, vals: jax.Array, x: jax.Array,
       interpret=interpret,
   )(cols, vals, xt)
   return jnp.sum(out[:n], axis=1).astype(vals.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Windowed SpMV — scalar-prefetch gather (large unstructured matrices).
+#
+# The one-hot kernel above reads ALL of x per 128-entry strip (2n FLOP per
+# nonzero), which dies at n ≈ 32K.  Here nonzeros are packed (host-side,
+# once per matrix) into chunks of 8×128 that share one 1024-element window
+# of x; the window index rides a scalar-prefetched array into the BlockSpec
+# index_map (the Pallas embedding-gather pattern), so each grid step DMAs
+# only its window and the gather/scatter one-hots are 1024-wide — O(window)
+# instead of O(n) FLOPs per nonzero.  Output tiles (1024 y values) are
+# revisited by consecutive steps (chunks are sorted by row-block) and
+# zeroed on first visit via a prefetched init flag.
+#
+# Measured on v5e (24 nnz/row random, slope-timed):
+#     n=16384   1.00 Gnnz/s f32 (hi/lo, relerr ~5e-6)
+#     n=65536   1.24 Gnnz/s bf16 (relerr ~3e-3)
+#     n=262144  0.93 Gnnz/s f32 / 1.14 bf16   (XLA gather: ~0.1)
+# ≈10× the XLA fallback at any size past the one-hot kernel's 32K
+# crossover, flat in n.  Bound analysis: the 1024-window one-hot costs
+# ~4 dots × 8·128·128 FLOP per 128-nnz strip ≈ 8K FLOP/nnz, and every
+# dot has M=8 output rows — 1/16th of the MXU's 128-row tile — capping
+# effective throughput at ~8 TFLOP/s.  Deeper windows raise MXU
+# utilization but cost proportionally more FLOPs/nnz (one-hot gather is
+# linear in window size), so W=1024 with per-strip windows is near the
+# optimum of cost/nnz = 4·W / fill(W).  A true in-kernel dynamic gather
+# (tpu.dynamic_gather) would break the bound — it crashes this Mosaic
+# toolchain (see above); retest on newer ones.
+#
+# Reference parity: spartan/sparse C++ SpMV kernels (SURVEY.md §2.2).
+
+_WIN = 8 * _LANES       # x window / y tile: 1024 elements = one (8,128) tile
+
+
+class WindowedELL:
+  """Host-packed chunks for :func:`spmv_windowed` (one-time per matrix)."""
+
+  def __init__(self, rb, win, init, cols_lo, rows_lo, vals, shape, nnz):
+    self.rb, self.win, self.init = rb, win, init
+    self.cols_lo, self.rows_lo, self.vals = cols_lo, rows_lo, vals
+    self.shape, self.nnz = shape, nnz
+
+  @property
+  def n_chunks(self):
+    return self.rb.shape[0]
+
+  @property
+  def fill(self):
+    return self.nnz / max(self.n_chunks * _WIN, 1)
+
+
+def pack_windowed(sp_csr) -> WindowedELL:
+  """Pack a scipy CSR/COO matrix into window-grouped strips.
+
+  Each 128-slot strip holds nonzeros sharing one 1024-element x window;
+  8 strips (any windows, same 1024-row output block) form one grid step.
+  Per-strip windows keep the fill factor high even when a (row-block,
+  window) pair holds far fewer than 1024 nonzeros (very sparse rows)."""
+  import numpy as np
+
+  coo = sp_csr.tocoo()
+  n, m = coo.shape
+  r = coo.row.astype(np.int64)
+  c = coo.col.astype(np.int64)
+  v = coo.data.astype(np.float32)
+  rb = r // _WIN
+  win = c // _WIN
+  order = np.lexsort((c, win, rb))
+  r, c, v, rb, win = r[order], c[order], v[order], rb[order], win[order]
+
+  n_rb = max(-(-n // _WIN), 1)
+  # per row-block: list of 128-slot strips, each (window, nnz-range)
+  strips_by_rb = {b: [] for b in range(n_rb)}
+  if len(r):
+    key = rb * (max(win.max(), 0) + 2) + win
+    bounds = np.nonzero(np.diff(key))[0] + 1
+    starts = np.concatenate([[0], bounds, [len(key)]])
+    for a, b in zip(starts[:-1], starts[1:]):
+      for off in range(int(a), int(b), _LANES):
+        strips_by_rb[int(rb[a])].append(
+            (int(win[a]), off, min(off + _LANES, int(b))))
+
+  # assemble steps: 8 strips per step, all strips of one rb packed
+  # consecutively (output-block revisits must be contiguous)
+  steps = []                       # (rb, [(win, a, b)] * 8)
+  for b in range(n_rb):
+    lst = strips_by_rb[b] or [(0, 0, 0)]
+    while len(lst) % _STRIPS:
+      lst.append((0, 0, 0))
+    for off in range(0, len(lst), _STRIPS):
+      steps.append((b, lst[off:off + _STRIPS]))
+
+  s_n = len(steps)
+  cols_lo = np.zeros((s_n * _STRIPS, _LANES), np.int32)
+  rows_lo = np.zeros((s_n * _STRIPS, _LANES), np.int32)
+  vals = np.zeros((s_n * _STRIPS, _LANES), np.float32)
+  rbs = np.zeros(s_n, np.int32)
+  wins = np.zeros((s_n, _STRIPS), np.int32)
+  init = np.zeros(s_n, np.int32)
+  prev = -1
+  for s_i, (rbv, strips) in enumerate(steps):
+    rbs[s_i] = rbv
+    init[s_i] = 1 if rbv != prev else 0
+    prev = rbv
+    for k, (winv, a, b) in enumerate(strips):
+      row = s_i * _STRIPS + k
+      wins[s_i, k] = winv
+      if b > a:
+        cols_lo[row, :b - a] = c[a:b] % _WIN
+        rows_lo[row, :b - a] = r[a:b] % _WIN
+        vals[row, :b - a] = v[a:b]
+  return WindowedELL(rbs, wins, init, cols_lo, rows_lo, vals,
+                     (n, m), int(coo.nnz))
+
+
+def _windowed_kernel(rb_ref, win_ref, init_ref, cols_ref, rows_ref,
+                     vals_ref, *refs, use_bf16=False):
+  xt_refs, out_ref = refs[:_STRIPS], refs[_STRIPS]
+  s = pl.program_id(0)
+
+  @pl.when(init_ref[s] == 1)
+  def _():
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+  dims = (((1,), (0,)), ((), ()))    # contract the 128-lane dim (deep)
+  dims_e = (((1,), (1,)), ((), ()))
+  acc = jnp.zeros((_STRIPS, _LANES), jnp.float32)
+  for strip in range(_STRIPS):
+    xw = xt_refs[strip][...]                     # (8, 128) strip's window
+    xw_hi = xw.astype(jnp.bfloat16)
+    if not use_bf16:
+      xw_lo = (xw - xw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    cl = cols_ref[strip:strip + 1, :]            # (1,128) col_lo in [0,1024)
+    q = cl // _LANES
+    rr = cl - q * _LANES
+    # lane-gather first — the dot contracts over 128 lanes (MXU-deep;
+    # contracting over the 8 sublanes instead starves the MXU, measured
+    # 0.48 Gnnz/s): s1[u, e] = Σ_l xw[u, l] · (r_e == l) = xw[u, r_e]
+    ohr = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+           == rr).astype(jnp.bfloat16)           # (128,128): r_e == l
+    s1 = jax.lax.dot_general(xw_hi, ohr, dims,
+                             preferred_element_type=jnp.float32)
+    if not use_bf16:
+      s1 = s1 + jax.lax.dot_general(xw_lo, ohr, dims,
+                                    preferred_element_type=jnp.float32)
+    # then an 8-deep sublane select on the VPU: u == q_e
+    ohq = jax.lax.broadcasted_iota(jnp.int32, (_STRIPS, _LANES), 0) == q
+    gathered = jnp.sum(jnp.where(ohq, s1, 0.0), axis=0, keepdims=True)
+    p = vals_ref[strip:strip + 1, :].astype(jnp.float32) * gathered
+    rl = rows_ref[strip:strip + 1, :]            # (1,128) row_lo in [0,1024)
+    rv = rl // _LANES
+    ru = rl - rv * _LANES
+    a = jnp.where(jax.lax.broadcasted_iota(
+        jnp.int32, (_STRIPS, _LANES), 0) == rv, p, 0.0)   # (8,128) f32
+    m = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+         == ru).astype(jnp.bfloat16)             # (128,128): ru_e == u
+    # products are f32: hi/lo-split them too so the scatter dot doesn't
+    # round them to bf16
+    a_hi = a.astype(jnp.bfloat16)
+    acc = acc + jax.lax.dot_general(a_hi, m, dims_e,
+                                    preferred_element_type=jnp.float32)
+    if not use_bf16:
+      a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+      acc = acc + jax.lax.dot_general(a_lo, m, dims_e,
+                                      preferred_element_type=jnp.float32)
+  out_ref[...] += acc
+
+
+def windowed_spmv_traced(rb, win, init, cols_lo, rows_lo, vals, x, *,
+                         shape, use_bf16: bool = False,
+                         interpret: bool = False):
+  """Traced windowed SpMV: all packed arrays are ordinary (leaf) inputs —
+  usable inside an outer jit/expr region without closure constants."""
+  n, m = shape
+  s_n = rb.shape[0]
+  mq = -(-m // _WIN) * _STRIPS                   # x block-rows, padded
+  n_rb = max(-(-n // _WIN), 1)
+
+  def _win_spec(k):
+    # (8,128) window of x2d (mq,128): Mosaic requires the lane dim of a
+    # block be 128-divisible, so windows live on the sublane axis.  The
+    # window array is FLAT (S*8,): 2-D SMEM operands are padded to 128
+    # lanes per row (a (S,8) int32 costs S*512 bytes and overflows the
+    # ~1 MB SMEM near 2K steps; flat packs densely).
+    return pl.BlockSpec((_STRIPS, _LANES),
+                        lambda s, b, w, it, k=k: (w[s * _STRIPS + k], 0))
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=3,
+      grid=(s_n,),
+      in_specs=[
+          pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
+          pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
+          pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
+      ] + [_win_spec(k) for k in range(_STRIPS)],
+      out_specs=pl.BlockSpec((_STRIPS, _LANES),
+                             lambda s, b, w, it: (b[s], 0)),
+  )
+  call = pl.pallas_call(
+      functools.partial(_windowed_kernel, use_bf16=use_bf16),
+      grid_spec=grid_spec,
+      out_shape=jax.ShapeDtypeStruct((n_rb * _STRIPS, _LANES), jnp.float32),
+      interpret=interpret,
+  )
+  xp = jnp.pad(x.astype(jnp.float32), (0, mq * _LANES - m))
+  x2d = xp.reshape(mq, _LANES)
+  out = call(rb, win, init, cols_lo, rows_lo, vals, *([x2d] * _STRIPS))
+  return out.reshape(-1)[:n].astype(x.dtype)
+
+
+def make_spmv_windowed(packed: WindowedELL, interpret: bool = False,
+                       use_bf16: bool = False):
+  """Jitted ``y = A @ x`` closure over a :func:`pack_windowed` matrix
+  (the chunk arrays are closure constants — device-resident after the
+  first call; f32/bf16 x only).  ``use_bf16`` drops the hi/lo residual
+  dots (~2x fewer MXU passes, relerr ~1e-3 instead of ~5e-6)."""
+  rb, win, init = (jnp.asarray(packed.rb),
+                   jnp.asarray(packed.win).reshape(-1),
+                   jnp.asarray(packed.init))
+  cols_lo, rows_lo, vals = (jnp.asarray(packed.cols_lo),
+                            jnp.asarray(packed.rows_lo),
+                            jnp.asarray(packed.vals))
+  shape = packed.shape
+
+  @jax.jit
+  def spmv_fn(x):
+    if x.dtype == jnp.float64:
+      raise NotImplementedError("windowed SpMV kernel is f32/bf16 only")
+    return windowed_spmv_traced(rb, win, init, cols_lo, rows_lo, vals, x,
+                                shape=shape, use_bf16=use_bf16,
+                                interpret=interpret)
+
+  return spmv_fn

@@ -38,7 +38,8 @@ from spartan_tpu.expr.base import Expr, Val, lazify
 class SparseArray:
   """A 2-D sparse matrix in padded-ELL device layout."""
 
-  __slots__ = ("cols", "vals", "shape", "nnz", "_bsr_cache")
+  __slots__ = ("cols", "vals", "shape", "nnz", "_bsr_cache",
+               "_windowed_cache")
 
   def __init__(self, cols: jax.Array, vals: jax.Array,
                shape: Tuple[int, int], nnz: int):
@@ -47,6 +48,7 @@ class SparseArray:
     self.shape = tuple(shape)
     self.nnz = int(nnz)
     self._bsr_cache = None  # (bs, BlockSparseArray|None) from auto_route
+    self._windowed_cache = None  # WindowedELL from to_windowed()
 
   @property
   def dtype(self):
@@ -144,6 +146,15 @@ class SparseArray:
           FLAGS.sparse_bsr_max_expansion)
     self._bsr_cache = (bs, routed)
     return routed
+
+  def to_windowed(self):
+    """Pack for the scalar-prefetch windowed SpMV kernel (one host pass,
+    cached) — the unstructured path for matrices past the one-hot
+    kernel's n=32K crossover (kernels/spmv_pallas.py)."""
+    if self._windowed_cache is None:
+      from spartan_tpu.backend.kernels import spmv_pallas
+      self._windowed_cache = spmv_pallas.pack_windowed(self.to_scipy())
+    return self._windowed_cache
 
   def shard(self, mesh=None) -> "SparseArray":
     """Row-shard the ELL tiles over the mesh (owner-computes SpMV: each
@@ -325,6 +336,20 @@ def spmv(A, x, use_pallas: Optional[bool] = None) -> jax.Array:
       return spmv_pallas.spmv(A.cols, A.vals, xj).astype(xj.dtype)
     except Exception:
       pass  # fall back to the XLA gather path
+  if use_pallas and xj.shape[0] > 32768 and xj.dtype != jnp.float64:
+    # past the one-hot crossover: the scalar-prefetch windowed kernel —
+    # window-grouped chunks gather from 1024-element x windows, O(window)
+    # instead of O(n) FLOP per nonzero (kernels/spmv_pallas.py)
+    try:
+      from spartan_tpu.backend.kernels import spmv_pallas
+      packed = A.to_windowed()
+      return spmv_pallas.windowed_spmv_traced(
+          jnp.asarray(packed.rb), jnp.asarray(packed.win).reshape(-1),
+          jnp.asarray(packed.init), jnp.asarray(packed.cols_lo),
+          jnp.asarray(packed.rows_lo), jnp.asarray(packed.vals), xj,
+          shape=packed.shape).astype(xj.dtype)
+    except Exception:
+      pass  # fall back to the XLA gather path
   return _spmv_jit(A.cols, A.vals, xj)
 
 
@@ -464,7 +489,8 @@ class SpMVExpr(Expr):
 
   def __init__(self, A, x):
     self._A = A
-    if isinstance(A, SparseArray) and jax.devices()[0].platform != "cpu":
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if isinstance(A, SparseArray) and on_tpu:
       routed = A.auto_route()
       if routed is not None:
         A = routed
@@ -472,11 +498,33 @@ class SpMVExpr(Expr):
       super().__init__(
           inputs=[Val(A.block_cols), Val(A.block_vals), lazify(x)],
           n_rows=self._A.shape[0], fmt="bsr", bs=A.bs, pad_m=A.shape[1])
-    else:
-      super().__init__(inputs=[Val(A.cols), Val(A.vals), lazify(x)],
-                       n_rows=A.shape[0], fmt="ell", bs=0, pad_m=A.shape[1])
+      return
+    if (on_tpu and A.shape[1] > 32768
+        and jnp.dtype(A.dtype) != jnp.float64):
+      # past the one-hot crossover: scalar-prefetch windowed kernel; the
+      # packed chunk arrays ride as ordinary leaf inputs
+      packed = A.to_windowed()
+      super().__init__(
+          inputs=[Val(jnp.asarray(packed.rb)),
+                  Val(jnp.asarray(packed.win).reshape(-1)),
+                  Val(jnp.asarray(packed.init)),
+                  Val(jnp.asarray(packed.cols_lo)),
+                  Val(jnp.asarray(packed.rows_lo)),
+                  Val(jnp.asarray(packed.vals)), lazify(x)],
+          n_rows=A.shape[0], fmt="win", bs=0, pad_m=A.shape[1])
+      return
+    super().__init__(inputs=[Val(A.cols), Val(A.vals), lazify(x)],
+                     n_rows=A.shape[0], fmt="ell", bs=0, pad_m=A.shape[1])
 
   def _emit(self, ctx, deps):
+    if self.fmt == "win":
+      rb, win, init, cols_lo, rows_lo, vals, x = deps
+      from spartan_tpu.backend.kernels import spmv_pallas
+      return spmv_pallas.windowed_spmv_traced(
+          rb, win, init, cols_lo, rows_lo, vals, x.astype(jnp.float32),
+          shape=(self.n_rows, self.pad_m),
+          interpret=jax.default_backend() == "cpu").astype(
+              jnp.promote_types(vals.dtype, x.dtype))
     cols, vals, x = deps
     dt = jnp.promote_types(vals.dtype, x.dtype)
     if self.fmt == "bsr":

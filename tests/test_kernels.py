@@ -127,3 +127,43 @@ def test_pallas_stencil_ragged_fallback(rng):
   want = sum(coeffs[di * 3 + dj] * xp[di:di + 13, dj:dj + 20]
              for di in range(3) for dj in range(3))
   np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_windowed_spmv_random(rng):
+  """Scalar-prefetch windowed SpMV vs scipy oracle (interpret mode)."""
+  import scipy.sparse as ss
+
+  from spartan_tpu.backend.kernels import spmv_pallas as sk
+  n, per_row = 3000, 9
+  nnz = n * per_row
+  r = rng.integers(0, n, nnz)
+  c = rng.integers(0, n, nnz)
+  v = rng.standard_normal(nnz).astype(np.float32)
+  A = ss.coo_matrix((v, (r, c)), shape=(n, n)).tocsr()
+  A.sum_duplicates()
+  x = rng.standard_normal(n).astype(np.float32)
+  packed = sk.pack_windowed(A)
+  got = np.asarray(sk.make_spmv_windowed(packed, interpret=True)(
+      jnp.asarray(x)))
+  want = A @ x
+  assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_windowed_spmv_rectangular_and_empty_blocks(rng):
+  import scipy.sparse as ss
+
+  from spartan_tpu.backend.kernels import spmv_pallas as sk
+  # rows 2048..3071 empty: their output block must still be zeroed
+  A = ss.random(4096, 2500, density=0.004, random_state=3, format="csr",
+                dtype=np.float32)
+  A = A.tolil()
+  A[2048:3072, :] = 0
+  A = A.tocsr()
+  A.eliminate_zeros()
+  x = rng.standard_normal(2500).astype(np.float32)
+  packed = sk.pack_windowed(A)
+  got = np.asarray(sk.make_spmv_windowed(packed, interpret=True)(
+      jnp.asarray(x)))
+  want = A @ x
+  assert np.abs(got[2048:3072]).max() == 0.0
+  assert np.abs(got - want).max() / max(np.abs(want).max(), 1e-9) < 1e-5
