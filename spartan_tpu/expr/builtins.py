@@ -1,4 +1,4 @@
-"""The NumPy-compatible builtin surface (147 functions).
+"""The NumPy-compatible builtin surface (~150 functions).
 
 TPU-native rebuild of the reference's builtins (reference:
 ``spartan/expr/builtins.py`` + per-op files — the NumPy-style API built
@@ -295,6 +295,35 @@ def nanmean(v, axis=None) -> Expr:
   v = lazify(v)
   cnt = sum(astype(logical_not(isnan(v)), np.float64), axis=axis)
   return nansum(v, axis=axis) / cnt
+
+
+def nanvar(v, axis=None, ddof: int = 0) -> Expr:
+  v = lazify(v)
+  mu = nanmean(v, axis=axis)
+  if axis is not None:
+    mu = expand_dims(mu, axis)
+  cnt = sum(astype(logical_not(isnan(v)), np.float64), axis=axis)
+  return nansum((v - mu) ** 2, axis=axis) / (cnt - ddof)
+
+
+def nanstd(v, axis=None, ddof: int = 0) -> Expr:
+  return sqrt(nanvar(v, axis=axis, ddof=ddof))
+
+
+def nanmedian(v, axis=None) -> Expr:
+  return map([lazify(v)], jnp.nanmedian, fn_kw={"axis": axis})
+
+
+def nanpercentile(v, q, axis=None) -> Expr:
+  q = tuple(float(x) for x in q) if np.ndim(q) >= 1 else float(q)
+  return map([lazify(v)], functools.partial(jnp.nanpercentile, q=jnp.asarray(q)),
+             fn_kw={"axis": axis})
+
+
+def nanquantile(v, q, axis=None) -> Expr:
+  q = tuple(float(x) for x in q) if np.ndim(q) >= 1 else float(q)
+  return map([lazify(v)], functools.partial(jnp.nanquantile, q=jnp.asarray(q)),
+             fn_kw={"axis": axis})
 
 
 def nanmax(v, axis=None) -> Expr:
@@ -767,6 +796,7 @@ __all__ = [
     # reductions
     "sum", "prod", "mean", "std", "var", "max", "min", "argmax", "argmin",
     "all", "any", "count_nonzero", "nansum", "nanmean", "nanmax", "nanmin",
+    "nanvar", "nanstd", "nanmedian", "nanpercentile", "nanquantile",
     "norm", "ptp",
     # scans
     "cumsum", "cumprod", "cummax", "cummin", "scan",

@@ -210,3 +210,21 @@ def test_empty_and_degenerate_arrays(rng):
   assert float((z * 2).glom()) == 10.0
   one = sp.from_numpy(rng.standard_normal((1, 1)))
   Assert.all_eq(one.T, one.value.glom().T)
+
+
+def test_nan_reductions_surface(rng):
+  a = rng.standard_normal((40, 25))
+  a[rng.random((40, 25)) < 0.1] = np.nan
+  sa = sp.from_numpy(a)
+  np.testing.assert_allclose(float(sp.nanvar(sa).glom()), np.nanvar(a),
+                             rtol=1e-12)
+  np.testing.assert_allclose(np.asarray(sp.nanstd(sa, axis=0).glom()),
+                             np.nanstd(a, axis=0), rtol=1e-12)
+  np.testing.assert_allclose(float(sp.nanmedian(sa).glom()), np.nanmedian(a),
+                             rtol=1e-12)
+  np.testing.assert_allclose(float(sp.nanpercentile(sa, 30.0).glom()),
+                             np.nanpercentile(a, 30.0), rtol=1e-12)
+  np.testing.assert_allclose(float(sp.nanquantile(sa, 0.7).glom()),
+                             np.nanquantile(a, 0.7), rtol=1e-12)
+  np.testing.assert_allclose(np.asarray(sp.nanvar(sa, axis=1, ddof=1).glom()),
+                             np.nanvar(a, axis=1, ddof=1), rtol=1e-12)

@@ -205,3 +205,19 @@ def test_dot_precision_plumbs_to_hlo(rng, cluster):
   e = sp.dot(a, a, precision="highest")
   np.testing.assert_allclose(np.asarray(e.glom()),
                              np.ones((64, 64)) @ np.ones((64, 64)))
+
+
+def test_grad_through_sample_sort(rng):
+  """Autodiff composes with the distributed sort: d(sum of top-k squared)
+  routes gradients back through the exchange to the right inputs."""
+  from spartan_tpu import autodiff
+  a = rng.standard_normal(1 << 10)
+  x = sp.from_numpy(a)
+  with sample_method():
+    loss = sp.sum(sp.sort(x)[-100:] ** 2)
+    (g,) = autodiff.grad(loss, [x])
+    gn = np.asarray(g.glom() if hasattr(g, "glom") else g)
+  want = np.zeros_like(a)
+  idx = np.argsort(a)[-100:]
+  want[idx] = 2 * a[idx]
+  np.testing.assert_allclose(gn, want, atol=1e-12)

@@ -49,3 +49,25 @@ b = np.random.rand(4096, 4096).astype(np.float32)
 v = float(sp.sum(sp.abs(sp.from_numpy(b) - 0.5)).glom())  # non-affine -> pallas
 want = np.abs(b.astype(np.float64) - 0.5).sum()
 print(f"5. non-affine pallas lowering on TPU: rel err {abs(v-want)/want:.2e}", flush=True)
+
+# 6. unstructured pagerank at n=65536 through the framework loop — the
+# SpMVExpr windowed route (r2 kernel) live on chip
+import scipy.sparse as _ss
+t0 = time.time()
+n6 = 65536
+rng6 = np.random.default_rng(3)
+nnz6 = n6 * 8
+_r = rng6.integers(0, n6, nnz6); _c = rng6.integers(0, n6, nnz6)
+A2 = _ss.coo_matrix((np.ones(nnz6, np.float32), (_r, _c)),
+                    shape=(n6, n6)).tocsr()
+A2.sum_duplicates()
+deg = np.maximum(np.asarray(A2.sum(axis=0)).ravel(), 1.0)
+A2 = (A2 @ _ss.diags(1.0 / deg)).tocsr().astype(np.float32)
+S2 = sps.from_scipy(A2, dtype=np.float32)
+r2 = pagerank.fit_sparse(S2, 20)
+rr = np.full(n6, 1.0 / n6, np.float64)
+for _ in range(20):
+    rr = 0.85 * (A2.astype(np.float64) @ rr) + 0.15 / n6
+rel = np.abs(np.asarray(r2, np.float64) - rr).max() / np.abs(rr).max()
+print(f"6. windowed-SpMV pagerank n=65536 on TPU: relerr={rel:.2e} "
+      f"({time.time()-t0:.1f}s, 20 iters)", flush=True)
