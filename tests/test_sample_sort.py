@@ -221,3 +221,28 @@ def test_grad_through_sample_sort(rng):
   idx = np.argsort(a)[-100:]
   want[idx] = 2 * a[idx]
   np.testing.assert_allclose(gn, want, atol=1e-12)
+
+
+def test_sort_differential_fuzz(rng):
+  """Differential fuzz: random dtype/size/content 1-D sorts, sample
+  method forced (non-divisible sizes exercise the gather fallback)."""
+  dtypes = [np.float32, np.float64, np.int32, np.int64, np.int8,
+            np.uint32, np.float16]
+  with sample_method():
+    for seed in range(40):
+      r = np.random.default_rng(seed)
+      n = int(r.integers(2, 5000))
+      dt = dtypes[seed % len(dtypes)]
+      if np.dtype(dt).kind == "f":
+        a = (r.standard_normal(n)
+             * 10.0 ** float(r.integers(-3, 4))).astype(dt)
+        if r.integers(0, 2):
+          a[r.integers(0, n, max(n // 10, 1))] = np.inf
+          a[r.integers(0, n, max(n // 10, 1))] = -np.inf
+      else:
+        info = np.iinfo(dt)
+        a = r.integers(info.min, info.max, n).astype(dt)
+      got = np.asarray(sp.sort(sp.from_numpy(a)).glom())
+      np.testing.assert_array_equal(got, np.sort(a), err_msg=f"seed={seed}")
+      gi = np.asarray(sp.argsort(sp.from_numpy(a)).glom())
+      assert np.array_equal(a[gi], np.sort(a)), f"argsort seed={seed}"
