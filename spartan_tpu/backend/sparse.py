@@ -499,7 +499,8 @@ class SpMVExpr(Expr):
           inputs=[Val(A.block_cols), Val(A.block_vals), lazify(x)],
           n_rows=self._A.shape[0], fmt="bsr", bs=A.bs, pad_m=A.shape[1])
       return
-    if (on_tpu and A.shape[1] > 32768
+    from spartan_tpu.config import FLAGS
+    if ((FLAGS.sparse_force_windowed or (on_tpu and A.shape[1] > 32768))
         and jnp.dtype(A.dtype) != jnp.float64):
       # past the one-hot crossover: scalar-prefetch windowed kernel; the
       # packed chunk arrays ride as ordinary leaf inputs
@@ -520,6 +521,18 @@ class SpMVExpr(Expr):
     if self.fmt == "win":
       rb, win, init, cols_lo, rows_lo, vals, x = deps
       from spartan_tpu.backend.kernels import spmv_pallas
+      if not ctx.abstract:
+        # the pallas_call is opaque to the SPMD partitioner: on a
+        # multi-device mesh the packed chunk operands (and x) must be
+        # replicated, not row-sharded by AutoTiling
+        from jax.sharding import NamedSharding, PartitionSpec
+        from spartan_tpu.core.mesh import get_mesh
+        mesh = get_mesh()
+        if mesh.devices.size > 1:
+          rep = NamedSharding(mesh, PartitionSpec())
+          rb, win, init, cols_lo, rows_lo, vals, x = (
+              jax.lax.with_sharding_constraint(a, rep)
+              for a in (rb, win, init, cols_lo, rows_lo, vals, x))
       return spmv_pallas.windowed_spmv_traced(
           rb, win, init, cols_lo, rows_lo, vals, x.astype(jnp.float32),
           shape=(self.n_rows, self.pad_m),

@@ -196,6 +196,10 @@ FLAGS.add(FloatFlag("sparse_bsr_max_expansion", 16.0,
                     "max stored-elements-per-nonzero the block-ELL repack "
                     "may pay (the MXU path is ~1000x faster per element, "
                     "so modest expansion still wins)"))
+FLAGS.add(BoolFlag("sparse_force_windowed", False,
+                   "route SpMVExpr through the windowed Pallas kernel "
+                   "regardless of size/platform (interpret mode off-TPU) "
+                   "— testing/debug"))
 FLAGS.add(StrFlag("dot_precision", "default",
                   "matmul precision for float inputs: 'default' = MXU "
                   "native (bf16 passes for f32 on TPU, fastest), 'high', "

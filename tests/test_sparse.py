@@ -285,3 +285,37 @@ def test_fit_sparse_runs_framework_path(monkeypatch):
   for _ in range(20):
     rn = 0.85 * (M @ rn) + 0.15 / 64
   np.testing.assert_allclose(r, rn, atol=1e-10)
+
+
+def test_spmv_expr_windowed_route_on_mesh(rng):
+  """The windowed-kernel SpMVExpr route (fmt='win'), forced on the 8-dev
+  CPU mesh (interpret mode): packed chunk operands must be replicated
+  around the opaque pallas_call, and the full pagerank loop through
+  sp.make_fori must match the dense oracle."""
+  import scipy.sparse as ss
+
+  from spartan_tpu.backend import sparse as sps
+  from spartan_tpu.config import FLAGS
+  old = FLAGS.sparse_force_windowed
+  FLAGS.sparse_force_windowed = True
+  try:
+    n = 600
+    A = ss.random(n, n, density=0.01, random_state=7, format="csr",
+                  dtype=np.float32)
+    S = sps.from_scipy(A, dtype=np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    e = sps.spmv_expr(S, sp.from_numpy(x))
+    assert e.fmt == "win"
+    got = np.asarray(e.evaluate().glom())
+    want = A @ x
+    assert np.abs(got - want).max() / max(np.abs(want).max(), 1e-9) < 1e-5
+    # composes with the lazy chain + on-device loop
+    r0 = sp.ones((n,), dtype=np.float32) / n
+    run = sp.make_fori(lambda r: sps.spmv_expr(S, r) * 0.5 + 0.5 / n, r0)
+    rr = np.full(n, 1.0 / n, np.float64)
+    for _ in range(5):
+      rr = 0.5 * (A.astype(np.float64) @ rr) + 0.5 / n
+    got5 = np.asarray(run(5).data, dtype=np.float64)
+    np.testing.assert_allclose(got5, rr, rtol=2e-4, atol=1e-9)
+  finally:
+    FLAGS.sparse_force_windowed = old
