@@ -39,6 +39,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -354,3 +355,159 @@ def make_spmv_windowed(packed: WindowedELL, interpret: bool = False,
                                 interpret=interpret)
 
   return spmv_fn
+
+
+# ---------------------------------------------------------------------------
+# Row-sharded windowed SpMV — the multi-chip form.
+#
+# The matrix's 1024-row output blocks are split contiguously across the
+# mesh (owner-computes, like the reference's row-tiled dot); each device
+# runs the windowed kernel on its own chunk list inside ``shard_map`` with
+# ``x`` replicated, so the only collective is the implicit x broadcast.
+# Per-device chunk lists are padded to a common length with no-op chunks.
+
+
+class ShardedWindowedELL:
+  """Per-shard stacked chunk arrays (leading dim = shard)."""
+
+  def __init__(self, rb, win, init, cols_lo, rows_lo, vals, shape,
+               n_shards, rb_per, nnz):
+    self.rb, self.win, self.init = rb, win, init
+    self.cols_lo, self.rows_lo, self.vals = cols_lo, rows_lo, vals
+    self.shape, self.n_shards, self.rb_per = shape, n_shards, rb_per
+    self.nnz = nnz
+
+  @property
+  def steps_per_shard(self):
+    return self.rb.shape[1]
+
+
+def pack_windowed_sharded(sp_csr, n_shards: int) -> ShardedWindowedELL:
+  """Row-shard :func:`pack_windowed`: shard d owns row blocks
+  [d·rb_per, (d+1)·rb_per)."""
+  import numpy as np
+
+  csr = sp_csr.tocsr()
+  n, m = csr.shape
+  n_rb = max(-(-n // _WIN), 1)
+  rb_per = -(-n_rb // n_shards)
+  rows_per = rb_per * _WIN
+  packs = []
+  for d in range(n_shards):
+    r0 = min(d * rows_per, n)
+    r1 = min(r0 + rows_per, n)
+    sub = csr[r0:r1].copy()
+    sub.resize((rows_per, m))
+    packs.append(pack_windowed(sub))
+  s_max = max(p.n_chunks for p in packs)
+
+  def pad_steps(p):
+    extra = s_max - p.n_chunks
+    if extra == 0:
+      return p
+    # no-op chunks appended at the tail: target the last local block
+    # (keeps rb monotone), zero vals, init=0
+    rb = np.concatenate([p.rb, np.full(extra, rb_per - 1, np.int32)])
+    win = np.concatenate([p.win, np.zeros((extra, _STRIPS), np.int32)])
+    init = np.concatenate([p.init, np.zeros(extra, np.int32)])
+    z = lambda a: np.concatenate(  # noqa: E731
+        [a, np.zeros((extra * _STRIPS, _LANES), a.dtype)])
+    return WindowedELL(rb, win, init, z(p.cols_lo), z(p.rows_lo),
+                       z(p.vals), p.shape, p.nnz)
+
+  packs = [pad_steps(p) for p in packs]
+  stack = lambda f: np.stack([f(p) for p in packs])  # noqa: E731
+  return ShardedWindowedELL(
+      stack(lambda p: p.rb), stack(lambda p: p.win.reshape(-1)),
+      stack(lambda p: p.init), stack(lambda p: p.cols_lo),
+      stack(lambda p: p.rows_lo), stack(lambda p: p.vals),
+      (n, m), n_shards, rb_per, int(csr.nnz))
+
+
+def sharded_windowed_spmv_traced(rb, win, init, cols_lo, rows_lo, vals, x,
+                                 *, shape, mesh, use_bf16: bool = False,
+                                 interpret: bool = False):
+  """y = A @ x with the chunk arrays row-sharded over all mesh axes
+  (leading dim = shard) and x replicated; per-device pallas calls inside
+  shard_map.  Falls back to :func:`windowed_spmv_traced` semantics when
+  the mesh is a single device."""
+  from jax.sharding import PartitionSpec
+
+  n, m = shape
+  p = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+  assert rb.shape[0] == p, (rb.shape, p)
+  s_max = rb.shape[1]
+  rb_per = rb_per_of(n, p)
+  mq = -(-m // _WIN) * _STRIPS
+  axes = tuple(mesh.axis_names)
+  ax_arg = axes if len(axes) > 1 else axes[0]
+  xp = jnp.pad(x.astype(jnp.float32), (0, mq * _LANES - m))
+  x2d = xp.reshape(mq, _LANES)
+
+  def body(rb_l, win_l, init_l, cols_l, rows_l, vals_l, x_full):
+    rb_f = rb_l.reshape(-1)
+    win_f = win_l.reshape(-1)
+    init_f = init_l.reshape(-1)
+    cols_f = cols_l.reshape(s_max * _STRIPS, _LANES)
+    rows_f = rows_l.reshape(s_max * _STRIPS, _LANES)
+    vals_f = vals_l.reshape(s_max * _STRIPS, _LANES)
+
+    def _win_spec(k):
+      return pl.BlockSpec((_STRIPS, _LANES),
+                          lambda s, b, w, it, k=k: (w[s * _STRIPS + k], 0))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(s_max,),
+        in_specs=[
+            pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
+            pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
+            pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
+        ] + [_win_spec(k) for k in range(_STRIPS)],
+        out_specs=pl.BlockSpec((_STRIPS, _LANES),
+                               lambda s, b, w, it: (b[s], 0)),
+    )
+    out = pl.pallas_call(
+        functools.partial(_windowed_kernel, use_bf16=use_bf16),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rb_per * _STRIPS, _LANES),
+                                       jnp.float32),
+        interpret=interpret,
+    )(rb_f, win_f, init_f, cols_f, rows_f, vals_f, *([x_full] * _STRIPS))
+    return out
+
+  spec_s = PartitionSpec(ax_arg)
+  fn = jax.shard_map(
+      body, mesh=mesh,
+      in_specs=(spec_s, spec_s, spec_s, spec_s, spec_s, spec_s,
+                PartitionSpec()),
+      out_specs=spec_s,
+      # pallas_call's out_shape has no vma annotation; skip the check
+      check_vma=False)
+  out = fn(rb, win, init, cols_lo, rows_lo, vals, x2d)
+  return out.reshape(-1)[:n].astype(x.dtype)
+
+
+def rb_per_of(n: int, n_shards: int) -> int:
+  n_rb = max(-(-n // _WIN), 1)
+  return -(-n_rb // n_shards)
+
+
+def unshard_windowed(rb, win, init, cols_lo, rows_lo, vals, n: int,
+                     n_shards: int):
+  """Flatten sharded-stacked chunk arrays back to the global (unsharded)
+  windowed form — pure traced jnp ops, so a ``winsh`` node built under one
+  mesh still evaluates correctly if the mesh later changes size.
+
+  Local row-block indices become global (shard d's block b → d·rb_per+b);
+  chunk order stays grouped by shard, so every output block's revisits
+  remain contiguous and the per-shard init flags stay valid (each shard's
+  first chunk for a block carries init=1).  Returns the flat arrays plus
+  the padded global row count to pass as ``shape[0]``."""
+  p, s = rb.shape
+  rb_per = rb_per_of(n, n_shards)
+  rb_g = (rb + jnp.arange(p, dtype=rb.dtype)[:, None] * rb_per).reshape(-1)
+  return (rb_g, win.reshape(-1), init.reshape(-1),
+          cols_lo.reshape(p * s * _STRIPS, _LANES),
+          rows_lo.reshape(p * s * _STRIPS, _LANES),
+          vals.reshape(p * s * _STRIPS, _LANES), p * rb_per * _WIN)

@@ -39,7 +39,7 @@ class SparseArray:
   """A 2-D sparse matrix in padded-ELL device layout."""
 
   __slots__ = ("cols", "vals", "shape", "nnz", "_bsr_cache",
-               "_windowed_cache")
+               "_windowed_cache", "_winsh_cache")
 
   def __init__(self, cols: jax.Array, vals: jax.Array,
                shape: Tuple[int, int], nnz: int):
@@ -49,6 +49,7 @@ class SparseArray:
     self.nnz = int(nnz)
     self._bsr_cache = None  # (bs, BlockSparseArray|None) from auto_route
     self._windowed_cache = None  # WindowedELL from to_windowed()
+    self._winsh_cache = None  # (n_shards, ShardedWindowedELL)
 
   @property
   def dtype(self):
@@ -155,6 +156,17 @@ class SparseArray:
       from spartan_tpu.backend.kernels import spmv_pallas
       self._windowed_cache = spmv_pallas.pack_windowed(self.to_scipy())
     return self._windowed_cache
+
+  def to_windowed_sharded(self, n_shards: int):
+    """Row-sharded windowed pack (one host pass, cached per shard count):
+    shard d owns 1024-row output blocks [d·rb_per, (d+1)·rb_per) and the
+    per-device kernel runs inside ``shard_map`` with x replicated — the
+    multi-chip form of the windowed SpMV (owner-computes, comm-free)."""
+    if self._winsh_cache is None or self._winsh_cache[0] != n_shards:
+      from spartan_tpu.backend.kernels import spmv_pallas
+      self._winsh_cache = (n_shards, spmv_pallas.pack_windowed_sharded(
+          self.to_scipy(), n_shards))
+    return self._winsh_cache[1]
 
   def shard(self, mesh=None) -> "SparseArray":
     """Row-shard the ELL tiles over the mesh (owner-computes SpMV: each
@@ -485,7 +497,7 @@ class SpMVExpr(Expr):
   gather.  The choice is captured in ``fmt`` (a cache-key param)."""
 
   _members = ("inputs",)
-  _params = ("n_rows", "fmt", "bs", "pad_m")
+  _params = ("n_rows", "fmt", "bs", "pad_m", "n_shards")
 
   def __init__(self, A, x):
     self._A = A
@@ -497,13 +509,30 @@ class SpMVExpr(Expr):
     if isinstance(A, BlockSparseArray):
       super().__init__(
           inputs=[Val(A.block_cols), Val(A.block_vals), lazify(x)],
-          n_rows=self._A.shape[0], fmt="bsr", bs=A.bs, pad_m=A.shape[1])
+          n_rows=self._A.shape[0], fmt="bsr", bs=A.bs, pad_m=A.shape[1],
+          n_shards=0)
       return
     from spartan_tpu.config import FLAGS
     if ((FLAGS.sparse_force_windowed or (on_tpu and A.shape[1] > 32768))
         and jnp.dtype(A.dtype) != jnp.float64):
       # past the one-hot crossover: scalar-prefetch windowed kernel; the
-      # packed chunk arrays ride as ordinary leaf inputs
+      # packed chunk arrays ride as ordinary leaf inputs.  On a
+      # multi-device mesh the 1024-row output blocks are owner-computed:
+      # the pack is row-sharded per device and the kernel runs inside
+      # shard_map (fmt="winsh") instead of replicating the whole matrix
+      n_dev = int(get_mesh().devices.size)
+      if n_dev > 1:
+        packed = A.to_windowed_sharded(n_dev)
+        super().__init__(
+            inputs=[Val(jnp.asarray(packed.rb)),
+                    Val(jnp.asarray(packed.win)),
+                    Val(jnp.asarray(packed.init)),
+                    Val(jnp.asarray(packed.cols_lo)),
+                    Val(jnp.asarray(packed.rows_lo)),
+                    Val(jnp.asarray(packed.vals)), lazify(x)],
+            n_rows=A.shape[0], fmt="winsh", bs=0, pad_m=A.shape[1],
+            n_shards=n_dev)
+        return
       packed = A.to_windowed()
       super().__init__(
           inputs=[Val(jnp.asarray(packed.rb)),
@@ -512,12 +541,39 @@ class SpMVExpr(Expr):
                   Val(jnp.asarray(packed.cols_lo)),
                   Val(jnp.asarray(packed.rows_lo)),
                   Val(jnp.asarray(packed.vals)), lazify(x)],
-          n_rows=A.shape[0], fmt="win", bs=0, pad_m=A.shape[1])
+          n_rows=A.shape[0], fmt="win", bs=0, pad_m=A.shape[1], n_shards=0)
       return
     super().__init__(inputs=[Val(A.cols), Val(A.vals), lazify(x)],
-                     n_rows=A.shape[0], fmt="ell", bs=0, pad_m=A.shape[1])
+                     n_rows=A.shape[0], fmt="ell", bs=0, pad_m=A.shape[1],
+                     n_shards=0)
 
   def _emit(self, ctx, deps):
+    if self.fmt == "winsh":
+      rb, win, init, cols_lo, rows_lo, vals, x = deps
+      from spartan_tpu.backend.kernels import spmv_pallas
+      dt = jnp.promote_types(vals.dtype, x.dtype)
+      mesh = get_mesh()
+      interp = jax.default_backend() == "cpu"
+      if int(mesh.devices.size) == self.n_shards:
+        return spmv_pallas.sharded_windowed_spmv_traced(
+            rb, win, init, cols_lo, rows_lo, vals, x.astype(jnp.float32),
+            shape=(self.n_rows, self.pad_m), mesh=mesh,
+            interpret=interp).astype(dt)
+      # mesh changed size since construction: flatten the per-shard stacks
+      # back to the global windowed form (traced, owner order preserved)
+      if not ctx.abstract and int(mesh.devices.size) > 1:
+        from jax.sharding import NamedSharding, PartitionSpec
+        rep = NamedSharding(mesh, PartitionSpec())
+        rb, win, init, cols_lo, rows_lo, vals, x = (
+            jax.lax.with_sharding_constraint(a, rep)
+            for a in (rb, win, init, cols_lo, rows_lo, vals, x))
+      rb_g, win_g, init_g, cols_g, rows_g, vals_g, n_pad = (
+          spmv_pallas.unshard_windowed(rb, win, init, cols_lo, rows_lo,
+                                       vals, self.n_rows, self.n_shards))
+      return spmv_pallas.windowed_spmv_traced(
+          rb_g, win_g, init_g, cols_g, rows_g, vals_g,
+          x.astype(jnp.float32), shape=(n_pad, self.pad_m),
+          interpret=interp)[: self.n_rows].astype(dt)
     if self.fmt == "win":
       rb, win, init, cols_lo, rows_lo, vals, x = deps
       from spartan_tpu.backend.kernels import spmv_pallas
@@ -526,7 +582,6 @@ class SpMVExpr(Expr):
         # multi-device mesh the packed chunk operands (and x) must be
         # replicated, not row-sharded by AutoTiling
         from jax.sharding import NamedSharding, PartitionSpec
-        from spartan_tpu.core.mesh import get_mesh
         mesh = get_mesh()
         if mesh.devices.size > 1:
           rep = NamedSharding(mesh, PartitionSpec())

@@ -288,10 +288,10 @@ def test_fit_sparse_runs_framework_path(monkeypatch):
 
 
 def test_spmv_expr_windowed_route_on_mesh(rng):
-  """The windowed-kernel SpMVExpr route (fmt='win'), forced on the 8-dev
-  CPU mesh (interpret mode): packed chunk operands must be replicated
-  around the opaque pallas_call, and the full pagerank loop through
-  sp.make_fori must match the dense oracle."""
+  """The windowed-kernel SpMVExpr route, forced on the 8-dev CPU mesh
+  (interpret mode): on a multi-device mesh the route is the row-sharded
+  shard_map form (fmt='winsh', owner-computes), and the full pagerank
+  loop through sp.make_fori must match the dense oracle."""
   import scipy.sparse as ss
 
   from spartan_tpu.backend import sparse as sps
@@ -305,7 +305,7 @@ def test_spmv_expr_windowed_route_on_mesh(rng):
     S = sps.from_scipy(A, dtype=np.float32)
     x = rng.standard_normal(n).astype(np.float32)
     e = sps.spmv_expr(S, sp.from_numpy(x))
-    assert e.fmt == "win"
+    assert e.fmt == "winsh" and e.n_shards == 8
     got = np.asarray(e.evaluate().glom())
     want = A @ x
     assert np.abs(got - want).max() / max(np.abs(want).max(), 1e-9) < 1e-5
@@ -317,5 +317,34 @@ def test_spmv_expr_windowed_route_on_mesh(rng):
       rr = 0.5 * (A.astype(np.float64) @ rr) + 0.5 / n
     got5 = np.asarray(run(5).data, dtype=np.float64)
     np.testing.assert_allclose(got5, rr, rtol=2e-4, atol=1e-9)
+  finally:
+    FLAGS.sparse_force_windowed = old
+
+def test_spmv_expr_winsh_mesh_size_mismatch(rng):
+  """A winsh node built under a 4-device mesh must still evaluate
+  correctly when the ambient mesh is the full 8-device one (the
+  unshard_windowed fallback flattens the per-shard stacks)."""
+  import jax
+  import scipy.sparse as ss
+
+  from spartan_tpu.backend import sparse as sps
+  from spartan_tpu.config import FLAGS
+  from spartan_tpu.core import mesh as mesh_mod
+
+  old = FLAGS.sparse_force_windowed
+  FLAGS.sparse_force_windowed = True
+  try:
+    n = 1500
+    A = ss.random(n, n, density=0.005, random_state=9, format="csr",
+                  dtype=np.float32)
+    S = sps.from_scipy(A, dtype=np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    m4 = mesh_mod.make_mesh(devices=jax.devices()[:4])
+    with sp.with_mesh(m4):
+      e = sps.spmv_expr(S, sp.from_numpy(x))
+    assert e.fmt == "winsh" and e.n_shards == 4
+    got = np.asarray(e.evaluate().glom())   # ambient 8-dev mesh here
+    want = A @ x
+    assert np.abs(got - want).max() / max(np.abs(want).max(), 1e-9) < 1e-5
   finally:
     FLAGS.sparse_force_windowed = old
