@@ -20,13 +20,16 @@ from spartan_tpu.expr import optimize as opt_mod
 from spartan_tpu.expr.base import EmitCtx, Expr, Val
 
 
-def as_function(expr: Expr,
-                wrt: Sequence[Expr]) -> Tuple[Callable, List[jax.Array]]:
+def as_function(expr: Expr, wrt: Sequence[Expr],
+                differentiable: bool = False
+                ) -> Tuple[Callable, List[jax.Array]]:
   """Lower ``expr``'s DAG to ``(fn, args)`` with ``fn(*args)`` pure jax.
 
   ``wrt`` must be ``Val`` leaves of the DAG (e.g. the exprs returned by
   ``sp.from_numpy``); every other leaf is closed over as a constant.
   Optimizer passes run first; leaf object identity survives them.
+  ``differentiable=True`` asks emitters for autodiff-safe lowerings
+  (no Pallas kernels / collective fast paths) — same values, same avals.
   """
   wrt_ids = [w.expr_id for w in wrt]
   for w in wrt:
@@ -49,7 +52,7 @@ def as_function(expr: Expr,
         "already materialized and collapsed? pass opt_collapse_cached=False "
         "or rebuild the expr from un-evaluated leaves)")
 
-  ctx = EmitCtx(abstract=False)
+  ctx = EmitCtx(abstract=False, differentiable=differentiable)
   pos = {eid: k for k, eid in enumerate(wrt_ids)}
 
   def fn(*args):
@@ -110,13 +113,13 @@ def compile_fn(expr: Expr, wrt: Sequence[Expr]):
 
 def grad(expr: Expr, wrt: Sequence[Expr]):
   """Gradients of a scalar expr w.r.t. leaf exprs → SpartanArrays."""
-  fn, args = as_function(expr, wrt)
+  fn, args = as_function(expr, wrt, differentiable=True)
   grads = jax.jit(jax.grad(fn, argnums=tuple(range(len(args)))))(*args)
   return [SpartanArray(g) for g in grads]
 
 
 def value_and_grad(expr: Expr, wrt: Sequence[Expr]):
-  fn, args = as_function(expr, wrt)
+  fn, args = as_function(expr, wrt, differentiable=True)
   val, grads = jax.jit(
       jax.value_and_grad(fn, argnums=tuple(range(len(args)))))(*args)
   return SpartanArray(val), [SpartanArray(g) for g in grads]
@@ -124,7 +127,7 @@ def value_and_grad(expr: Expr, wrt: Sequence[Expr]):
 
 def jvp(expr: Expr, wrt: Sequence[Expr], tangents):
   """Forward-mode: directional derivative of the DAG."""
-  fn, args = as_function(expr, wrt)
+  fn, args = as_function(expr, wrt, differentiable=True)
   primal, tangent = jax.jvp(fn, tuple(args),
                             tuple(jax.numpy.asarray(t) for t in tangents))
   return SpartanArray(primal), SpartanArray(tangent)
@@ -143,7 +146,7 @@ def sgd_train(loss_expr: Expr, params: Sequence[Expr], lr: float,
   import jax.numpy as jnp
   from jax import lax
 
-  fn, args = as_function(loss_expr, params)
+  fn, args = as_function(loss_expr, params, differentiable=True)
   grad_fn = jax.value_and_grad(fn, argnums=tuple(range(len(args))))
 
   @jax.jit

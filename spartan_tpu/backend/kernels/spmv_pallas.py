@@ -123,6 +123,59 @@ def spmv(cols: jax.Array, vals: jax.Array, x: jax.Array,
   return jnp.sum(out[:n], axis=1).astype(vals.dtype)
 
 
+def sharded_onehot_spmv(cols: jax.Array, vals: jax.Array, x: jax.Array,
+                        *, mesh, interpret: bool = False,
+                        use_bf16: bool = False) -> jax.Array:
+  """Row-sharded one-hot SpMV: ELL rows owner-computed per device inside
+  ``shard_map`` (x replicated — the kernel reads all of x per strip
+  anyway), the multi-device form of :func:`spmv`.  The pallas_call is
+  opaque to the SPMD partitioner, so on a >1-device mesh this is the
+  only way to actually distribute the kernel."""
+  from jax.sharding import PartitionSpec
+
+  n, k = cols.shape
+  m = x.shape[0]
+  p = int(mesh.devices.size)
+  axes = tuple(mesh.axis_names)
+  ax_arg = axes if len(axes) > 1 else axes[0]
+
+  nq = -(-m // _LANES)
+  xp = jnp.pad(x.astype(jnp.float32), (0, nq * _LANES - m))
+  xt = xp.reshape(nq, _LANES).T                              # (128, nq)
+
+  kp = -(-k // _LANES) * _LANES
+  np_ = -(-n // (_STRIPS * p)) * (_STRIPS * p)
+  if kp != k or np_ != n:
+    cols = jnp.pad(cols, ((0, np_ - n), (0, kp - k)))
+    vals = jnp.pad(vals, ((0, np_ - n), (0, kp - k)))
+  rows_l = np_ // p
+
+  def body(cols_l, vals_l, xt_full):
+    return pl.pallas_call(
+        functools.partial(_onehot_kernel, use_bf16=use_bf16),
+        grid=(rows_l // _STRIPS, kp // _LANES),
+        in_specs=[
+            pl.BlockSpec((_STRIPS, _LANES), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_STRIPS, _LANES), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_LANES, nq), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((_STRIPS, _LANES), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_l, kp), jnp.float32),
+        interpret=interpret,
+    )(cols_l, vals_l, xt_full)
+
+  spec_r = PartitionSpec(ax_arg)
+  fn = jax.shard_map(body, mesh=mesh,
+                     in_specs=(spec_r, spec_r, PartitionSpec()),
+                     out_specs=spec_r, check_vma=False)
+  out = fn(cols, vals.astype(jnp.float32), xt)
+  return jnp.sum(out[:n], axis=1).astype(vals.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Windowed SpMV — scalar-prefetch gather (large unstructured matrices).
 #

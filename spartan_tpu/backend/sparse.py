@@ -335,42 +335,69 @@ def spmv(A, x, use_pallas: Optional[bool] = None) -> jax.Array:
       xp = xj if xj.shape[0] == routed.shape[1] else jnp.pad(
           xj, (0, routed.shape[1] - xj.shape[0]))
       return bsr_spmv(routed, xp)[: A.shape[0]].astype(xj.dtype)
+  from spartan_tpu.config import FLAGS
+  on_cpu = jax.devices()[0].platform == "cpu"
   if use_pallas is None:
-    from spartan_tpu.config import FLAGS
-    use_pallas = FLAGS.use_pallas and jax.devices()[0].platform not in (
-        "cpu",)
-  if use_pallas and xj.shape[0] <= 32768 and xj.dtype != jnp.float64:
+    use_pallas = (FLAGS.use_pallas and not on_cpu) or (
+        FLAGS.sparse_force_onehot or FLAGS.sparse_force_windowed)
+  small = xj.shape[0] <= 32768 and not FLAGS.sparse_force_windowed
+  if use_pallas and small and xj.dtype != jnp.float64:
     # one-hot MXU kernel: gather cost is 2n FLOP/nonzero, so it beats the
     # ~0.1 Gnnz/s XLA gather path only while n is small enough for the
     # MXU to amortize it (measured crossover ~32K on v5e; BASELINE.md)
     try:
       from spartan_tpu.backend.kernels import spmv_pallas
-      return spmv_pallas.spmv(A.cols, A.vals, xj).astype(xj.dtype)
+      mesh = get_mesh()
+      if int(mesh.devices.size) > 1:
+        # rows owner-computed per device (pallas is SPMD-opaque)
+        return spmv_pallas.sharded_onehot_spmv(
+            A.cols, A.vals.astype(jnp.float32), xj.astype(jnp.float32),
+            mesh=mesh, interpret=on_cpu).astype(xj.dtype)
+      return spmv_pallas.spmv(A.cols, A.vals, xj,
+                              interpret=on_cpu).astype(xj.dtype)
     except Exception:
       pass  # fall back to the XLA gather path
-  if use_pallas and xj.shape[0] > 32768 and xj.dtype != jnp.float64:
+  if use_pallas and not small and xj.dtype != jnp.float64:
     # past the one-hot crossover: the scalar-prefetch windowed kernel —
     # window-grouped chunks gather from 1024-element x windows, O(window)
     # instead of O(n) FLOP per nonzero (kernels/spmv_pallas.py)
     try:
       from spartan_tpu.backend.kernels import spmv_pallas
+      mesh = get_mesh()
+      if int(mesh.devices.size) > 1:
+        packed = A.to_windowed_sharded(int(mesh.devices.size))
+        return spmv_pallas.sharded_windowed_spmv_traced(
+            jnp.asarray(packed.rb), jnp.asarray(packed.win),
+            jnp.asarray(packed.init), jnp.asarray(packed.cols_lo),
+            jnp.asarray(packed.rows_lo), jnp.asarray(packed.vals), xj,
+            shape=packed.shape, mesh=mesh,
+            interpret=on_cpu).astype(xj.dtype)
       packed = A.to_windowed()
       return spmv_pallas.windowed_spmv_traced(
           jnp.asarray(packed.rb), jnp.asarray(packed.win).reshape(-1),
           jnp.asarray(packed.init), jnp.asarray(packed.cols_lo),
           jnp.asarray(packed.rows_lo), jnp.asarray(packed.vals), xj,
-          shape=packed.shape).astype(xj.dtype)
+          shape=packed.shape, interpret=on_cpu).astype(xj.dtype)
     except Exception:
       pass  # fall back to the XLA gather path
   return _spmv_jit(A.cols, A.vals, xj)
 
 
-def spmm(A: SparseArray, B) -> jax.Array:
-  """Sparse × dense matrix product via batched ELL gathers."""
+def spmm(A, B) -> jax.Array:
+  """Sparse × dense matrix product via batched ELL gathers (auto-routed
+  to the MXU block path when the sparsity has block structure)."""
+  if isinstance(A, BlockSparseArray):
+    return bsr_spmm(A, B)
   Bj = jnp.asarray(B)
   if Bj.shape[0] != A.shape[1]:
     raise ValueError(f"spmm dim mismatch: A is {A.shape}, B has "
                      f"{Bj.shape[0]} rows")
+  if jax.devices()[0].platform != "cpu":
+    routed = A.auto_route()
+    if routed is not None:
+      Bp = Bj if Bj.shape[0] == routed.shape[1] else jnp.pad(
+          Bj, ((0, routed.shape[1] - Bj.shape[0]), (0, 0)))
+      return bsr_spmm(routed, Bp)[: A.shape[0]].astype(Bj.dtype)
   gathered = jnp.take(Bj, A.cols, axis=0)    # (rows, max_nnz, k)
   return jnp.einsum("rm,rmk->rk", A.vals.astype(Bj.dtype), gathered)
 
@@ -547,6 +574,24 @@ class SpMVExpr(Expr):
                      n_rows=A.shape[0], fmt="ell", bs=0, pad_m=A.shape[1],
                      n_shards=0)
 
+  def _windowed_coo_emit(self, rb, win, cols_lo, rows_lo, vals, x,
+                         n_pad: int):
+    """Differentiable (pure-XLA) lowering of the windowed pack: the chunk
+    arrays decode to global COO coordinates, y = scatter-add of
+    vals·x[col] — gather/scatter both have autodiff rules, so sp.grad
+    flows through sparse nodes even though evaluation uses Pallas."""
+    win_elems = 8 * 128
+    dt = jnp.promote_types(vals.dtype, x.dtype)
+    strips = cols_lo.shape[0] // rb.shape[0]
+    rb_strip = jnp.repeat(rb, strips)                     # (S*8,)
+    rows_g = rb_strip[:, None] * win_elems + rows_lo
+    cols_g = win[:, None] * win_elems + cols_lo
+    mq = -(-self.pad_m // win_elems) * win_elems
+    xp = jnp.pad(x.astype(dt), (0, mq - x.shape[0]))
+    contrib = vals.astype(dt) * xp[cols_g]
+    y = jnp.zeros((n_pad,), dt).at[rows_g].add(contrib)
+    return y[: self.n_rows]
+
   def _emit(self, ctx, deps):
     if self.fmt == "winsh":
       rb, win, init, cols_lo, rows_lo, vals, x = deps
@@ -554,6 +599,12 @@ class SpMVExpr(Expr):
       dt = jnp.promote_types(vals.dtype, x.dtype)
       mesh = get_mesh()
       interp = jax.default_backend() == "cpu"
+      if ctx.differentiable:
+        rb_g, win_g, _, cols_g, rows_g, vals_g, n_pad = (
+            spmv_pallas.unshard_windowed(rb, win, init, cols_lo, rows_lo,
+                                         vals, self.n_rows, self.n_shards))
+        return self._windowed_coo_emit(rb_g, win_g, cols_g, rows_g,
+                                       vals_g, x, int(n_pad)).astype(dt)
       if int(mesh.devices.size) == self.n_shards:
         return spmv_pallas.sharded_windowed_spmv_traced(
             rb, win, init, cols_lo, rows_lo, vals, x.astype(jnp.float32),
@@ -577,6 +628,11 @@ class SpMVExpr(Expr):
     if self.fmt == "win":
       rb, win, init, cols_lo, rows_lo, vals, x = deps
       from spartan_tpu.backend.kernels import spmv_pallas
+      if ctx.differentiable:
+        n_pad = max(-(-self.n_rows // 1024), 1) * 1024
+        dt = jnp.promote_types(vals.dtype, x.dtype)
+        return self._windowed_coo_emit(rb, win, cols_lo, rows_lo, vals, x,
+                                       n_pad).astype(dt)
       if not ctx.abstract:
         # the pallas_call is opaque to the SPMD partitioner: on a
         # multi-device mesh the packed chunk operands (and x) must be
@@ -605,11 +661,24 @@ class SpMVExpr(Expr):
           preferred_element_type=None if dt == jnp.float64 else jnp.float32)
       return y.reshape(-1)[: self.n_rows].astype(dt)
     from spartan_tpu.config import FLAGS
-    if (not ctx.abstract and FLAGS.use_pallas and dt == jnp.float32
-        and x.shape[0] <= 32768 and jax.default_backend() != "cpu"):
+    on_accel = jax.default_backend() != "cpu"
+    if (dt == jnp.float32 and x.shape[0] <= 32768
+        and not ctx.differentiable
+        and (FLAGS.sparse_force_onehot
+             or (not ctx.abstract and FLAGS.use_pallas and on_accel))):
       # unstructured fast path: one-hot MXU gather kernel (see
-      # kernels/spmv_pallas.py for the crossover analysis)
+      # kernels/spmv_pallas.py for the crossover analysis).  On a
+      # multi-device mesh the ELL rows are owner-computed per device via
+      # shard_map (the pallas_call is opaque to the SPMD partitioner)
       from spartan_tpu.backend.kernels import spmv_pallas
+      mesh = get_mesh()
+      if int(mesh.devices.size) > 1:
+        return spmv_pallas.sharded_onehot_spmv(
+            cols, vals.astype(dt), x.astype(dt), mesh=mesh,
+            interpret=not on_accel).astype(dt)
+      if not on_accel:   # forced on CPU: interpret-mode single device
+        return spmv_pallas.spmv(cols, vals.astype(dt), x.astype(dt),
+                                interpret=True).astype(dt)
       return spmv_pallas.spmv(cols, vals.astype(dt), x.astype(dt)
                               ).astype(dt)
     return _spmv_ell(cols, vals.astype(dt), x)

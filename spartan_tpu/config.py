@@ -200,6 +200,11 @@ FLAGS.add(BoolFlag("sparse_force_windowed", False,
                    "route SpMVExpr through the windowed Pallas kernel "
                    "regardless of size/platform (interpret mode off-TPU) "
                    "— testing/debug"))
+FLAGS.add(BoolFlag("sparse_force_onehot", False,
+                   "route SpMVExpr's ELL path through the one-hot MXU "
+                   "Pallas kernel regardless of platform (interpret mode "
+                   "off-TPU; sharded via shard_map on >1-device meshes) "
+                   "— testing/debug"))
 FLAGS.add(StrFlag("dot_precision", "default",
                   "matmul precision for float inputs: 'default' = MXU "
                   "native (bf16 passes for f32 on TPU, fastest), 'high', "

@@ -108,7 +108,8 @@ def semantic_flags_fingerprint() -> Tuple:
   """Flags that change emitted computations — part of every cache key."""
   return (FLAGS.float64_reductions, FLAGS.opt_affine_reduce,
           FLAGS.sort_method, FLAGS.sort_sample_threshold,
-          FLAGS.dot_precision)
+          FLAGS.dot_precision, FLAGS.use_pallas,
+          FLAGS.sparse_force_onehot)
 
 
 class Expr:
@@ -534,10 +535,16 @@ def ensure_recursion_budget(expr: "Expr") -> None:
 
 
 class EmitCtx:
-  """Context threaded through region emission."""
+  """Context threaded through region emission.
 
-  def __init__(self, abstract: bool = False):
+  ``differentiable=True`` asks emitters to avoid constructs without
+  autodiff rules (Pallas kernels, shard_map fast paths) — the autodiff
+  bridge sets it so ``sp.grad`` works through every node; evaluation
+  keeps the fast formulations."""
+
+  def __init__(self, abstract: bool = False, differentiable: bool = False):
     self.abstract = abstract
+    self.differentiable = differentiable
 
 
 class Val(Expr):

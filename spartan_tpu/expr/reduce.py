@@ -175,9 +175,10 @@ class ReduceExpr(Expr):
       fast = self._try_affine_rewrite(deps)
       if fast is not None:
         return fast
-      fast = self._try_pallas_full_sum(deps)
-      if fast is not None:
-        return fast
+      if not ctx.differentiable:   # pallas kernels have no autodiff rule
+        fast = self._try_pallas_full_sum(deps)
+        if fast is not None:
+          return fast
     x = self._value(deps)
     op, axis, keepdims = self.op, self.axis, self.keepdims
     if self.out_dtype is not None:

@@ -65,7 +65,9 @@ class SortExpr(Expr):
 
   def _emit(self, ctx: EmitCtx, deps: List[Any]):
     x = deps[0]
-    if self._route_sample(x):
+    # the collective sample path has no transpose rule for the ragged
+    # exchange — autodiff uses the gather lowering (same aval)
+    if not ctx.differentiable and self._route_sample(x):
       from spartan_tpu.core.mesh import get_mesh
       from spartan_tpu.parallel import sample_sort as ss
       xf = jnp.ravel(x) if self.axis is None else x
@@ -98,8 +100,8 @@ class PercentileExpr(Expr):
   def _emit(self, ctx: EmitCtx, deps: List[Any]):
     x = deps[0]
     n = int(np.prod(x.shape)) if x.ndim else 0
-    if self.axis is not None or np.ndim(self.q) > 1 or not _sample_routable(
-        n, x.dtype):
+    if (ctx.differentiable or self.axis is not None or np.ndim(self.q) > 1
+        or not _sample_routable(n, x.dtype)):
       return self._emit_gather(x)
     # Distributed selection: the interpolation ranks are static (q and the
     # shape are Expr params), so fetch the exact order statistics at the

@@ -348,3 +348,77 @@ def test_spmv_expr_winsh_mesh_size_mismatch(rng):
     assert np.abs(got - want).max() / max(np.abs(want).max(), 1e-9) < 1e-5
   finally:
     FLAGS.sparse_force_windowed = old
+
+def test_spmv_onehot_sharded_route_on_mesh(rng):
+  """Forced one-hot route on the 8-dev CPU mesh (interpret mode): both the
+  eager spmv() and the SpMVExpr ELL path must row-shard the kernel via
+  shard_map and match scipy."""
+  import scipy.sparse as ss
+
+  from spartan_tpu.backend import sparse as sps
+  from spartan_tpu.config import FLAGS
+
+  old_oh, old_bsr = FLAGS.sparse_force_onehot, FLAGS.sparse_auto_bsr
+  FLAGS.sparse_force_onehot = True
+  FLAGS.sparse_auto_bsr = False      # keep the ELL format
+  try:
+    n = 700
+    A = ss.random(n, n, density=0.02, random_state=13, format="csr",
+                  dtype=np.float32)
+    S = sps.from_scipy(A, dtype=np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    want = A @ x
+    tol = np.abs(want).max() * 1e-4
+
+    got_eager = np.asarray(sps.spmv(S, x))
+    assert np.abs(got_eager - want).max() < tol
+
+    e = sps.spmv_expr(S, sp.from_numpy(x))
+    assert e.fmt == "ell"
+    got_expr = np.asarray(e.evaluate().glom())
+    assert np.abs(got_expr - want).max() < tol
+  finally:
+    FLAGS.sparse_force_onehot = old_oh
+    FLAGS.sparse_auto_bsr = old_bsr
+
+def test_grad_through_spmv_all_formats(rng):
+  """sp.grad must flow through every SpMV route: the autodiff bridge asks
+  emitters for the differentiable lowering (COO scatter-add for windowed
+  packs, XLA gather for ELL) even when evaluation uses Pallas.  Oracle:
+  d/dx of sum(A@x * c) = A^T c."""
+  import scipy.sparse as ss
+
+  from spartan_tpu.backend import sparse as sps
+  from spartan_tpu.config import FLAGS
+
+  n = 800
+  A = ss.random(n, n, density=0.01, random_state=21, format="csr",
+                dtype=np.float32)
+  c = rng.standard_normal(n).astype(np.float32)
+  want = (A.T @ c).astype(np.float64)
+
+  def check(fmt_expected, tol):
+    x = sp.from_numpy(rng.standard_normal(n).astype(np.float32))
+    S = sps.from_scipy(A, dtype=np.float32)
+    e = sps.spmv_expr(S, x)
+    assert e.fmt == fmt_expected, (e.fmt, fmt_expected)
+    loss = sp.sum(e * sp.from_numpy(c))
+    (g,) = sp.grad(loss, wrt=[x])
+    got = np.asarray(g.glom(), dtype=np.float64)
+    err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
+    assert err < tol, (fmt_expected, err)
+
+  # ELL (XLA gather) route
+  old = (FLAGS.sparse_force_windowed, FLAGS.sparse_force_onehot,
+         FLAGS.sparse_auto_bsr)
+  try:
+    FLAGS.sparse_auto_bsr = False
+    check("ell", 1e-6)
+    FLAGS.sparse_force_onehot = True       # pallas at eval; grad via XLA
+    check("ell", 1e-6)
+    FLAGS.sparse_force_onehot = False
+    FLAGS.sparse_force_windowed = True     # winsh on the 8-dev mesh
+    check("winsh", 1e-5)
+  finally:
+    (FLAGS.sparse_force_windowed, FLAGS.sparse_force_onehot,
+     FLAGS.sparse_auto_bsr) = old
