@@ -419,6 +419,23 @@ def test_grad_through_spmv_all_formats(rng):
     FLAGS.sparse_force_onehot = False
     FLAGS.sparse_force_windowed = True     # winsh on the 8-dev mesh
     check("winsh", 1e-5)
+    FLAGS.sparse_force_windowed = False
+    # BSR format (take+einsum — differentiable directly); 128-divisible
+    # dims so the direct BlockSparseArray shape matches the oracle
+    nb = 768
+    Ab = ss.random(nb, nb, density=0.01, random_state=22, format="csr",
+                   dtype=np.float32)
+    cb = rng.standard_normal(nb).astype(np.float32)
+    x = sp.from_numpy(rng.standard_normal(nb).astype(np.float32))
+    B = sps.from_scipy(Ab, dtype=np.float32).to_bsr(bs=128)
+    eb = sps.spmv_expr(B, x)
+    assert eb.fmt == "bsr"
+    lossb = sp.sum(eb * sp.from_numpy(cb))
+    (gb,) = sp.grad(lossb, wrt=[x])
+    gotb = np.asarray(gb.glom(), dtype=np.float64)
+    wantb = (Ab.T @ cb).astype(np.float64)
+    errb = np.abs(gotb - wantb).max() / max(np.abs(wantb).max(), 1e-9)
+    assert errb < 1e-5, errb
   finally:
     (FLAGS.sparse_force_windowed, FLAGS.sparse_force_onehot,
      FLAGS.sparse_auto_bsr) = old

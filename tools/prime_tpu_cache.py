@@ -1,0 +1,58 @@
+"""Prime the persistent XLA compile cache with every bench program.
+
+The axon tunnel's remote compile service swings from ~0.4 s (warm) to
+~10 min (cold) per program.  bench.py enables a persistent compilation
+cache (``/root/repo/.jax_cache``) so the driver's timed bench run hits
+warm compiles; this tool does the priming: it runs each bench stage once
+with no deadline, persisting every executable.  Run it in the background
+early in a session:
+
+    PYTHONPATH=/root/.axon_site:/root/repo \
+        python tools/prime_tpu_cache.py > /tmp/prime.log 2>&1 &
+
+Safe to re-run — cached programs are skipped by construction (cache
+hits), and each stage is independent (a failure in one doesn't stop the
+rest).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import time
+
+_T0 = time.time()
+
+
+def _st(msg: str) -> None:
+  print(f"[prime +{time.time() - _T0:7.1f}s] {msg}", flush=True)
+
+
+def main() -> None:
+  spec = importlib.util.spec_from_file_location("bench", "/root/repo/bench.py")
+  bench = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(bench)
+  bench._enable_compile_cache()
+  _st("cache enabled")
+
+  stages = [
+      ("config1 elementwise+reduce", bench.bench_elementwise_reduce),
+      ("config2 dot", bench.bench_matmul),
+      ("config3 linreg", bench.bench_linreg_step),
+      ("config4 kmeans", bench.bench_kmeans_step),
+      ("config5 pagerank", bench.bench_pagerank_step),
+  ]
+  failures = 0
+  for name, fn in stages:
+    try:
+      out = fn()
+      _st(f"{name}: {out}")
+    except Exception as e:  # keep priming the rest
+      failures += 1
+      _st(f"{name} FAILED: {e!r:.300}")
+  _st(f"done ({failures} failures)")
+  sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+  main()
