@@ -194,6 +194,21 @@ class SparseArray:
     import scipy.sparse as ss
     return from_scipy(ss.csr_matrix(self.todense()).T.tocsr())
 
+  @property
+  def T(self) -> "SparseArray":
+    return self.transpose()
+
+  def dot(self, b) -> "Expr":
+    """Lazy ``A @ b`` (vector → SpMV, matrix → SpMM expr)."""
+    return sparse_dot(self, b)
+
+  def __matmul__(self, b):
+    return sparse_dot(self, b)
+
+  def __rmatmul__(self, a):
+    from spartan_tpu.expr.dot import dot as _dot
+    return _dot(a, self)
+
   def __repr__(self):
     return (f"SparseArray(shape={self.shape}, nnz={self.nnz}, "
             f"max_nnz/row={self.max_nnz_per_row}, dtype={self.dtype})")
@@ -684,5 +699,71 @@ class SpMVExpr(Expr):
     return _spmv_ell(cols, vals.astype(dt), x)
 
 
+class SpMMExpr(Expr):
+  """Lazy sparse × dense MATRIX product ``A @ B`` (B is (m, k)) — the
+  reference's sparse-tile dot path (``spartan/expr/dot.py`` dispatched to
+  scipy for sparse tiles; SURVEY.md §2.1 dot row).
+
+  Like :class:`SpMVExpr`, construction picks the layout: block structure
+  routes to batched MXU block matmuls (``bsr``), otherwise the padded-ELL
+  gather.  Both lowerings are plain XLA (gather + einsum), so autodiff
+  flows through with no special casing."""
+
+  _members = ("inputs",)
+  _params = ("n_rows", "fmt", "bs", "pad_m")
+
+  def __init__(self, A, B):
+    self._A = A
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if isinstance(A, SparseArray) and on_tpu:
+      routed = A.auto_route()
+      if routed is not None:
+        A = routed
+    if isinstance(A, BlockSparseArray):
+      super().__init__(
+          inputs=[Val(A.block_cols), Val(A.block_vals), lazify(B)],
+          n_rows=self._A.shape[0], fmt="bsr", bs=A.bs, pad_m=A.shape[1])
+      return
+    super().__init__(inputs=[Val(A.cols), Val(A.vals), lazify(B)],
+                     n_rows=A.shape[0], fmt="ell", bs=0, pad_m=A.shape[1])
+
+  def _emit(self, ctx, deps):
+    cols, vals, B = deps
+    if B.ndim != 2:
+      raise ValueError(f"SpMMExpr needs a 2-D right operand, got {B.shape}")
+    dt = jnp.promote_types(vals.dtype, B.dtype)
+    if self.fmt == "bsr":
+      if B.shape[0] < self.pad_m:
+        B = jnp.pad(B, ((0, self.pad_m - B.shape[0]), (0, 0)))
+      bs = self.bs
+      Bb = B.astype(dt).reshape(-1, bs, B.shape[1])     # (nbc, bs, k)
+      gathered = jnp.take(Bb, cols, axis=0)             # (nbr, mb, bs, k)
+      y = jnp.einsum(
+          "rmij,rmjk->rik", vals.astype(dt), gathered,
+          preferred_element_type=None if dt == jnp.float64 else jnp.float32)
+      return y.reshape(-1, B.shape[1])[: self.n_rows].astype(dt)
+    gathered = jnp.take(B.astype(dt), cols, axis=0)     # (rows, max_nnz, k)
+    return jnp.einsum("rm,rmk->rk", vals.astype(dt), gathered).astype(dt)
+
+
 def spmv_expr(A, x) -> SpMVExpr:
   return SpMVExpr(A, x)
+
+
+def spmm_expr(A, B) -> SpMMExpr:
+  return SpMMExpr(A, B)
+
+
+def sparse_dot(A, b) -> Expr:
+  """Lazy ``A @ b`` for a sparse left operand: vector → :class:`SpMVExpr`,
+  matrix → :class:`SpMMExpr` (what ``sp.dot`` dispatches to)."""
+  nd = getattr(b, "ndim", None)
+  if nd is None:
+    nd = np.ndim(getattr(b, "data", b)) if not isinstance(b, Expr) else None
+  if nd is None:  # lazy expr: ask its aval
+    nd = len(b.aval().shape)
+  if nd == 1:
+    return SpMVExpr(A, b)
+  if nd == 2:
+    return SpMMExpr(A, b)
+  raise ValueError(f"sparse dot supports 1-D/2-D right operands, got {nd}-D")

@@ -95,7 +95,28 @@ class TensorDotExpr(Expr):
 def dot(a, b, precision=None) -> Expr:
   """Contraction; ``precision`` overrides --dot_precision for this node
   ('default' | 'high' | 'highest' — TPU f32 matmuls run bf16 passes at
-  'default'; numerics-critical algorithms want 'highest')."""
+  'default'; numerics-critical algorithms want 'highest').
+
+  Sparse operands dispatch to the sparse kernels (the reference's dot
+  ran scipy for sparse tiles): ``dot(S, b)`` → SpMV/SpMM expr,
+  ``dot(a, S)`` → ``(Sᵀ aᵀ)ᵀ`` via the host-side sparse transpose."""
+  from spartan_tpu.backend import sparse as _sp
+  a_sparse = isinstance(a, (_sp.SparseArray, _sp.BlockSparseArray))
+  b_sparse = isinstance(b, (_sp.SparseArray, _sp.BlockSparseArray))
+  if a_sparse:
+    return _sp.sparse_dot(a, b)
+  if b_sparse:
+    if isinstance(b, _sp.BlockSparseArray):
+      raise TypeError("dot(dense, BlockSparseArray) is unsupported — "
+                      "transpose the product or use a SparseArray")
+    bt = b.transpose()
+    a_l = lazify(a)
+    nd = len(a_l.aval().shape)
+    if nd == 1:
+      return _sp.sparse_dot(bt, a_l)         # v @ S = Sᵀ v
+    if nd == 2:
+      return _sp.sparse_dot(bt, a_l.T).T     # A @ S = (Sᵀ Aᵀ)ᵀ
+    raise ValueError(f"dot(dense {nd}-D, sparse) unsupported")
   return DotExpr(a, b, precision=precision)
 
 

@@ -439,3 +439,45 @@ def test_grad_through_spmv_all_formats(rng):
   finally:
     (FLAGS.sparse_force_windowed, FLAGS.sparse_force_onehot,
      FLAGS.sparse_auto_bsr) = old
+
+def test_sparse_dot_dispatch(rng):
+  """sp.dot with sparse operands dispatches to the sparse kernels (the
+  reference's dot ran scipy on sparse tiles): S@B, S@v, A@S, v@S, and the
+  @ operator, all against scipy oracles; grad flows through SpMM."""
+  A = ss.random(64, 48, density=0.1, random_state=np.random.RandomState(3),
+                format="csr")
+  S = sps.from_scipy(A)
+  B = rng.standard_normal((48, 8))
+  v = rng.standard_normal(48)
+  C = rng.standard_normal((5, 64))
+  u = rng.standard_normal(64)
+
+  np.testing.assert_allclose(np.asarray(sp.dot(S, sp.from_numpy(B)).glom()),
+                             A @ B, atol=1e-10)
+  np.testing.assert_allclose(np.asarray(sp.dot(S, sp.from_numpy(v)).glom()),
+                             A @ v, atol=1e-10)
+  np.testing.assert_allclose(np.asarray(sp.dot(sp.from_numpy(C), S).glom()),
+                             C @ A.toarray(), atol=1e-10)
+  np.testing.assert_allclose(np.asarray(sp.dot(sp.from_numpy(u), S).glom()),
+                             u @ A.toarray(), atol=1e-10)
+  # operator forms + composition into the DAG
+  e = (S @ sp.from_numpy(B)) * 2.0 + 1.0
+  np.testing.assert_allclose(np.asarray(e.glom()), 2.0 * (A @ B) + 1.0,
+                             atol=1e-10)
+  e2 = sp.from_numpy(C) @ S
+  np.testing.assert_allclose(np.asarray(e2.glom()), C @ A.toarray(),
+                             atol=1e-10)
+  # BSR-format left operand (128-divisible dims)
+  Ab = ss.random(256, 128, density=0.02,
+                 random_state=np.random.RandomState(4), format="csr")
+  Bb = sps.from_scipy(Ab).to_bsr(bs=128)
+  Bd = rng.standard_normal((128, 4))
+  np.testing.assert_allclose(
+      np.asarray(sp.dot(Bb, sp.from_numpy(Bd)).glom()),
+      Ab.toarray() @ Bd, atol=1e-9)
+  # grad through the SpMM node: d/dB sum(S@B * W) = S^T W
+  Bx = sp.from_numpy(B)
+  W = rng.standard_normal((64, 8))
+  loss = sp.sum(sp.dot(S, Bx) * sp.from_numpy(W))
+  (g,) = sp.grad(loss, wrt=[Bx])
+  np.testing.assert_allclose(np.asarray(g.glom()), A.T @ W, atol=1e-8)
