@@ -15,8 +15,18 @@ import spartan_tpu as sp
 
 
 def fit(R, k: int = 8, iterations: int = 10, reg: float = 0.1, seed: int = 0):
-  """Factor dense ratings ``R (n×m) ≈ U (n×k) @ V.T (k×m)``."""
-  R = sp.lazify(R)
+  """Factor ratings ``R (n×m) ≈ U (n×k) @ V.T (k×m)``.
+
+  ``R`` may be dense (array/expr) or a ``sparse.SparseArray`` — the big
+  products ``R @ V`` / ``R.T @ U`` then ride the lazy SpMM node
+  (``sp.dot`` sparse dispatch), matching the reference's sparse-tile
+  netflix/ALS path.  Zeros are treated as ratings of 0 (the reference's
+  simple normal-equations ALS), so sparse and dense runs agree exactly."""
+  from spartan_tpu.backend import sparse as sps
+  is_sparse = isinstance(R, sps.SparseArray)
+  if not is_sparse:
+    R = sp.lazify(R)
+  Rt = R.transpose() if is_sparse else R.T
   n, m = R.shape
   rng = np.random.default_rng(seed)
   U = rng.standard_normal((n, k)) * 0.1
@@ -29,12 +39,15 @@ def fit(R, k: int = 8, iterations: int = 10, reg: float = 0.1, seed: int = 0):
     U = np.linalg.solve(gram_v, rv.T).T
     su = sp.from_numpy(U)
     gram_u = np.asarray(sp.dot(su.T, su).glom()) + eye
-    ru = np.asarray(sp.dot(R.T, su).glom())
+    ru = np.asarray(sp.dot(Rt, su).glom())
     V = np.linalg.solve(gram_u, ru.T).T
   return U, V
 
 
 def reconstruction_error(R, U, V):
+  from spartan_tpu.backend import sparse as sps
+  if isinstance(R, sps.SparseArray):
+    R = R.todense()
   R = sp.lazify(R)
   pred = sp.dot(sp.from_numpy(U), sp.from_numpy(V).T)
   return float(sp.mean((R - pred) ** 2).glom())

@@ -481,3 +481,20 @@ def test_sparse_dot_dispatch(rng):
   loss = sp.sum(sp.dot(S, Bx) * sp.from_numpy(W))
   (g,) = sp.grad(loss, wrt=[Bx])
   np.testing.assert_allclose(np.asarray(g.glom()), A.T @ W, atol=1e-8)
+
+def test_als_sparse_matches_dense(rng):
+  """ALS over a SparseArray (lazy SpMM products) gives exactly the dense
+  run's factors — the reference's sparse-tile netflix/ALS path."""
+  from spartan_tpu.examples import als
+  n, m, k = 96, 64, 4
+  Ud = rng.standard_normal((n, k))
+  Vd = rng.standard_normal((m, k))
+  dense = Ud @ Vd.T
+  dense[rng.random((n, m)) < 0.7] = 0.0     # sparsify
+  S = sps.from_dense(dense)
+  U1, V1 = als.fit(dense, k=k, iterations=4, seed=3)
+  U2, V2 = als.fit(S, k=k, iterations=4, seed=3)
+  np.testing.assert_allclose(U2, U1, atol=1e-9)
+  np.testing.assert_allclose(V2, V1, atol=1e-9)
+  err = als.reconstruction_error(S, U2, V2)
+  assert err < np.mean(dense ** 2)
