@@ -498,3 +498,45 @@ def test_als_sparse_matches_dense(rng):
   np.testing.assert_allclose(V2, V1, atol=1e-9)
   err = als.reconstruction_error(S, U2, V2)
   assert err < np.mean(dense ** 2)
+
+@pytest.mark.parametrize("route", ["gather", "onehot", "windowed"])
+def test_sparse_route_differential_sweep(rng, route):
+  """Differential sweep of every SpMV route over awkward shapes and
+  densities (incl. empty and single-row matrices) — eager spmv, the expr
+  node, and grad all against scipy."""
+  from spartan_tpu.config import FLAGS
+
+  old = (FLAGS.sparse_force_onehot, FLAGS.sparse_force_windowed,
+         FLAGS.sparse_auto_bsr)
+  FLAGS.sparse_force_onehot = route == "onehot"
+  FLAGS.sparse_force_windowed = route == "windowed"
+  FLAGS.sparse_auto_bsr = False
+  tol = 1e-5 if route == "gather" else 1e-4   # f32 inputs either way
+  try:
+    for (n, m, dens) in [(17, 23, 0.3), (1, 100, 0.5), (100, 1, 0.5),
+                         (130, 70, 0.0), (600, 300, 0.02)]:
+      A = ss.random(n, m, density=dens,
+                    random_state=np.random.RandomState(n + m),
+                    format="csr", dtype=np.float32)
+      S = sps.from_scipy(A, dtype=np.float32)
+      x = rng.standard_normal(m).astype(np.float32)
+      want = A @ x
+      scale = max(np.abs(want).max(), 1.0)
+      got = np.asarray(sps.spmv(S, x))
+      assert got.shape == (n,)
+      assert np.abs(got - want).max() / scale < tol, (route, n, m, dens)
+      e = sps.spmv_expr(S, sp.from_numpy(x))
+      got2 = np.asarray(e.evaluate().glom())
+      assert np.abs(got2 - want).max() / scale < tol, (route, n, m, "expr")
+      # grad (differentiable lowering, any route)
+      xl = sp.from_numpy(x)
+      c = rng.standard_normal(n).astype(np.float32)
+      (g,) = sp.grad(sp.sum(sps.spmv_expr(S, xl) * sp.from_numpy(c)),
+                     wrt=[xl])
+      gw = A.T @ c
+      gscale = max(np.abs(gw).max(), 1.0)
+      assert (np.abs(np.asarray(g.glom()) - gw).max() / gscale
+              < 1e-5), (route, n, m, "grad")
+  finally:
+    (FLAGS.sparse_force_onehot, FLAGS.sparse_force_windowed,
+     FLAGS.sparse_auto_bsr) = old
