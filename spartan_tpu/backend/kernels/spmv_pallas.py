@@ -189,33 +189,160 @@ def sharded_onehot_spmv(cols: jax.Array, vals: jax.Array, x: jax.Array,
 # revisited by consecutive steps (chunks are sorted by row-block) and
 # zeroed on first visit via a prefetched init flag.
 #
-# Measured on v5e (24 nnz/row random, slope-timed):
-#     n=16384   1.00 Gnnz/s f32 (hi/lo, relerr ~5e-6)
-#     n=65536   1.24 Gnnz/s bf16 (relerr ~3e-3)
-#     n=262144  0.93 Gnnz/s f32 / 1.14 bf16   (XLA gather: ~0.1)
-# ≈10× the XLA fallback at any size past the one-hot kernel's 32K
-# crossover, flat in n.  Bound analysis: the 1024-window one-hot costs
-# ~4 dots × 8·128·128 FLOP per 128-nnz strip ≈ 8K FLOP/nnz, and every
-# dot has M=8 output rows — 1/16th of the MXU's 128-row tile — capping
-# effective throughput at ~8 TFLOP/s.  Deeper windows raise MXU
-# utilization but cost proportionally more FLOPs/nnz (one-hot gather is
-# linear in window size), so W=1024 with per-strip windows is near the
-# optimum of cost/nnz = 4·W / fill(W).  A true in-kernel dynamic gather
-# (tpu.dynamic_gather) would break the bound — it crashes this Mosaic
-# toolchain (see above); retest on newer ones.
+# Measured on v5e (24 nnz/row random, slope-timed), r2-late after the
+# dynamic-gather retest succeeded for (8,128) shapes:
+#     n=65536  dg-hybrid  1.44 Gnnz/s f32 (relerr ~3e-6) / 1.61 bf16
+#              unique     1.23 Gnnz/s exact f32 (relerr ~2e-7)
+#              one-hot    1.06 f32 / 1.27 bf16      (XLA gather: ~0.1)
+# ≈14× the XLA fallback, flat in n.  Three gather/scatter stages exist:
+#   * dg-hybrid (default): gather = 2 in-kernel dynamic gathers (exact),
+#     scatter = bf16 hi/lo one-hot MXU dots.  +36 % over pure one-hot.
+#   * one-hot (_USE_DYNAMIC_GATHER=False): all 4 stages as bf16 one-hot
+#     dots — the fallback if a Mosaic toolchain regresses on (8,128)
+#     dynamic gathers (full (128,128) axis-0 still HTTP-500s today).
+#   * unique-rows pack (pack_windowed_unique, opt-in): scatter = 1
+#     dynamic gather through a host-built inverse map → zero MXU dots,
+#     exact f32 end-to-end.  VPU-bound ~0.45 µs/step, but the unique-
+#     destination constraint costs fill (0.54 at n=64K, 0.35 at 256K —
+#     occ-level strips run near-empty), so it only wins on high-fill
+#     matrices; smarter duplicate-rotation packing would recover it.
+# The scatter dots are now the dg-hybrid bound: ~4K FLOP/nnz at M=8
+# output rows (1/16 MXU tile).  NOTE make_spmv_windowed closes over the
+# packed arrays as constants — past ~6M nnz the remote compile request
+# exceeds the helper's body limit (HTTP 413); the SpMVExpr path passes
+# them as leaf inputs and does not hit this.
 #
 # Reference parity: spartan/sparse C++ SpMV kernels (SURVEY.md §2.2).
 
 _WIN = 8 * _LANES       # x window / y tile: 1024 elements = one (8,128) tile
 
+# Gather stage implementation: tpu.dynamic_gather (exact f32, fewer MXU
+# dots) vs the one-hot bf16 dot formulation.  Flip to False if a Mosaic
+# toolchain regresses on (8,128) dynamic gathers (HTTP-500 from the remote
+# compile helper — see the r2 retest notes in _windowed_kernel).
+_USE_DYNAMIC_GATHER = True
+
+
+def pack_windowed_unique(sp_csr):
+  """Pack with UNIQUE destination rows per strip → the all-VPU kernel.
+
+  Same window-grouped layout as :func:`pack_windowed`, plus two pack-time
+  constraints that turn the scatter stage into one dynamic gather:
+
+  * within a strip no two entries share a destination row (duplicates of
+    a (row-block, window, row) triple go to consecutive strips), so the
+    scatter is a permutation;
+  * slot 127 of every strip is reserved as a zero pad, so the host-built
+    inverse map ``inv[u, l] = slot writing y-position u·128+l`` can point
+    unused positions at slot 127 instead of needing a mask.
+
+  The kernel then runs zero MXU dots: gather = 2 dynamic gathers,
+  scatter = 1 dynamic gather through ``inv`` — exact f32 end to end.
+  Returns a :class:`WindowedELL` with ``inv`` set ((steps·64, 128) int32:
+  8 strips × 8 sublane rows per step).
+  """
+  import numpy as np
+
+  coo = sp_csr.tocoo()
+  n, m = coo.shape
+  r = coo.row.astype(np.int64)
+  c = coo.col.astype(np.int64)
+  v = coo.data.astype(np.float32)
+  rb = r // _WIN
+  win = c // _WIN
+  r_loc = (r % _WIN).astype(np.int64)
+  c_loc = (c % _WIN).astype(np.int64)
+  n_rb = max(-(-n // _WIN), 1)
+
+  if len(r):
+    # occurrence rank within (rb, win, r_loc): duplicates split strips
+    o1 = np.lexsort((c_loc, r_loc, win, rb))
+    rb, win, r_loc, c_loc, v = (a[o1] for a in (rb, win, r_loc, c_loc, v))
+    key_rwr = (rb * (win.max() + 1) + win) * _WIN + r_loc
+    new_run = np.concatenate([[True], np.diff(key_rwr) != 0])
+    starts = np.nonzero(new_run)[0]
+    occ = np.arange(len(r)) - np.repeat(starts, np.diff(
+        np.concatenate([starts, [len(r)]])))
+    # chunk within (rb, win, occ) at 127 entries (slot 127 = reserved pad)
+    o2 = np.lexsort((r_loc, occ, win, rb))
+    rb, win, r_loc, c_loc, v, occ = (
+        a[o2] for a in (rb, win, r_loc, c_loc, v, occ))
+    key_g = (rb * (win.max() + 1) + win) * (occ.max() + 1) + occ
+    new_g = np.concatenate([[True], np.diff(key_g) != 0])
+    g_starts = np.nonzero(new_g)[0]
+    pos = np.arange(len(r)) - np.repeat(g_starts, np.diff(
+        np.concatenate([g_starts, [len(r)]])))
+    chunk = pos // (_LANES - 1)
+    slot = (pos % (_LANES - 1)).astype(np.int64)
+    strip_first = new_g | (slot == 0)          # first entry of each strip
+    strip_id = np.cumsum(strip_first) - 1
+    n_strips = int(strip_id[-1]) + 1
+    strip_rb = rb[strip_first]
+    strip_win = win[strip_first].astype(np.int32)
+  else:
+    n_strips = 0
+    slot = strip_id = np.zeros(0, np.int64)
+    strip_rb = np.zeros(0, np.int64)
+    strip_win = np.zeros(0, np.int32)
+
+  cols_s = np.zeros((n_strips, _LANES), np.int32)
+  vals_s = np.zeros((n_strips, _LANES), np.float32)
+  rows_s = np.zeros((n_strips, _LANES), np.int32)
+  inv_s = np.full((n_strips, _WIN), _LANES - 1, np.int32)
+  if n_strips:
+    cols_s[strip_id, slot] = c_loc
+    vals_s[strip_id, slot] = v
+    rows_s[strip_id, slot] = r_loc
+    inv_s[strip_id, r_loc] = slot
+
+  # assemble steps: per row-block, its strips padded to a multiple of 8
+  # (no-op pad strips: window 0, all slots pad, inv all-127) — fully
+  # vectorized: strips are already ordered by rb, so each strip's final
+  # (step, lane-within-step) position is an offset computation
+  counts = np.zeros(n_rb, np.int64)
+  if n_strips:
+    u, cnt = np.unique(strip_rb, return_counts=True)
+    counts[u] = cnt
+  padded = np.maximum(-(-counts // _STRIPS), 1) * _STRIPS
+  steps_per_rb = padded // _STRIPS
+  step_off = np.concatenate([[0], np.cumsum(steps_per_rb)[:-1]])
+  s_n = int(steps_per_rb.sum())
+  cols_lo = np.zeros((s_n * _STRIPS, _LANES), np.int32)
+  rows_lo = np.zeros((s_n * _STRIPS, _LANES), np.int32)
+  vals = np.zeros((s_n * _STRIPS, _LANES), np.float32)
+  inv = np.full((s_n * _STRIPS, _STRIPS, _LANES), _LANES - 1, np.int32)
+  wins = np.zeros((s_n, _STRIPS), np.int32)
+  rbs = np.repeat(np.arange(n_rb, dtype=np.int32),
+                  steps_per_rb.astype(np.int64))
+  init = np.zeros(s_n, np.int32)
+  init[step_off] = 1
+  if n_strips:
+    rb_first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    gi = np.arange(n_strips) - rb_first[strip_rb]          # idx within rb
+    step_of = step_off[strip_rb] + gi // _STRIPS
+    lane_of = gi % _STRIPS
+    dest = step_of * _STRIPS + lane_of
+    cols_lo[dest] = cols_s
+    rows_lo[dest] = rows_s
+    vals[dest] = vals_s
+    inv[dest] = inv_s.reshape(n_strips, _STRIPS, _LANES)
+    wins[step_of, lane_of] = strip_win
+  return WindowedELL(rbs, wins, init, cols_lo, rows_lo, vals,
+                     (n, m), int(coo.nnz),
+                     inv=inv.reshape(s_n * _STRIPS * _STRIPS, _LANES))
+
 
 class WindowedELL:
   """Host-packed chunks for :func:`spmv_windowed` (one-time per matrix)."""
 
-  def __init__(self, rb, win, init, cols_lo, rows_lo, vals, shape, nnz):
+  def __init__(self, rb, win, init, cols_lo, rows_lo, vals, shape, nnz,
+               inv=None):
     self.rb, self.win, self.init = rb, win, init
     self.cols_lo, self.rows_lo, self.vals = cols_lo, rows_lo, vals
     self.shape, self.nnz = shape, nnz
+    # inv (steps·64, 128) int32: per-strip inverse scatter map (unique-
+    # rows pack, pack_windowed_unique) or None (classic one-hot pack)
+    self.inv = inv
 
   @property
   def n_chunks(self):
@@ -304,25 +431,39 @@ def _windowed_kernel(rb_ref, win_ref, init_ref, cols_ref, rows_ref,
   acc = jnp.zeros((_STRIPS, _LANES), jnp.float32)
   for strip in range(_STRIPS):
     xw = xt_refs[strip][...]                     # (8, 128) strip's window
-    xw_hi = xw.astype(jnp.bfloat16)
-    if not use_bf16:
-      xw_lo = (xw - xw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
     cl = cols_ref[strip:strip + 1, :]            # (1,128) col_lo in [0,1024)
     q = cl // _LANES
     rr = cl - q * _LANES
-    # lane-gather first — the dot contracts over 128 lanes (MXU-deep;
-    # contracting over the 8 sublanes instead starves the MXU, measured
-    # 0.48 Gnnz/s): s1[u, e] = Σ_l xw[u, l] · (r_e == l) = xw[u, r_e]
-    ohr = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
-           == rr).astype(jnp.bfloat16)           # (128,128): r_e == l
-    s1 = jax.lax.dot_general(xw_hi, ohr, dims,
-                             preferred_element_type=jnp.float32)
-    if not use_bf16:
-      s1 = s1 + jax.lax.dot_general(xw_lo, ohr, dims,
-                                    preferred_element_type=jnp.float32)
-    # then an 8-deep sublane select on the VPU: u == q_e
-    ohq = jax.lax.broadcasted_iota(jnp.int32, (_STRIPS, _LANES), 0) == q
-    gathered = jnp.sum(jnp.where(ohq, s1, 0.0), axis=0, keepdims=True)
+    if _USE_DYNAMIC_GATHER:
+      # two-step EXACT f32 gather via tpu.dynamic_gather
+      # (take_along_axis):  t[u,e] = xw[u, r_e]  (lane shuffle, axis=1),
+      # g[u,e] = t[q_e, e]  (sublane shuffle, axis=0) — replaces the bf16
+      # one-hot MXU dots: no rounding, and half the dots per strip are
+      # gone.  (8,128) dynamic gathers compile on this toolchain (r2-late
+      # retest); full (128,128) axis-0 still HTTP-500s the remote Mosaic
+      # helper — don't widen these shapes.
+      t = jnp.take_along_axis(
+          xw, jnp.broadcast_to(rr, (_STRIPS, _LANES)), axis=1)
+      g = jnp.take_along_axis(
+          t, jnp.broadcast_to(q, (_STRIPS, _LANES)), axis=0)
+      gathered = g[0:1, :]                       # every row is the q-select
+    else:
+      # one-hot MXU formulation (pre-dynamic-gather toolchains).
+      # lane-gather first — the dot contracts over 128 lanes (MXU-deep;
+      # contracting over the 8 sublanes instead starves the MXU, measured
+      # 0.48 Gnnz/s): s1[u, e] = Σ_l xw[u, l] · (r_e == l) = xw[u, r_e]
+      xw_hi = xw.astype(jnp.bfloat16)
+      ohr = (jax.lax.broadcasted_iota(jnp.int32, (_LANES, _LANES), 0)
+             == rr).astype(jnp.bfloat16)         # (128,128): r_e == l
+      s1 = jax.lax.dot_general(xw_hi, ohr, dims,
+                               preferred_element_type=jnp.float32)
+      if not use_bf16:
+        xw_lo = (xw - xw_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        s1 = s1 + jax.lax.dot_general(xw_lo, ohr, dims,
+                                      preferred_element_type=jnp.float32)
+      # then an 8-deep sublane select on the VPU: u == q_e
+      ohq = jax.lax.broadcasted_iota(jnp.int32, (_STRIPS, _LANES), 0) == q
+      gathered = jnp.sum(jnp.where(ohq, s1, 0.0), axis=0, keepdims=True)
     p = vals_ref[strip:strip + 1, :].astype(jnp.float32) * gathered
     rl = rows_ref[strip:strip + 1, :]            # (1,128) row_lo in [0,1024)
     rv = rl // _LANES
@@ -385,19 +526,101 @@ def windowed_spmv_traced(rb, win, init, cols_lo, rows_lo, vals, x, *,
   return out.reshape(-1)[:n].astype(x.dtype)
 
 
+def _windowed_unique_kernel(rb_ref, win_ref, init_ref, cols_ref, vals_ref,
+                            inv_ref, *refs):
+  """All-VPU windowed SpMV over the unique-rows pack: zero MXU dots.
+
+  Per strip: two dynamic gathers read the window (exact f32), one dynamic
+  gather through the host-built inverse map plays the scatter (each strip
+  writes each output position at most once; unused positions read the
+  reserved zero slot 127)."""
+  xt_refs, out_ref = refs[:_STRIPS], refs[_STRIPS]
+  s = pl.program_id(0)
+
+  @pl.when(init_ref[s] == 1)
+  def _():
+    out_ref[...] = jnp.zeros_like(out_ref)
+
+  acc = jnp.zeros((_STRIPS, _LANES), jnp.float32)
+  for strip in range(_STRIPS):
+    xw = xt_refs[strip][...]                     # (8, 128) strip's window
+    cl = cols_ref[strip:strip + 1, :]            # (1,128) col_lo in [0,1024)
+    q = cl // _LANES
+    rr = cl - q * _LANES
+    t = jnp.take_along_axis(
+        xw, jnp.broadcast_to(rr, (_STRIPS, _LANES)), axis=1)
+    g = jnp.take_along_axis(
+        t, jnp.broadcast_to(q, (_STRIPS, _LANES)), axis=0)
+    p = vals_ref[strip:strip + 1, :].astype(jnp.float32) * g[0:1, :]
+    inv_s = inv_ref[strip * _STRIPS:(strip + 1) * _STRIPS, :]   # (8,128)
+    pb = jnp.broadcast_to(p, (_STRIPS, _LANES))
+    acc = acc + jnp.take_along_axis(pb, inv_s, axis=1)
+  out_ref[...] += acc
+
+
+def windowed_unique_spmv_traced(rb, win, init, cols_lo, vals, inv, x, *,
+                                shape, interpret: bool = False):
+  """Traced all-VPU windowed SpMV (unique-rows pack; exact f32)."""
+  n, m = shape
+  s_n = rb.shape[0]
+  mq = -(-m // _WIN) * _STRIPS
+  n_rb = max(-(-n // _WIN), 1)
+
+  def _win_spec(k):
+    return pl.BlockSpec((_STRIPS, _LANES),
+                        lambda s, b, w, it, k=k: (w[s * _STRIPS + k], 0))
+
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=3,
+      grid=(s_n,),
+      in_specs=[
+          pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
+          pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
+          pl.BlockSpec((_STRIPS * _STRIPS, _LANES),
+                       lambda s, b, w, it: (s, 0)),
+      ] + [_win_spec(k) for k in range(_STRIPS)],
+      out_specs=pl.BlockSpec((_STRIPS, _LANES),
+                             lambda s, b, w, it: (b[s], 0)),
+  )
+  call = pl.pallas_call(
+      _windowed_unique_kernel,
+      grid_spec=grid_spec,
+      out_shape=jax.ShapeDtypeStruct((n_rb * _STRIPS, _LANES), jnp.float32),
+      interpret=interpret,
+  )
+  xp = jnp.pad(x.astype(jnp.float32), (0, mq * _LANES - m))
+  x2d = xp.reshape(mq, _LANES)
+  out = call(rb, win, init, cols_lo, vals, inv, *([x2d] * _STRIPS))
+  return out.reshape(-1)[:n].astype(x.dtype)
+
+
 def make_spmv_windowed(packed: WindowedELL, interpret: bool = False,
                        use_bf16: bool = False):
-  """Jitted ``y = A @ x`` closure over a :func:`pack_windowed` matrix
-  (the chunk arrays are closure constants — device-resident after the
-  first call; f32/bf16 x only).  ``use_bf16`` drops the hi/lo residual
-  dots (~2x fewer MXU passes, relerr ~1e-3 instead of ~5e-6)."""
+  """Jitted ``y = A @ x`` closure over a packed matrix (the chunk arrays
+  are closure constants — device-resident after the first call; f32/bf16
+  x only).  A :func:`pack_windowed_unique` pack (``packed.inv`` set)
+  routes to the all-VPU exact kernel (``use_bf16`` is moot there); the
+  classic pack uses the one-hot/dynamic-gather hybrid where ``use_bf16``
+  drops the hi/lo residual scatter dots (relerr ~1e-3 instead of
+  ~3e-6)."""
   rb, win, init = (jnp.asarray(packed.rb),
                    jnp.asarray(packed.win).reshape(-1),
                    jnp.asarray(packed.init))
-  cols_lo, rows_lo, vals = (jnp.asarray(packed.cols_lo),
-                            jnp.asarray(packed.rows_lo),
-                            jnp.asarray(packed.vals))
+  cols_lo, vals = jnp.asarray(packed.cols_lo), jnp.asarray(packed.vals)
   shape = packed.shape
+  if packed.inv is not None:
+    inv = jnp.asarray(packed.inv)
+
+    @jax.jit
+    def spmv_unique_fn(x):
+      if x.dtype == jnp.float64:
+        raise NotImplementedError("windowed SpMV kernel is f32/bf16 only")
+      return windowed_unique_spmv_traced(rb, win, init, cols_lo, vals,
+                                         inv, x, shape=shape,
+                                         interpret=interpret)
+
+    return spmv_unique_fn
+  rows_lo = jnp.asarray(packed.rows_lo)
 
   @jax.jit
   def spmv_fn(x):

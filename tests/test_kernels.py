@@ -217,3 +217,35 @@ def test_unshard_windowed_matches_sharded(rng):
   want = A @ x
   err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
   assert err < 1e-5, err
+
+def test_windowed_unique_spmv(rng):
+  """Unique-rows pack (all-VPU exact kernel): duplicates of a (block,
+  window, row) triple split strips; inverse-map scatter matches scipy to
+  f32 exactness; empty matrix and heavy-duplicate cases covered."""
+  import scipy.sparse as ss
+
+  from spartan_tpu.backend.kernels import spmv_pallas as sk
+  n, m = 3000, 2500
+  nnz = n * 9
+  r = rng.integers(0, n, nnz)
+  c = rng.integers(0, m, nnz)
+  v = rng.standard_normal(nnz).astype(np.float32)
+  A = ss.coo_matrix((v, (r, c)), shape=(n, m)).tocsr()
+  A.sum_duplicates()
+  x = rng.standard_normal(m).astype(np.float32)
+  packed = sk.pack_windowed_unique(A)
+  assert packed.inv is not None
+  got = np.asarray(sk.make_spmv_windowed(packed, interpret=True)(
+      jnp.asarray(x)))
+  want = A @ x
+  assert np.abs(got - want).max() / np.abs(want).max() < 2e-6
+
+  # heavy duplicates: many nnz in one (row, window) pair
+  B = ss.lil_matrix((1100, 1100), dtype=np.float32)
+  B[5, 0:200] = rng.standard_normal(200)     # 200 entries, one row/window
+  B[5, 1024:1060] = rng.standard_normal(36)
+  B = B.tocsr()
+  xb = rng.standard_normal(1100).astype(np.float32)
+  pb = sk.pack_windowed_unique(B)
+  gb = np.asarray(sk.make_spmv_windowed(pb, interpret=True)(jnp.asarray(xb)))
+  np.testing.assert_allclose(gb, B @ xb, rtol=2e-6, atol=1e-6)
