@@ -299,21 +299,65 @@ def sparse_diagonal(v, shape: Optional[Tuple[int, int]] = None) -> SparseArray:
   return from_coo(idx, idx, v, shape)
 
 
-def save_sparse(A: SparseArray, path: str) -> None:
-  """Persist a SparseArray (ELL layout + meta) — sparse-tile checkpointing
-  (reference: per-tile sparse pickles in ``expr/fio.py``)."""
+def save_sparse(A, path: str) -> None:
+  """Persist a SparseArray / BlockSparseArray — sparse-tile checkpointing
+  (reference: per-tile sparse pickles in ``expr/fio.py``).
+
+  For a SparseArray, host-side packs built so far (block-ELL repack,
+  windowed chunks) are saved too, so a reload skips the 10–50 s pack
+  passes on large matrices."""
   import os
   os.makedirs(path, exist_ok=True)
+  if isinstance(A, BlockSparseArray):
+    np.savez(os.path.join(path, "bsr.npz"),
+             block_cols=np.asarray(A.block_cols),
+             block_vals=np.asarray(A.block_vals),
+             shape=np.asarray(A.shape), bs=np.asarray(A.bs),
+             nnz_blocks=np.asarray(A.nnz_blocks))
+    return
   np.savez(os.path.join(path, "sparse.npz"),
            cols=np.asarray(A.cols), vals=np.asarray(A.vals),
            shape=np.asarray(A.shape), nnz=np.asarray(A.nnz))
+  if A._bsr_cache is not None and A._bsr_cache[1] is not None:
+    save_sparse(A._bsr_cache[1], os.path.join(path, "bsr_cache"))
+  w = A._windowed_cache
+  if w is not None:
+    extra = {} if w.inv is None else {"inv": w.inv}
+    np.savez(os.path.join(path, "windowed.npz"),
+             rb=np.asarray(w.rb), win=np.asarray(w.win),
+             init=np.asarray(w.init), cols_lo=np.asarray(w.cols_lo),
+             rows_lo=np.asarray(w.rows_lo), vals=np.asarray(w.vals),
+             shape=np.asarray(w.shape), nnz=np.asarray(w.nnz), **extra)
 
 
-def load_sparse(path: str) -> SparseArray:
+def load_sparse(path: str):
+  """Load what :func:`save_sparse` wrote (SparseArray with any cached
+  packs restored, or a bare BlockSparseArray)."""
   import os
+  bsr_path = os.path.join(path, "bsr.npz")
+  if os.path.exists(bsr_path) and not os.path.exists(
+      os.path.join(path, "sparse.npz")):
+    z = np.load(bsr_path)
+    return BlockSparseArray(jnp.asarray(z["block_cols"]),
+                            jnp.asarray(z["block_vals"]),
+                            tuple(int(s) for s in z["shape"]),
+                            int(z["bs"]), int(z["nnz_blocks"]))
   z = np.load(os.path.join(path, "sparse.npz"))
-  return SparseArray(jnp.asarray(z["cols"]), jnp.asarray(z["vals"]),
-                     tuple(int(s) for s in z["shape"]), int(z["nnz"]))
+  A = SparseArray(jnp.asarray(z["cols"]), jnp.asarray(z["vals"]),
+                  tuple(int(s) for s in z["shape"]), int(z["nnz"]))
+  bc = os.path.join(path, "bsr_cache")
+  if os.path.exists(os.path.join(bc, "bsr.npz")):
+    routed = load_sparse(bc)
+    A._bsr_cache = (routed.bs, routed)
+  wp = os.path.join(path, "windowed.npz")
+  if os.path.exists(wp):
+    zw = np.load(wp)
+    from spartan_tpu.backend.kernels.spmv_pallas import WindowedELL
+    A._windowed_cache = WindowedELL(
+        zw["rb"], zw["win"], zw["init"], zw["cols_lo"], zw["rows_lo"],
+        zw["vals"], tuple(int(s) for s in zw["shape"]), int(zw["nnz"]),
+        inv=zw["inv"] if "inv" in zw.files else None)
+  return A
 
 
 # ---------------------------------------------------------------------------

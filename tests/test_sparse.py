@@ -540,3 +540,43 @@ def test_sparse_route_differential_sweep(rng, route):
   finally:
     (FLAGS.sparse_force_onehot, FLAGS.sparse_force_windowed,
      FLAGS.sparse_auto_bsr) = old
+
+def test_save_load_bsr_and_packed_caches(rng, tmp_path):
+  """save_sparse persists BlockSparseArrays and a SparseArray's cached
+  packs (BSR repack, windowed chunks) so a reload skips the host pack."""
+  import jax.numpy as jnp
+
+  dense = np.zeros((256, 256), np.float32)
+  dense[:128, 128:] = rng.standard_normal((128, 128))
+  dense[200, 7] = 2.5
+  S = sps.from_scipy(ss.csr_matrix(dense), dtype=np.float32)
+  _ = S.to_windowed()                       # build + cache the pack
+  S._bsr_cache = (128, S.to_bsr(bs=128))    # simulate auto_route cache
+  sps.save_sparse(S, str(tmp_path / "s"))
+  back = sps.load_sparse(str(tmp_path / "s"))
+  np.testing.assert_allclose(back.todense(), dense, atol=1e-7)
+  assert back._windowed_cache is not None
+  assert back._windowed_cache.n_chunks == S._windowed_cache.n_chunks
+  assert back._bsr_cache is not None and back._bsr_cache[0] == 128
+  x = rng.standard_normal(256).astype(np.float32)
+  from spartan_tpu.backend.kernels import spmv_pallas as sk
+  got = np.asarray(sk.make_spmv_windowed(back._windowed_cache,
+                                         interpret=True)(jnp.asarray(x)))
+  np.testing.assert_allclose(got, dense @ x, rtol=1e-4, atol=1e-5)
+
+  # bare BlockSparseArray round-trip
+  B = sps.from_scipy_bsr(dense, bs=128)
+  sps.save_sparse(B, str(tmp_path / "b"))
+  B2 = sps.load_sparse(str(tmp_path / "b"))
+  assert isinstance(B2, sps.BlockSparseArray) and B2.bs == 128
+  np.testing.assert_allclose(B2.todense(), dense, atol=1e-7)
+
+  # unique pack (inv) round-trips too
+  S2 = sps.from_scipy(ss.csr_matrix(dense), dtype=np.float32)
+  S2._windowed_cache = sk.pack_windowed_unique(ss.csr_matrix(dense))
+  sps.save_sparse(S2, str(tmp_path / "u"))
+  back2 = sps.load_sparse(str(tmp_path / "u"))
+  assert back2._windowed_cache.inv is not None
+  got2 = np.asarray(sk.make_spmv_windowed(back2._windowed_cache,
+                                          interpret=True)(jnp.asarray(x)))
+  np.testing.assert_allclose(got2, dense @ x, rtol=1e-5, atol=1e-6)
