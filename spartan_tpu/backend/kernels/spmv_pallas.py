@@ -25,10 +25,11 @@ wins only while the MXU can amortize that: measured on v5e at 64 nnz/row
 The MXU multiplies in bf16: the default path hi/lo-splits ``x`` into two
 bf16 dots (relerr ~3e-6); ``use_bf16=True`` is single-pass (~2e-3).
 ``Precision.HIGHEST`` measured 2.6× slower than hi/lo for 1 extra digit.
-``tpu.dynamic_gather`` (take_along_axis lowering) would replace the VPU
-select stage but crashes this target's Mosaic compiler (HTTP-500 in the
-remote compile helper even for a minimal (128,128) axis-0 gather) — re-
-test on newer toolchains.  Callers fall back to XLA above n = 32768.
+Past n = 32768 callers switch to the windowed kernels below, whose
+gather stage now rides ``tpu.dynamic_gather`` — the r2-late toolchain
+compiles (8,128) and (128,128)-axis-1 dynamic gathers ((128,128) axis-0
+still HTTP-500s the remote Mosaic helper, which blocks using it for
+THIS kernel's full-x gather).
 
 Reference parity: spartan/sparse C++ SpMV kernels (SURVEY.md §2.2).
 """
@@ -200,12 +201,13 @@ def sharded_onehot_spmv(cols: jax.Array, vals: jax.Array, x: jax.Array,
 #   * one-hot (_USE_DYNAMIC_GATHER=False): all 4 stages as bf16 one-hot
 #     dots — the fallback if a Mosaic toolchain regresses on (8,128)
 #     dynamic gathers (full (128,128) axis-0 still HTTP-500s today).
-#   * unique-rows pack (pack_windowed_unique, opt-in): scatter = 1
-#     dynamic gather through a host-built inverse map → zero MXU dots,
-#     exact f32 end-to-end.  VPU-bound ~0.45 µs/step, but the unique-
-#     destination constraint costs fill (0.54 at n=64K, 0.35 at 256K —
-#     occ-level strips run near-empty), so it only wins on high-fill
-#     matrices; smarter duplicate-rotation packing would recover it.
+#   * unique-rows pack (pack_windowed_unique, opt-in): scatter =
+#     _INV_LAYERS dynamic gathers through host-built int8 inverse maps →
+#     zero MXU dots, exact f32 end-to-end (relerr ~2e-7).  Rotation
+#     (Latin-square) strip assignment + 2 scatter layers keep fill at
+#     0.76-0.93 across scales; measured 1.47 Gnnz/s at n=64K (≈ the
+#     hybrid, but exact).  Cost: the dense per-strip inverse maps expand
+#     memory ~24 B/nnz at fill 0.75 — use when exactness matters.
 # The scatter dots are now the dg-hybrid bound: ~4K FLOP/nnz at M=8
 # output rows (1/16 MXU tile).  NOTE make_spmv_windowed closes over the
 # packed arrays as constants — past ~6M nnz the remote compile request
@@ -221,6 +223,12 @@ _WIN = 8 * _LANES       # x window / y tile: 1024 elements = one (8,128) tile
 # toolchain regresses on (8,128) dynamic gathers (HTTP-500 from the remote
 # compile helper — see the r2 retest notes in _windowed_kernel).
 _USE_DYNAMIC_GATHER = True
+
+# Scatter layers in the unique-rows pack: a strip may hold each
+# destination row up to L times (one inverse map per layer; the kernel
+# does L inv-gathers per strip).  L=2 keeps small groups in one strip
+# when a row is duplicated once — the common case at large n.
+_INV_LAYERS = 2
 
 
 def pack_windowed_unique(sp_csr):
@@ -254,46 +262,111 @@ def pack_windowed_unique(sp_csr):
   c_loc = (c % _WIN).astype(np.int64)
   n_rb = max(-(-n // _WIN), 1)
 
+  def _cumcount(new_flags):
+    starts = np.nonzero(new_flags)[0]
+    return np.arange(len(new_flags)) - np.repeat(starts, np.diff(
+        np.concatenate([starts, [len(new_flags)]])))
+
   if len(r):
-    # occurrence rank within (rb, win, r_loc): duplicates split strips
+    # Rotation (Latin-square) strip assignment: within a (rb, win) group
+    # with unique-row ranks pos_r and duplicate indices occ j, entry
+    # (r, j) goes to strip (pos_r + j) mod C with C = max(⌈N/120⌉,
+    # max multiplicity).  Same row → different j → different strip, so
+    # uniqueness holds while strips stay ~N/C ≈ 120 full — ~0.85 fill vs
+    # ~0.5 for the naive per-occ-level strips (occ≥1 levels are tiny).
+    # The rare strips the rotation overloads past the 127-slot cap spill
+    # into per-occ-level overflow strips (the naive scheme, applied to
+    # the spilled entries only).
     o1 = np.lexsort((c_loc, r_loc, win, rb))
     rb, win, r_loc, c_loc, v = (a[o1] for a in (rb, win, r_loc, c_loc, v))
-    key_rwr = (rb * (win.max() + 1) + win) * _WIN + r_loc
-    new_run = np.concatenate([[True], np.diff(key_rwr) != 0])
-    starts = np.nonzero(new_run)[0]
-    occ = np.arange(len(r)) - np.repeat(starts, np.diff(
-        np.concatenate([starts, [len(r)]])))
-    # chunk within (rb, win, occ) at 127 entries (slot 127 = reserved pad)
-    o2 = np.lexsort((r_loc, occ, win, rb))
-    rb, win, r_loc, c_loc, v, occ = (
-        a[o2] for a in (rb, win, r_loc, c_loc, v, occ))
-    key_g = (rb * (win.max() + 1) + win) * (occ.max() + 1) + occ
+    key_g = rb * (win.max() + 1) + win            # group key (sorted)
     new_g = np.concatenate([[True], np.diff(key_g) != 0])
     g_starts = np.nonzero(new_g)[0]
-    pos = np.arange(len(r)) - np.repeat(g_starts, np.diff(
-        np.concatenate([g_starts, [len(r)]])))
-    chunk = pos // (_LANES - 1)
-    slot = (pos % (_LANES - 1)).astype(np.int64)
-    strip_first = new_g | (slot == 0)          # first entry of each strip
-    strip_id = np.cumsum(strip_first) - 1
+    g_len = np.diff(np.concatenate([g_starts, [len(r)]]))
+    idx_in_g = _cumcount(new_g)
+    new_row = new_g | np.concatenate([[True], np.diff(r_loc) != 0])
+    occ = _cumcount(new_row)                      # j within (group, row)
+    urow = np.cumsum(new_row) - 1
+    pos_r = urow - urow[g_starts][np.repeat(np.arange(len(g_starts)),
+                                            g_len)]
+    maxmult = np.maximum.reduceat(occ, g_starts) + 1
+    # with _INV_LAYERS scatter layers a strip holds each row up to
+    # _INV_LAYERS times (duplicate j goes to layer j%L of strip
+    # (pos_r + j//L) mod C), so C needs only ⌈maxmult/L⌉ rotation slots —
+    # without the layers, small groups with one duplicated row would pay
+    # a whole extra near-empty strip (fill 0.35 measured at n=256K)
+    C = np.maximum(-(-g_len // 120), -(-maxmult // _INV_LAYERS))
+    C_e = np.repeat(C, g_len)
+    t = (pos_r + occ // _INV_LAYERS) % C_e        # strip within group
+    layer = occ % _INV_LAYERS
+
+    wrap = occ >= _INV_LAYERS * C_e              # multiplicity > L·C
+    # slots within (group, t); spill past the 127-entry cap
+    o2 = np.lexsort((idx_in_g, t, key_g))
+    rb, win, r_loc, c_loc, v, t, key_g, layer, wrap = (
+        a[o2] for a in (rb, win, r_loc, c_loc, v, t, key_g, layer, wrap))
+    new_s = np.concatenate(
+        [[True], (np.diff(key_g) != 0) | (np.diff(t) != 0)])
+    slot = _cumcount(new_s)
+    of = (slot >= _LANES - 1) | wrap
+    n_of = int(of.sum())
+    if n_of:
+      # overflow entries: per-occ-level strips among themselves
+      ro, wo, rlo = rb[of], win[of], r_loc[of]
+      o3 = np.lexsort((rlo, wo, ro))
+      kg_o = (ro * (win.max() + 1) + wo)[o3]
+      rl_o = rlo[o3]
+      new_row_o = np.concatenate(
+          [[True], (np.diff(kg_o) != 0) | (np.diff(rl_o) != 0)])
+      occ_o = _cumcount(new_row_o)
+      o4 = np.lexsort((rl_o, occ_o, kg_o))
+      kg2 = kg_o[o4] * (occ_o.max() + 1) + occ_o[o4]
+      new_s_o = np.concatenate([[True], np.diff(kg2) != 0])
+      pos_o = _cumcount(new_s_o)
+      chunk_o = pos_o // (_LANES - 1)
+      slot_o = pos_o % (_LANES - 1)
+      # map back to the of-subset order, then tag strips:
+      back = np.empty(n_of, np.int64)
+      back[o4] = np.arange(n_of)
+      inv_o3 = np.empty(n_of, np.int64)
+      inv_o3[o3] = np.arange(n_of)
+      # composite per-entry strip tag; overflow strips sort after main
+      # ones within the group (bit 1), keyed by (occ level, chunk)
+      tag_of = (occ_o[o4] * (chunk_o.max() + 1) + chunk_o)
+      tag_full = tag_of[back][inv_o3]             # in of-subset order
+      slot_full = slot_o[back][inv_o3]
+      t = t.copy()
+      slot = slot.copy()
+      layer = layer.copy()
+      big = int(t.max()) + 1
+      t[of] = big + tag_full                      # distinct key space
+      slot[of] = slot_full
+      layer[of] = 0                               # overflow: single layer
+    # final strips: unique (group, t) in order (group-major = rb-major)
+    skey = key_g * (int(t.max()) + 2) + t
+    o5 = np.lexsort((slot, skey))
+    rb, win, r_loc, c_loc, v, skey, slot, layer = (
+        a[o5] for a in (rb, win, r_loc, c_loc, v, skey, slot, layer))
+    new_strip = np.concatenate([[True], np.diff(skey) != 0])
+    strip_id = np.cumsum(new_strip) - 1
     n_strips = int(strip_id[-1]) + 1
-    strip_rb = rb[strip_first]
-    strip_win = win[strip_first].astype(np.int32)
+    strip_rb = rb[new_strip]
+    strip_win = win[new_strip].astype(np.int32)
   else:
     n_strips = 0
-    slot = strip_id = np.zeros(0, np.int64)
+    slot = strip_id = layer = np.zeros(0, np.int64)
     strip_rb = np.zeros(0, np.int64)
     strip_win = np.zeros(0, np.int32)
 
   cols_s = np.zeros((n_strips, _LANES), np.int32)
   vals_s = np.zeros((n_strips, _LANES), np.float32)
   rows_s = np.zeros((n_strips, _LANES), np.int32)
-  inv_s = np.full((n_strips, _WIN), _LANES - 1, np.int32)
+  inv_s = np.full((n_strips, _INV_LAYERS, _WIN), _LANES - 1, np.int8)
   if n_strips:
     cols_s[strip_id, slot] = c_loc
     vals_s[strip_id, slot] = v
     rows_s[strip_id, slot] = r_loc
-    inv_s[strip_id, r_loc] = slot
+    inv_s[strip_id, layer, r_loc] = slot
 
   # assemble steps: per row-block, its strips padded to a multiple of 8
   # (no-op pad strips: window 0, all slots pad, inv all-127) — fully
@@ -310,7 +383,10 @@ def pack_windowed_unique(sp_csr):
   cols_lo = np.zeros((s_n * _STRIPS, _LANES), np.int32)
   rows_lo = np.zeros((s_n * _STRIPS, _LANES), np.int32)
   vals = np.zeros((s_n * _STRIPS, _LANES), np.float32)
-  inv = np.full((s_n * _STRIPS, _STRIPS, _LANES), _LANES - 1, np.int32)
+  # int8: slots are < 128, and the dense (1024-position) maps dominate
+  # the pack's memory footprint — i8 quarters it (widened in-kernel)
+  inv = np.full((s_n * _STRIPS, _INV_LAYERS, _STRIPS, _LANES),
+                _LANES - 1, np.int8)
   wins = np.zeros((s_n, _STRIPS), np.int32)
   rbs = np.repeat(np.arange(n_rb, dtype=np.int32),
                   steps_per_rb.astype(np.int64))
@@ -325,11 +401,15 @@ def pack_windowed_unique(sp_csr):
     cols_lo[dest] = cols_s
     rows_lo[dest] = rows_s
     vals[dest] = vals_s
-    inv[dest] = inv_s.reshape(n_strips, _STRIPS, _LANES)
+    inv[dest] = inv_s.reshape(n_strips, _INV_LAYERS, _STRIPS, _LANES)
     wins[step_of, lane_of] = strip_win
-  return WindowedELL(rbs, wins, init, cols_lo, rows_lo, vals,
-                     (n, m), int(coo.nnz),
-                     inv=inv.reshape(s_n * _STRIPS * _STRIPS, _LANES))
+  # kernel layout: per step a (L·64, 128) block, rows l·64 + j·8 + u
+  # (layer-major, then strip, then sublane)
+  inv_k = inv.reshape(s_n, _STRIPS, _INV_LAYERS, _STRIPS, _LANES)
+  inv_k = np.ascontiguousarray(inv_k.transpose(0, 2, 1, 3, 4))
+  return WindowedELL(
+      rbs, wins, init, cols_lo, rows_lo, vals, (n, m), int(coo.nnz),
+      inv=inv_k.reshape(s_n * _INV_LAYERS * _STRIPS * _STRIPS, _LANES))
 
 
 class WindowedELL:
@@ -552,9 +632,11 @@ def _windowed_unique_kernel(rb_ref, win_ref, init_ref, cols_ref, vals_ref,
     g = jnp.take_along_axis(
         t, jnp.broadcast_to(q, (_STRIPS, _LANES)), axis=0)
     p = vals_ref[strip:strip + 1, :].astype(jnp.float32) * g[0:1, :]
-    inv_s = inv_ref[strip * _STRIPS:(strip + 1) * _STRIPS, :]   # (8,128)
     pb = jnp.broadcast_to(p, (_STRIPS, _LANES))
-    acc = acc + jnp.take_along_axis(pb, inv_s, axis=1)
+    for lay in range(_INV_LAYERS):
+      base = lay * _STRIPS * _STRIPS + strip * _STRIPS
+      inv_s = inv_ref[base:base + _STRIPS, :].astype(jnp.int32)  # (8,128) i8→i32
+      acc = acc + jnp.take_along_axis(pb, inv_s, axis=1)
   out_ref[...] += acc
 
 
@@ -576,7 +658,7 @@ def windowed_unique_spmv_traced(rb, win, init, cols_lo, vals, inv, x, *,
       in_specs=[
           pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
           pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
-          pl.BlockSpec((_STRIPS * _STRIPS, _LANES),
+          pl.BlockSpec((_INV_LAYERS * _STRIPS * _STRIPS, _LANES),
                        lambda s, b, w, it: (s, 0)),
       ] + [_win_spec(k) for k in range(_STRIPS)],
       out_specs=pl.BlockSpec((_STRIPS, _LANES),
