@@ -453,46 +453,52 @@ def pack_windowed(sp_csr) -> WindowedELL:
   r, c, v, rb, win = r[order], c[order], v[order], rb[order], win[order]
 
   n_rb = max(-(-n // _WIN), 1)
-  # per row-block: list of 128-slot strips, each (window, nnz-range)
-  strips_by_rb = {b: [] for b in range(n_rb)}
+  # vectorized strip/step assembly (entries sorted by (rb, win, c)):
+  # strip = 128-entry chunk within a (rb, win) run; steps = per-rb strip
+  # lists padded to a multiple of 8 (output-block revisits contiguous)
   if len(r):
-    key = rb * (max(win.max(), 0) + 2) + win
-    bounds = np.nonzero(np.diff(key))[0] + 1
-    starts = np.concatenate([[0], bounds, [len(key)]])
-    for a, b in zip(starts[:-1], starts[1:]):
-      for off in range(int(a), int(b), _LANES):
-        strips_by_rb[int(rb[a])].append(
-            (int(win[a]), off, min(off + _LANES, int(b))))
+    key_g = rb * (max(int(win.max()), 0) + 2) + win
+    new_g = np.concatenate([[True], np.diff(key_g) != 0])
+    g_starts = np.nonzero(new_g)[0]
+    pos = np.arange(len(r)) - np.repeat(g_starts, np.diff(
+        np.concatenate([g_starts, [len(r)]])))
+    slot = pos % _LANES
+    new_strip = new_g | (slot == 0)
+    strip_id = np.cumsum(new_strip) - 1
+    n_strips = int(strip_id[-1]) + 1
+    strip_rb = rb[new_strip]
+    strip_win = win[new_strip].astype(np.int32)
+  else:
+    n_strips = 0
+    slot = strip_id = np.zeros(0, np.int64)
+    strip_rb = np.zeros(0, np.int64)
+    strip_win = np.zeros(0, np.int32)
 
-  # assemble steps: 8 strips per step, all strips of one rb packed
-  # consecutively (output-block revisits must be contiguous)
-  steps = []                       # (rb, [(win, a, b)] * 8)
-  for b in range(n_rb):
-    lst = strips_by_rb[b] or [(0, 0, 0)]
-    while len(lst) % _STRIPS:
-      lst.append((0, 0, 0))
-    for off in range(0, len(lst), _STRIPS):
-      steps.append((b, lst[off:off + _STRIPS]))
-
-  s_n = len(steps)
+  counts = np.zeros(n_rb, np.int64)
+  if n_strips:
+    u, cnt = np.unique(strip_rb, return_counts=True)
+    counts[u] = cnt
+  steps_per_rb = np.maximum(-(-counts // _STRIPS), 1)
+  step_off = np.concatenate([[0], np.cumsum(steps_per_rb)[:-1]])
+  s_n = int(steps_per_rb.sum())
   cols_lo = np.zeros((s_n * _STRIPS, _LANES), np.int32)
   rows_lo = np.zeros((s_n * _STRIPS, _LANES), np.int32)
   vals = np.zeros((s_n * _STRIPS, _LANES), np.float32)
-  rbs = np.zeros(s_n, np.int32)
   wins = np.zeros((s_n, _STRIPS), np.int32)
+  rbs = np.repeat(np.arange(n_rb, dtype=np.int32),
+                  steps_per_rb.astype(np.int64))
   init = np.zeros(s_n, np.int32)
-  prev = -1
-  for s_i, (rbv, strips) in enumerate(steps):
-    rbs[s_i] = rbv
-    init[s_i] = 1 if rbv != prev else 0
-    prev = rbv
-    for k, (winv, a, b) in enumerate(strips):
-      row = s_i * _STRIPS + k
-      wins[s_i, k] = winv
-      if b > a:
-        cols_lo[row, :b - a] = c[a:b] % _WIN
-        rows_lo[row, :b - a] = r[a:b] % _WIN
-        vals[row, :b - a] = v[a:b]
+  init[step_off] = 1
+  if n_strips:
+    rb_first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    gi = np.arange(n_strips) - rb_first[strip_rb]
+    dest_strip = (step_off[strip_rb] + gi // _STRIPS) * _STRIPS + (
+        gi % _STRIPS)
+    wins[step_off[strip_rb] + gi // _STRIPS, gi % _STRIPS] = strip_win
+    row_of_entry = dest_strip[strip_id]
+    cols_lo[row_of_entry, slot] = (c % _WIN).astype(np.int32)
+    rows_lo[row_of_entry, slot] = (r % _WIN).astype(np.int32)
+    vals[row_of_entry, slot] = v
   return WindowedELL(rbs, wins, init, cols_lo, rows_lo, vals,
                      (n, m), int(coo.nnz))
 
