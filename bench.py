@@ -284,7 +284,9 @@ def bench_pagerank_step(n_blocks: int = 64, blocks_per_row: int = 8,
   r0 = sp.ones((n,), dtype=np.float32) / n
   run = sp.make_fori(
       lambda r: sps.spmv_expr(S, r) * 0.85 + 0.15 / n, r0)
-  ms = _fori_slope_ms(run, lambda r: _sync(r.data), 4, 24)
+  # the ~0.04-0.1 ms step needs a wide iteration delta to rise above
+  # tunnel timing noise (4..24 once measured 0.0)
+  ms = _fori_slope_ms(run, lambda r: _sync(r.data), 8, 200, reps=6)
   return {"pagerank_step_ms": round(ms, 4),
           "pagerank_gnnz_per_s": round(nnz / (ms * 1e-3) / 1e9, 2)
           if ms > 0 else None}
@@ -329,6 +331,14 @@ def main():
     # driver/timeout kill mid-extra: the primary metric must still reach
     # stdout (one JSON line) — an empty BENCH record is worse than a
     # partial one.
+    if "value" not in result:
+      # primary never completed: the tunnel's remote compile/deserialize
+      # service sometimes stalls ~10 min per program (weather, not code —
+      # warm runs finish all five configs in <60 s; see BASELINE.md)
+      result["error"] = (f"no measurement by +{time.time() - _T0:.0f}s: "
+                         "tunnel compile-service stall (chip claim + "
+                         "compile exceeded the budget); warm-cache runs "
+                         "complete in <60s")
     _stamp(f"signal {signum} — emitting partial result")
     _emit_once()
     raise SystemExit(1)
