@@ -178,9 +178,12 @@ class ALS:
     self.seed = seed
 
   def fit(self, R):
+    """``R`` may be dense or a ``sparse.SparseArray`` (lazy SpMM path)."""
+    from spartan_tpu.backend.sparse import SparseArray
     from spartan_tpu.examples import als as als_mod
+    Rin = R if isinstance(R, SparseArray) else _lazy(R)
     self.user_factors_, self.item_factors_ = als_mod.fit(
-        _lazy(R), self.n_factors, self.iterations, self.reg, self.seed)
+        Rin, self.n_factors, self.iterations, self.reg, self.seed)
     return self
 
   def predict(self):

@@ -184,3 +184,15 @@ def test_eager_debug_mode(rng):
         ((a.value.glom() + 1.0) * 2.0).sum(), rtol=1e-12)
   finally:
     FLAGS.eager = False
+
+def test_learn_als_sparse_matches_dense(rng):
+  """learn.ALS accepts a SparseArray ratings matrix (lazy SpMM path) and
+  produces the dense run's factors exactly."""
+  from spartan_tpu.backend import sparse as sps
+  from spartan_tpu.learn.estimators import ALS
+  dense = rng.standard_normal((64, 32, 4)) @ np.ones(4)
+  dense[rng.random((64, 32)) < 0.6] = 0.0
+  m1 = ALS(n_factors=4, iterations=3).fit(dense)
+  m2 = ALS(n_factors=4, iterations=3).fit(sps.from_dense(dense))
+  np.testing.assert_allclose(m2.user_factors_, m1.user_factors_, atol=1e-9)
+  np.testing.assert_allclose(m2.item_factors_, m1.item_factors_, atol=1e-9)
