@@ -420,9 +420,22 @@ class WindowedELL:
     self.rb, self.win, self.init = rb, win, init
     self.cols_lo, self.rows_lo, self.vals = cols_lo, rows_lo, vals
     self.shape, self.nnz = shape, nnz
-    # inv (steps·64, 128) int32: per-strip inverse scatter map (unique-
-    # rows pack, pack_windowed_unique) or None (classic one-hot pack)
+    # inv (steps·L·64, 128) int8: per-strip inverse scatter maps (unique-
+    # rows pack, pack_windowed_unique) or None (classic pack)
     self.inv = inv
+    self._dev = None
+
+  def device_arrays(self):
+    """Chunk arrays as device arrays, uploaded once and memoized — eager
+    per-call ``jnp.asarray`` would re-push the multi-MB pack through the
+    tunnel on every SpMV.  Returns the classic 6-tuple (rb, win-flat,
+    init, cols_lo, rows_lo, vals); for the unique pack use ``.inv`` with
+    :func:`windowed_unique_spmv_traced` separately."""
+    if self._dev is None:
+      self._dev = (jnp.asarray(self.rb), jnp.asarray(self.win).reshape(-1),
+                   jnp.asarray(self.init), jnp.asarray(self.cols_lo),
+                   jnp.asarray(self.rows_lo), jnp.asarray(self.vals))
+    return self._dev
 
   @property
   def n_chunks(self):
@@ -740,10 +753,20 @@ class ShardedWindowedELL:
     self.cols_lo, self.rows_lo, self.vals = cols_lo, rows_lo, vals
     self.shape, self.n_shards, self.rb_per = shape, n_shards, rb_per
     self.nnz = nnz
+    self._dev = None
 
   @property
   def steps_per_shard(self):
     return self.rb.shape[1]
+
+  def device_arrays(self):
+    """Stacked chunk arrays on device, uploaded once and memoized (see
+    :meth:`WindowedELL.device_arrays`)."""
+    if self._dev is None:
+      self._dev = (jnp.asarray(self.rb), jnp.asarray(self.win),
+                   jnp.asarray(self.init), jnp.asarray(self.cols_lo),
+                   jnp.asarray(self.rows_lo), jnp.asarray(self.vals))
+    return self._dev
 
 
 def pack_windowed_sharded(sp_csr, n_shards: int) -> ShardedWindowedELL:

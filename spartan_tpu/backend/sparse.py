@@ -189,10 +189,10 @@ class SparseArray:
                        _jax.device_put(self.vals, sh), self.shape, self.nnz)
 
   def transpose(self) -> "SparseArray":
-    """CSC-flavoured transpose via host round-trip (construction-time op,
-    not a hot path)."""
-    import scipy.sparse as ss
-    return from_scipy(ss.csr_matrix(self.todense()).T.tocsr())
+    """Transpose via the sparse host round-trip (construction-time op,
+    not a hot path — but it must stay O(nnz), never densify: the sparse
+    dot/ALS paths transpose netflix-scale matrices)."""
+    return from_scipy(self.to_scipy().T.tocsr(), dtype=self.dtype)
 
   @property
   def T(self) -> "SparseArray":
@@ -328,6 +328,14 @@ def save_sparse(A, path: str) -> None:
              init=np.asarray(w.init), cols_lo=np.asarray(w.cols_lo),
              rows_lo=np.asarray(w.rows_lo), vals=np.asarray(w.vals),
              shape=np.asarray(w.shape), nnz=np.asarray(w.nnz), **extra)
+  if A._winsh_cache is not None:
+    n_sh, ws = A._winsh_cache
+    np.savez(os.path.join(path, "winsh.npz"),
+             rb=np.asarray(ws.rb), win=np.asarray(ws.win),
+             init=np.asarray(ws.init), cols_lo=np.asarray(ws.cols_lo),
+             rows_lo=np.asarray(ws.rows_lo), vals=np.asarray(ws.vals),
+             shape=np.asarray(ws.shape), n_shards=np.asarray(n_sh),
+             rb_per=np.asarray(ws.rb_per), nnz=np.asarray(ws.nnz))
 
 
 def load_sparse(path: str):
@@ -357,6 +365,14 @@ def load_sparse(path: str):
         zw["rb"], zw["win"], zw["init"], zw["cols_lo"], zw["rows_lo"],
         zw["vals"], tuple(int(s) for s in zw["shape"]), int(zw["nnz"]),
         inv=zw["inv"] if "inv" in zw.files else None)
+  sp_path = os.path.join(path, "winsh.npz")
+  if os.path.exists(sp_path):
+    zs = np.load(sp_path)
+    from spartan_tpu.backend.kernels.spmv_pallas import ShardedWindowedELL
+    A._winsh_cache = (int(zs["n_shards"]), ShardedWindowedELL(
+        zs["rb"], zs["win"], zs["init"], zs["cols_lo"], zs["rows_lo"],
+        zs["vals"], tuple(int(s) for s in zs["shape"]),
+        int(zs["n_shards"]), int(zs["rb_per"]), int(zs["nnz"])))
   return A
 
 
@@ -399,7 +415,8 @@ def spmv(A, x, use_pallas: Optional[bool] = None) -> jax.Array:
   if use_pallas is None:
     use_pallas = (FLAGS.use_pallas and not on_cpu) or (
         FLAGS.sparse_force_onehot or FLAGS.sparse_force_windowed)
-  small = xj.shape[0] <= 32768 and not FLAGS.sparse_force_windowed
+  small = ((xj.shape[0] <= 32768 or FLAGS.sparse_force_onehot)
+           and not FLAGS.sparse_force_windowed)
   if use_pallas and small and xj.dtype != jnp.float64:
     # one-hot MXU kernel: gather cost is 2n FLOP/nonzero, so it beats the
     # ~0.1 Gnnz/s XLA gather path only while n is small enough for the
@@ -425,17 +442,15 @@ def spmv(A, x, use_pallas: Optional[bool] = None) -> jax.Array:
       mesh = get_mesh()
       if int(mesh.devices.size) > 1:
         packed = A.to_windowed_sharded(int(mesh.devices.size))
+        rb, win, init, cols_lo, rows_lo, vals = packed.device_arrays()
         return spmv_pallas.sharded_windowed_spmv_traced(
-            jnp.asarray(packed.rb), jnp.asarray(packed.win),
-            jnp.asarray(packed.init), jnp.asarray(packed.cols_lo),
-            jnp.asarray(packed.rows_lo), jnp.asarray(packed.vals), xj,
+            rb, win, init, cols_lo, rows_lo, vals, xj,
             shape=packed.shape, mesh=mesh,
             interpret=on_cpu).astype(xj.dtype)
       packed = A.to_windowed()
+      rb, win, init, cols_lo, rows_lo, vals = packed.device_arrays()
       return spmv_pallas.windowed_spmv_traced(
-          jnp.asarray(packed.rb), jnp.asarray(packed.win).reshape(-1),
-          jnp.asarray(packed.init), jnp.asarray(packed.cols_lo),
-          jnp.asarray(packed.rows_lo), jnp.asarray(packed.vals), xj,
+          rb, win, init, cols_lo, rows_lo, vals, xj,
           shape=packed.shape, interpret=on_cpu).astype(xj.dtype)
     except Exception:
       pass  # fall back to the XLA gather path
@@ -583,10 +598,13 @@ class SpMVExpr(Expr):
   gather.  The choice is captured in ``fmt`` (a cache-key param)."""
 
   _members = ("inputs",)
-  _params = ("n_rows", "fmt", "bs", "pad_m", "n_shards")
+  _params = ("n_rows", "fmt", "bs", "pad_m", "n_shards", "precision")
 
-  def __init__(self, A, x):
+  def __init__(self, A, x, precision=None):
     self._A = A
+    # 'high'/'highest' ask for XLA-faithful numerics: skip the bf16-pass
+    # Pallas routes and run the exact gather/einsum formulations
+    exact = precision not in (None, "default")
     on_tpu = jax.devices()[0].platform != "cpu"
     if isinstance(A, SparseArray) and on_tpu:
       routed = A.auto_route()
@@ -596,10 +614,11 @@ class SpMVExpr(Expr):
       super().__init__(
           inputs=[Val(A.block_cols), Val(A.block_vals), lazify(x)],
           n_rows=self._A.shape[0], fmt="bsr", bs=A.bs, pad_m=A.shape[1],
-          n_shards=0)
+          n_shards=0, precision=precision)
       return
     from spartan_tpu.config import FLAGS
-    if ((FLAGS.sparse_force_windowed or (on_tpu and A.shape[1] > 32768))
+    if (not exact
+        and (FLAGS.sparse_force_windowed or (on_tpu and A.shape[1] > 32768))
         and jnp.dtype(A.dtype) != jnp.float64):
       # past the one-hot crossover: scalar-prefetch windowed kernel; the
       # packed chunk arrays ride as ordinary leaf inputs.  On a
@@ -610,28 +629,19 @@ class SpMVExpr(Expr):
       if n_dev > 1:
         packed = A.to_windowed_sharded(n_dev)
         super().__init__(
-            inputs=[Val(jnp.asarray(packed.rb)),
-                    Val(jnp.asarray(packed.win)),
-                    Val(jnp.asarray(packed.init)),
-                    Val(jnp.asarray(packed.cols_lo)),
-                    Val(jnp.asarray(packed.rows_lo)),
-                    Val(jnp.asarray(packed.vals)), lazify(x)],
+            inputs=[Val(a) for a in packed.device_arrays()] + [lazify(x)],
             n_rows=A.shape[0], fmt="winsh", bs=0, pad_m=A.shape[1],
-            n_shards=n_dev)
+            n_shards=n_dev, precision=precision)
         return
       packed = A.to_windowed()
       super().__init__(
-          inputs=[Val(jnp.asarray(packed.rb)),
-                  Val(jnp.asarray(packed.win).reshape(-1)),
-                  Val(jnp.asarray(packed.init)),
-                  Val(jnp.asarray(packed.cols_lo)),
-                  Val(jnp.asarray(packed.rows_lo)),
-                  Val(jnp.asarray(packed.vals)), lazify(x)],
-          n_rows=A.shape[0], fmt="win", bs=0, pad_m=A.shape[1], n_shards=0)
+          inputs=[Val(a) for a in packed.device_arrays()] + [lazify(x)],
+          n_rows=A.shape[0], fmt="win", bs=0, pad_m=A.shape[1],
+          n_shards=0, precision=precision)
       return
     super().__init__(inputs=[Val(A.cols), Val(A.vals), lazify(x)],
                      n_rows=A.shape[0], fmt="ell", bs=0, pad_m=A.shape[1],
-                     n_shards=0)
+                     n_shards=0, precision=precision)
 
   def _windowed_coo_emit(self, rb, win, cols_lo, rows_lo, vals, x,
                          n_pad: int):
@@ -710,19 +720,21 @@ class SpMVExpr(Expr):
               jnp.promote_types(vals.dtype, x.dtype))
     cols, vals, x = deps
     dt = jnp.promote_types(vals.dtype, x.dtype)
+    from spartan_tpu.expr.dot import _resolve_precision
+    prec = _resolve_precision(self.precision)
     if self.fmt == "bsr":
       if x.shape[0] < self.pad_m:
         x = jnp.pad(x, (0, self.pad_m - x.shape[0]))
       xb = x.astype(dt).reshape(-1, self.bs)
       gathered = jnp.take(xb, cols, axis=0)        # (nbr, mb, bs)
       y = jnp.einsum(
-          "rmij,rmj->ri", vals.astype(dt), gathered,
+          "rmij,rmj->ri", vals.astype(dt), gathered, precision=prec,
           preferred_element_type=None if dt == jnp.float64 else jnp.float32)
       return y.reshape(-1)[: self.n_rows].astype(dt)
     from spartan_tpu.config import FLAGS
     on_accel = jax.default_backend() != "cpu"
     if (dt == jnp.float32 and x.shape[0] <= 32768
-        and not ctx.differentiable
+        and not ctx.differentiable and prec is None
         and (FLAGS.sparse_force_onehot
              or (not ctx.abstract and FLAGS.use_pallas and on_accel))):
       # unstructured fast path: one-hot MXU gather kernel (see
@@ -754,9 +766,9 @@ class SpMMExpr(Expr):
   flows through with no special casing."""
 
   _members = ("inputs",)
-  _params = ("n_rows", "fmt", "bs", "pad_m")
+  _params = ("n_rows", "fmt", "bs", "pad_m", "precision")
 
-  def __init__(self, A, B):
+  def __init__(self, A, B, precision=None):
     self._A = A
     on_tpu = jax.devices()[0].platform != "cpu"
     if isinstance(A, SparseArray) and on_tpu:
@@ -766,16 +778,20 @@ class SpMMExpr(Expr):
     if isinstance(A, BlockSparseArray):
       super().__init__(
           inputs=[Val(A.block_cols), Val(A.block_vals), lazify(B)],
-          n_rows=self._A.shape[0], fmt="bsr", bs=A.bs, pad_m=A.shape[1])
+          n_rows=self._A.shape[0], fmt="bsr", bs=A.bs, pad_m=A.shape[1],
+          precision=precision)
       return
     super().__init__(inputs=[Val(A.cols), Val(A.vals), lazify(B)],
-                     n_rows=A.shape[0], fmt="ell", bs=0, pad_m=A.shape[1])
+                     n_rows=A.shape[0], fmt="ell", bs=0, pad_m=A.shape[1],
+                     precision=precision)
 
   def _emit(self, ctx, deps):
     cols, vals, B = deps
     if B.ndim != 2:
       raise ValueError(f"SpMMExpr needs a 2-D right operand, got {B.shape}")
     dt = jnp.promote_types(vals.dtype, B.dtype)
+    from spartan_tpu.expr.dot import _resolve_precision
+    prec = _resolve_precision(self.precision)
     if self.fmt == "bsr":
       if B.shape[0] < self.pad_m:
         B = jnp.pad(B, ((0, self.pad_m - B.shape[0]), (0, 0)))
@@ -783,11 +799,12 @@ class SpMMExpr(Expr):
       Bb = B.astype(dt).reshape(-1, bs, B.shape[1])     # (nbc, bs, k)
       gathered = jnp.take(Bb, cols, axis=0)             # (nbr, mb, bs, k)
       y = jnp.einsum(
-          "rmij,rmjk->rik", vals.astype(dt), gathered,
+          "rmij,rmjk->rik", vals.astype(dt), gathered, precision=prec,
           preferred_element_type=None if dt == jnp.float64 else jnp.float32)
       return y.reshape(-1, B.shape[1])[: self.n_rows].astype(dt)
     gathered = jnp.take(B.astype(dt), cols, axis=0)     # (rows, max_nnz, k)
-    return jnp.einsum("rm,rmk->rk", vals.astype(dt), gathered).astype(dt)
+    return jnp.einsum("rm,rmk->rk", vals.astype(dt), gathered,
+                      precision=prec).astype(dt)
 
 
 def spmv_expr(A, x) -> SpMVExpr:
@@ -798,16 +815,23 @@ def spmm_expr(A, B) -> SpMMExpr:
   return SpMMExpr(A, B)
 
 
-def sparse_dot(A, b) -> Expr:
+def sparse_dot(A, b, precision=None) -> Expr:
   """Lazy ``A @ b`` for a sparse left operand: vector → :class:`SpMVExpr`,
-  matrix → :class:`SpMMExpr` (what ``sp.dot`` dispatches to)."""
+  matrix → :class:`SpMMExpr` (what ``sp.dot`` dispatches to).
+  ``precision`` in ('high', 'highest') routes to the XLA-faithful
+  formulations (no bf16-pass Pallas kernels)."""
+  if isinstance(b, (SparseArray, BlockSparseArray)):
+    raise TypeError(
+        "sparse @ sparse products are unsupported — densify one operand "
+        "(e.g. sp.from_numpy(S2.todense())) or restructure the "
+        "computation; the reference's sparse dot was sparse x dense too")
   nd = getattr(b, "ndim", None)
   if nd is None:
     nd = np.ndim(getattr(b, "data", b)) if not isinstance(b, Expr) else None
   if nd is None:  # lazy expr: ask its aval
     nd = len(b.aval().shape)
   if nd == 1:
-    return SpMVExpr(A, b)
+    return SpMVExpr(A, b, precision=precision)
   if nd == 2:
-    return SpMMExpr(A, b)
+    return SpMMExpr(A, b, precision=precision)
   raise ValueError(f"sparse dot supports 1-D/2-D right operands, got {nd}-D")

@@ -104,7 +104,7 @@ def dot(a, b, precision=None) -> Expr:
   a_sparse = isinstance(a, (_sp.SparseArray, _sp.BlockSparseArray))
   b_sparse = isinstance(b, (_sp.SparseArray, _sp.BlockSparseArray))
   if a_sparse:
-    return _sp.sparse_dot(a, b)
+    return _sp.sparse_dot(a, b, precision=precision)
   if b_sparse:
     if isinstance(b, _sp.BlockSparseArray):
       raise TypeError("dot(dense, BlockSparseArray) is unsupported — "
@@ -113,9 +113,9 @@ def dot(a, b, precision=None) -> Expr:
     a_l = lazify(a)
     nd = len(a_l.aval().shape)
     if nd == 1:
-      return _sp.sparse_dot(bt, a_l)         # v @ S = Sᵀ v
+      return _sp.sparse_dot(bt, a_l, precision=precision)  # v@S = Sᵀv
     if nd == 2:
-      return _sp.sparse_dot(bt, a_l.T).T     # A @ S = (Sᵀ Aᵀ)ᵀ
+      return _sp.sparse_dot(bt, a_l.T, precision=precision).T
     raise ValueError(f"dot(dense {nd}-D, sparse) unsupported")
   return DotExpr(a, b, precision=precision)
 

@@ -580,3 +580,72 @@ def test_save_load_bsr_and_packed_caches(rng, tmp_path):
   got2 = np.asarray(sk.make_spmv_windowed(back2._windowed_cache,
                                           interpret=True)(jnp.asarray(x)))
   np.testing.assert_allclose(got2, dense @ x, rtol=1e-5, atol=1e-6)
+
+def test_review_fixes_sparse_surface(rng, tmp_path):
+  """r2-late review fixes: sparse transpose stays O(nnz); precision
+  reaches the sparse einsums; force_onehot honored at any n; winsh cache
+  persists; sparse@sparse raises clearly; packs upload once."""
+  import jax.numpy as jnp
+
+  # precision='highest' routes to the exact formulations and is recorded
+  A = ss.random(200, 200, density=0.05, random_state=1, format="csr",
+                dtype=np.float32)
+  S = sps.from_scipy(A, dtype=np.float32)
+  e = sp.dot(S, sp.from_numpy(rng.standard_normal((200, 3)).astype(
+      np.float32)), precision="highest")
+  assert e.precision == "highest"
+  ev = sps.spmv_expr(S, sp.from_numpy(np.ones(200, np.float32)))
+  assert ev.precision is None
+
+  # sparse @ sparse: clear error
+  with pytest.raises(TypeError, match="sparse @ sparse"):
+    _ = S @ sps.from_scipy(A)
+
+  # force_onehot keeps the one-hot route past n=32768 in eager spmv
+  from spartan_tpu.backend.kernels import spmv_pallas
+  from spartan_tpu.config import FLAGS
+  # (kernel correctness is covered elsewhere — only the ROUTING decision
+  # at n>32768 is under test, so stub the kernel out for speed)
+  calls = {"oh": 0}
+  orig_oh = spmv_pallas.sharded_onehot_spmv
+
+  def counting_stub(cols, vals, x, **kw):
+    calls["oh"] += 1
+    return jnp.zeros((cols.shape[0],), vals.dtype)
+
+  spmv_pallas.sharded_onehot_spmv = counting_stub
+  FLAGS.sparse_force_onehot = True
+  FLAGS.sparse_auto_bsr = False
+  try:
+    nb = 33000
+    rr = rng.integers(0, nb, 5000)
+    cc = rng.integers(0, nb, 5000)
+    Abig = ss.coo_matrix((np.ones(5000, np.float32), (rr, cc)),
+                         shape=(nb, nb)).tocsr()
+    Sbig = sps.from_scipy(Abig, dtype=np.float32)
+    xbig = rng.standard_normal(33000).astype(np.float32)
+    got = np.asarray(sps.spmv(Sbig, xbig))
+    assert calls["oh"] == 1          # one-hot route, NOT windowed
+    assert got.shape == (33000,)
+  finally:
+    spmv_pallas.sharded_onehot_spmv = orig_oh
+    FLAGS.sparse_force_onehot = False
+    FLAGS.sparse_auto_bsr = True
+
+  # winsh cache persists through save/load
+  S2 = sps.from_scipy(A, dtype=np.float32)
+  _ = S2.to_windowed_sharded(8)
+  sps.save_sparse(S2, str(tmp_path / "ws"))
+  back = sps.load_sparse(str(tmp_path / "ws"))
+  assert back._winsh_cache is not None and back._winsh_cache[0] == 8
+  assert back._winsh_cache[1].rb.shape == S2._winsh_cache[1].rb.shape
+
+  # device_arrays memoized (no re-upload per call)
+  w = S2.to_windowed()
+  d1 = w.device_arrays()
+  assert w.device_arrays() is d1
+
+  # transpose stays sparse (same nnz, matches scipy)
+  St = S.transpose()
+  assert St.nnz == S.nnz
+  np.testing.assert_allclose(St.todense(), A.T.toarray(), atol=1e-7)
