@@ -48,6 +48,30 @@ _STRIPS = 8          # ELL-entry strips of 128 per kernel block
 _LANES = 128
 
 
+def _onehot_pallas_call(cols, vals, xt, *, nq: int, kp: int,
+                        interpret: bool, use_bf16: bool):
+  """The one-hot kernel invocation shared by the single-device and
+  shard_map forms: cols/vals (rows, kp) with rows % 8 == 0, xt (128, nq)
+  — one source of truth for the specs/grid."""
+  rows = cols.shape[0]
+  return pl.pallas_call(
+      functools.partial(_onehot_kernel, use_bf16=use_bf16),
+      grid=(rows // _STRIPS, kp // _LANES),
+      in_specs=[
+          pl.BlockSpec((_STRIPS, _LANES), lambda i, j: (i, j),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((_STRIPS, _LANES), lambda i, j: (i, j),
+                       memory_space=pltpu.VMEM),
+          pl.BlockSpec((_LANES, nq), lambda i, j: (0, 0),
+                       memory_space=pltpu.VMEM),
+      ],
+      out_specs=pl.BlockSpec((_STRIPS, _LANES), lambda i, j: (i, j),
+                             memory_space=pltpu.VMEM),
+      out_shape=jax.ShapeDtypeStruct((rows, kp), jnp.float32),
+      interpret=interpret,
+  )(cols, vals, xt)
+
+
 def _onehot_kernel(cols_ref, vals_ref, xt_ref, out_ref, *, use_bf16):
   nq = xt_ref.shape[1]
   xt = xt_ref[...]
@@ -90,7 +114,6 @@ def spmv(cols: jax.Array, vals: jax.Array, x: jax.Array,
   m = x.shape[0]
   if x.dtype == jnp.float64:
     raise NotImplementedError("one-hot SpMV kernel is f32/bf16 only")
-  acc = jnp.float32
 
   # pad x up to a whole (nq, 128) grid and lay it out transposed so the
   # kernel's one-hot dot needs no in-kernel transpose
@@ -105,22 +128,8 @@ def spmv(cols: jax.Array, vals: jax.Array, x: jax.Array,
     cols = jnp.pad(cols, ((0, np_ - n), (0, kp - k)))
     vals = jnp.pad(vals, ((0, np_ - n), (0, kp - k)))
 
-  out = pl.pallas_call(
-      functools.partial(_onehot_kernel, use_bf16=use_bf16),
-      grid=(np_ // _STRIPS, kp // _LANES),
-      in_specs=[
-          pl.BlockSpec((_STRIPS, _LANES), lambda i, j: (i, j),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((_STRIPS, _LANES), lambda i, j: (i, j),
-                       memory_space=pltpu.VMEM),
-          pl.BlockSpec((_LANES, nq), lambda i, j: (0, 0),
-                       memory_space=pltpu.VMEM),
-      ],
-      out_specs=pl.BlockSpec((_STRIPS, _LANES), lambda i, j: (i, j),
-                             memory_space=pltpu.VMEM),
-      out_shape=jax.ShapeDtypeStruct((np_, kp), acc),
-      interpret=interpret,
-  )(cols, vals, xt)
+  out = _onehot_pallas_call(cols, vals, xt, nq=nq, kp=kp,
+                            interpret=interpret, use_bf16=use_bf16)
   return jnp.sum(out[:n], axis=1).astype(vals.dtype)
 
 
@@ -149,25 +158,10 @@ def sharded_onehot_spmv(cols: jax.Array, vals: jax.Array, x: jax.Array,
   if kp != k or np_ != n:
     cols = jnp.pad(cols, ((0, np_ - n), (0, kp - k)))
     vals = jnp.pad(vals, ((0, np_ - n), (0, kp - k)))
-  rows_l = np_ // p
 
   def body(cols_l, vals_l, xt_full):
-    return pl.pallas_call(
-        functools.partial(_onehot_kernel, use_bf16=use_bf16),
-        grid=(rows_l // _STRIPS, kp // _LANES),
-        in_specs=[
-            pl.BlockSpec((_STRIPS, _LANES), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_STRIPS, _LANES), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_LANES, nq), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((_STRIPS, _LANES), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((rows_l, kp), jnp.float32),
-        interpret=interpret,
-    )(cols_l, vals_l, xt_full)
+    return _onehot_pallas_call(cols_l, vals_l, xt_full, nq=nq, kp=kp,
+                               interpret=interpret, use_bf16=use_bf16)
 
   spec_r = PartitionSpec(ax_arg)
   fn = jax.shard_map(body, mesh=mesh,
@@ -583,6 +577,39 @@ def _windowed_kernel(rb_ref, win_ref, init_ref, cols_ref, rows_ref,
   out_ref[...] += acc
 
 
+def _windowed_grid_spec(s_n: int, lead_blocks):
+  """PrefetchScalarGridSpec shared by every windowed kernel variant —
+  keep the hard-won Mosaic constraints in ONE place:
+
+  * window blocks are (8,128) slices of x2d (mq,128) selected on the
+    SUBLANE axis via the prefetched flat window array (the lane dim of a
+    block must be 128-divisible, so windows cannot live on lanes);
+  * the window array is FLAT (S*8,): 2-D SMEM operands pad each row to
+    128 lanes (a (S,8) int32 costs S*512 B and overflows ~1 MB SMEM near
+    2K steps);
+  * output blocks revisit by prefetched row-block index b[s] (chunks are
+    rb-contiguous; first visit zeroes via the init flag).
+
+  ``lead_blocks``: per-operand block shapes for the non-window inputs
+  (after the 3 scalar-prefetch operands rb/win/init)."""
+
+  def _win_spec(k):
+    return pl.BlockSpec((_STRIPS, _LANES),
+                        lambda s, b, w, it, k=k: (w[s * _STRIPS + k], 0))
+
+  def _lead_spec(shape):
+    return pl.BlockSpec(shape, lambda s, b, w, it: (s, 0))
+
+  return pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=3,
+      grid=(s_n,),
+      in_specs=[_lead_spec(shape) for shape in lead_blocks]
+      + [_win_spec(k) for k in range(_STRIPS)],
+      out_specs=pl.BlockSpec((_STRIPS, _LANES),
+                             lambda s, b, w, it: (b[s], 0)),
+  )
+
+
 def windowed_spmv_traced(rb, win, init, cols_lo, rows_lo, vals, x, *,
                          shape, use_bf16: bool = False,
                          interpret: bool = False):
@@ -593,26 +620,8 @@ def windowed_spmv_traced(rb, win, init, cols_lo, rows_lo, vals, x, *,
   mq = -(-m // _WIN) * _STRIPS                   # x block-rows, padded
   n_rb = max(-(-n // _WIN), 1)
 
-  def _win_spec(k):
-    # (8,128) window of x2d (mq,128): Mosaic requires the lane dim of a
-    # block be 128-divisible, so windows live on the sublane axis.  The
-    # window array is FLAT (S*8,): 2-D SMEM operands are padded to 128
-    # lanes per row (a (S,8) int32 costs S*512 bytes and overflows the
-    # ~1 MB SMEM near 2K steps; flat packs densely).
-    return pl.BlockSpec((_STRIPS, _LANES),
-                        lambda s, b, w, it, k=k: (w[s * _STRIPS + k], 0))
-
-  grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=3,
-      grid=(s_n,),
-      in_specs=[
-          pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
-          pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
-          pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
-      ] + [_win_spec(k) for k in range(_STRIPS)],
-      out_specs=pl.BlockSpec((_STRIPS, _LANES),
-                             lambda s, b, w, it: (b[s], 0)),
-  )
+  grid_spec = _windowed_grid_spec(
+      s_n, [(_STRIPS, _LANES)] * 3)
   call = pl.pallas_call(
       functools.partial(_windowed_kernel, use_bf16=use_bf16),
       grid_spec=grid_spec,
@@ -667,22 +676,9 @@ def windowed_unique_spmv_traced(rb, win, init, cols_lo, vals, inv, x, *,
   mq = -(-m // _WIN) * _STRIPS
   n_rb = max(-(-n // _WIN), 1)
 
-  def _win_spec(k):
-    return pl.BlockSpec((_STRIPS, _LANES),
-                        lambda s, b, w, it, k=k: (w[s * _STRIPS + k], 0))
-
-  grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=3,
-      grid=(s_n,),
-      in_specs=[
-          pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
-          pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
-          pl.BlockSpec((_INV_LAYERS * _STRIPS * _STRIPS, _LANES),
-                       lambda s, b, w, it: (s, 0)),
-      ] + [_win_spec(k) for k in range(_STRIPS)],
-      out_specs=pl.BlockSpec((_STRIPS, _LANES),
-                             lambda s, b, w, it: (b[s], 0)),
-  )
+  grid_spec = _windowed_grid_spec(
+      s_n, [(_STRIPS, _LANES), (_STRIPS, _LANES),
+            (_INV_LAYERS * _STRIPS * _STRIPS, _LANES)])
   call = pl.pallas_call(
       _windowed_unique_kernel,
       grid_spec=grid_spec,
@@ -839,21 +835,8 @@ def sharded_windowed_spmv_traced(rb, win, init, cols_lo, rows_lo, vals, x,
     rows_f = rows_l.reshape(s_max * _STRIPS, _LANES)
     vals_f = vals_l.reshape(s_max * _STRIPS, _LANES)
 
-    def _win_spec(k):
-      return pl.BlockSpec((_STRIPS, _LANES),
-                          lambda s, b, w, it, k=k: (w[s * _STRIPS + k], 0))
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(s_max,),
-        in_specs=[
-            pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
-            pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
-            pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (s, 0)),
-        ] + [_win_spec(k) for k in range(_STRIPS)],
-        out_specs=pl.BlockSpec((_STRIPS, _LANES),
-                               lambda s, b, w, it: (b[s], 0)),
-    )
+    grid_spec = _windowed_grid_spec(
+        s_max, [(_STRIPS, _LANES)] * 3)
     out = pl.pallas_call(
         functools.partial(_windowed_kernel, use_bf16=use_bf16),
         grid_spec=grid_spec,
