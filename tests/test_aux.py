@@ -151,6 +151,10 @@ def test_graft_entry_contract():
   spec.loader.exec_module(m)
   import jax
   fn, args = m.entry()
+  # entry() must exercise the framework's own emission path (a lazy DAG
+  # lowered through autodiff.as_function), not a hand-written jax model
+  from spartan_tpu.expr.base import Expr
+  assert isinstance(getattr(fn, "_spartan_expr", None), Expr)
   out = jax.jit(fn)(*args)
   assert out.shape == (8, 10)
   m.dryrun_multichip(8)

@@ -35,13 +35,11 @@ def main() -> None:
   bench._enable_compile_cache()
   _st("cache enabled")
 
-  stages = [
-      ("config1 elementwise+reduce", bench.bench_elementwise_reduce),
-      ("config2 dot", bench.bench_matmul),
-      ("config3 linreg", bench.bench_linreg_step),
-      ("config4 kmeans", bench.bench_kmeans_step),
-      ("config5 pagerank", bench.bench_pagerank_step),
-  ]
+  # iterate bench.py's own stage registry so the primed program set always
+  # matches what the driver's orchestrator will run (incl. the 4096²
+  # provisional config-1 stage and the oracle-verify region)
+  stages = [(name, bench.STAGES[name])
+            for name in bench.DEFAULT_PLAN + ["nonaffine"]]
   failures = 0
   for name, fn in stages:
     try:
