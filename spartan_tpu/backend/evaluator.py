@@ -52,7 +52,8 @@ def _opt_flags_fingerprint() -> tuple:
   program depends on which passes ran)."""
   return (FLAGS.optimization, FLAGS.opt_fusion, FLAGS.opt_reduce_fusion,
           FLAGS.opt_collapse_cached, FLAGS.opt_const_fold,
-          FLAGS.opt_auto_tiling, FLAGS.replicate_small_bytes)
+          FLAGS.opt_auto_tiling, FLAGS.replicate_small_bytes,
+          FLAGS.opt_smart_tiling, FLAGS.smart_tiling_max_nodes)
 
 
 def _materialize_unshapeable(expr: Expr) -> None:

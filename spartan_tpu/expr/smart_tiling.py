@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence, Tuple
 
+import math
+
 import numpy as np
 from jax.sharding import PartitionSpec
 
@@ -54,11 +56,46 @@ def _n_shards(entry, mesh) -> int:
   return n
 
 
+_norm_memo: Dict[Tuple, Tuple] = {}
+
+
 def _norm(spec: PartitionSpec, ndim: int) -> Tuple:
+  # hot inside the DP's O(cands³) dot loop — memoize (specs are hashable)
+  try:
+    hit = _norm_memo.get((spec, ndim))
+    if hit is not None:
+      return hit
+  except TypeError:
+    hit = None
   entries = tuple(spec)
   entries = entries + (None,) * (ndim - len(entries))
-  return tuple(tuple(e) if isinstance(e, (tuple, list)) else e
-               for e in entries[:ndim])
+  out = tuple(tuple(e) if isinstance(e, (tuple, list)) else e
+              for e in entries[:ndim])
+  if hit is None:
+    try:
+      if len(_norm_memo) > 4096:
+        _norm_memo.clear()
+      _norm_memo[(spec, ndim)] = out
+    except TypeError:
+      pass
+  return out
+
+
+_itemsize_memo: Dict = {}
+
+
+def _itemsize(dtype) -> int:
+  try:
+    hit = _itemsize_memo.get(dtype)
+    if hit is None:
+      hit = _itemsize_memo[dtype] = np.dtype(dtype).itemsize
+    return hit
+  except TypeError:
+    return np.dtype(dtype).itemsize
+
+
+def _nelems(shape) -> float:
+  return float(math.prod(shape)) if shape else 1.0
 
 
 def spec_fits(spec: PartitionSpec, shape, mesh) -> bool:
@@ -107,6 +144,30 @@ def candidate_specs(shape, mesh) -> List[PartitionSpec]:
   return out
 
 
+# Compute-imbalance charge.  The reference's model was network-bytes-only
+# because its tile partitioning never admitted replication as a layout; on
+# a device mesh "replicate everything" has ZERO collectives and would win
+# every comm-only comparison while making every chip do the full work.
+# Charge each op β·work_bytes/util, where util is the number of devices
+# the op's work is partitioned over and β ≈ 0.1 reflects that processing
+# a byte locally is ~10× cheaper than moving it across ICI.  Replication
+# still wins for small arrays (work term vanishes with size) — the
+# r2 "replicate small leaves" insight falls out of the model for free.
+_COMPUTE_WEIGHT = 0.1
+
+
+def _compute_cost(work_elems: float, itemsize: int, util: int) -> float:
+  return _COMPUTE_WEIGHT * float(work_elems) * itemsize / max(util, 1)
+
+
+def _spec_util(spec: PartitionSpec, ndim: int, mesh) -> int:
+  """Number of devices a spec partitions work over."""
+  util = 1
+  for entry in _norm(spec, ndim):
+    util *= _n_shards(entry, mesh)
+  return util
+
+
 def reshard_bytes(shape, dtype, src: PartitionSpec, dst: PartitionSpec,
                   mesh) -> float:
   """Estimated ICI bytes to move an array from ``src`` to ``dst`` layout.
@@ -121,7 +182,7 @@ def reshard_bytes(shape, dtype, src: PartitionSpec, dst: PartitionSpec,
   """
   if not shape:
     return 0.0
-  b = float(np.prod(shape)) * np.dtype(dtype).itemsize
+  b = _nelems(shape) * _itemsize(dtype)
   s, d = _norm(src, len(shape)), _norm(dst, len(shape))
   if s == d:
     return 0.0
@@ -142,82 +203,87 @@ def reshard_bytes(shape, dtype, src: PartitionSpec, dst: PartitionSpec,
 
 def _dot_cost(a_shape, b_shape, dtype, a_spec, b_spec, out_spec,
               mesh) -> float:
-  """Comm bytes for C[m,n] = A[m,k] @ B[k,n] given layouts: the operands
-  must be gathered along the partner's output axis, and contracted-dim
-  sharding costs a reduce-scatter of C partials (the reference's "dot
-  shuffle")."""
-  itemsize = np.dtype(dtype).itemsize
-  a_b = float(np.prod(a_shape)) * itemsize
-  b_b = float(np.prod(b_shape)) * itemsize
-  m_entry, n_entry = (_norm(out_spec, 2) + (None, None))[:2]
+  """Cost of C[m,n] = A[m,k] @ B[k,n] given operand layouts and the
+  wanted output layout.
+
+  Coherent SPMD story (replaces r2's per-symptom charges, which billed
+  phantom gathers for operands that were already replicated): the output
+  spec (S_m, S_n) plus the operands' contraction sharding S_k determine
+  the canonical partitioned algorithm's REQUIRED operand layouts
+  A:(S_m, S_k), B:(S_k, S_n).  Charge
+
+    * the real reshard bytes from each operand's current layout to its
+      required layout (already-there and refine-from-replicated are free),
+    * the partial-sum combine of C over the S_k shards (psum /
+      reduce-scatter — the reference's "dot shuffle"),
+    * the compute-imbalance term over the devices the contraction
+      actually partitions across.
+  """
+  itemsize = _itemsize(dtype)
+
+  def _ax(e):
+    if e is None:
+      return ()
+    return tuple(e) if isinstance(e, (tuple, list)) else (e,)
+
+  # map the (≤2-D) output spec entries onto (m, n)
+  o = _norm(out_spec, 2) + (None, None)
+  if len(a_shape) == 2 and len(b_shape) == 2:
+    m_entry, n_entry = o[0], o[1]
+  elif len(a_shape) == 1 and len(b_shape) == 2:   # vec @ mat → (n,)
+    m_entry, n_entry = None, o[0]
+  elif len(a_shape) == 2:                          # mat @ vec → (m,)
+    m_entry, n_entry = o[0], None
+  else:                                            # vec @ vec → scalar
+    m_entry = n_entry = None
   # 1-D operands: the single dim IS the contraction dim
   if len(a_shape) == 2:
-    a_m, a_k = _norm(a_spec, 2)
+    _, a_k = _norm(a_spec, 2)
   elif len(a_shape) == 1:
-    a_m, a_k = None, _norm(a_spec, 1)[0]
+    a_k = _norm(a_spec, 1)[0]
   else:
-    a_m, a_k = None, None
+    a_k = None
   if len(b_shape) == 2:
-    b_k, b_n = _norm(b_spec, 2)
+    b_k, _ = _norm(b_spec, 2)
   elif len(b_shape) == 1:
-    b_k, b_n = _norm(b_spec, 1)[0], None
+    b_k = _norm(b_spec, 1)[0]
   else:
-    b_k, b_n = None, None
-  cost = 0.0
-  # B must be visible to every shard-row of A's m-partition: all-gather B
-  # over the axes sharding m (unless B already replicated over them)
-  km = _n_shards(m_entry, mesh)
-  kn = _n_shards(n_entry, mesh)
-  if km > 1:
-    cost += b_b * (km - 1) / km
-  if kn > 1:
-    cost += a_b * (kn - 1) / kn
-  # contracted-dim sharding MISMATCH: operands must re-align before the
-  # local contraction — charge moving the smaller operand
+    b_k = None
+
   ka, kb = _n_shards(a_k, mesh), _n_shards(b_k, mesh)
-  def _ax(e):
-    return tuple(e) if isinstance(e, (tuple, list)) else (e,)
-  if ka > 1 and kb > 1 and _ax(a_k) != _ax(b_k):
-    cost += min(a_b, b_b) * (1 - 1.0 / max(ka, kb))
-  elif ka != kb:
-    # One side sharded on k, the other not.  Each k-shard slices the
-    # unsharded operand locally — free ONLY if that operand is visible
-    # (replicated) over the k-sharding axes.  If it is itself sharded
-    # over any of those same mesh axes (along a non-k dim), its pieces
-    # live on the wrong devices and must first be gathered over them
-    # (previously an uncharged `pass` — VERDICT r1 weak #6).
-    k_axes = set(_ax(a_k if ka > 1 else b_k)) - {None}
-    if ka > 1:
-      other_b, other_spec, other_shape = b_b, b_spec, b_shape
-    else:
-      other_b, other_spec, other_shape = a_b, a_spec, a_shape
-    conflict = 1
-    for e in _norm(other_spec, len(other_shape)):
-      for ax in _ax(e):
-        if ax in k_axes:
-          conflict *= mesh.shape[ax]
-    if conflict > 1:
-      cost += other_b * (conflict - 1) / conflict
-  # contracted dim sharded → partial-sum reduce of C
-  kk = max(ka, kb)
-  if kk > 1:
-    m = a_shape[0] if len(a_shape) == 2 else 1
-    n = b_shape[1] if len(b_shape) == 2 else 1
-    cost += float(m) * n * itemsize * (kk - 1) / kk
-  # layout mismatches beyond the gathered copies.  A consistently
-  # sharded contraction dim is the reduce-scatter dot pattern and must
-  # NOT be charged as a gather — keep it in the wanted layout.
-  mismatch = ka > 1 and kb > 1 and _ax(a_k) != _ax(b_k)
-  keep_ak = a_k if (ka > 1 and not mismatch) else None
-  keep_bk = b_k if (kb > 1 and not mismatch) else None
+  # contraction sharding: keep the operands' k-sharding when present
+  # (mismatch realigns to the more-sharded side); axes already spent on
+  # the output's m/n cannot also split k
+  if ka >= kb and ka > 1:
+    s_k = a_k
+  elif kb > 1:
+    s_k = b_k
+  else:
+    s_k = None
+  if set(_ax(s_k)) & (set(_ax(m_entry)) | set(_ax(n_entry))):
+    s_k = None
+  kk = _n_shards(s_k, mesh)
+
+  cost = 0.0
   if len(a_shape) == 2:
-    want_a = PartitionSpec(m_entry if _ax(m_entry) != _ax(keep_ak)
-                           else None, keep_ak)
-    cost += reshard_bytes(a_shape, dtype, a_spec, want_a, mesh) * 0.5
+    cost += reshard_bytes(a_shape, dtype, a_spec,
+                          PartitionSpec(m_entry, s_k), mesh)
+  elif len(a_shape) == 1:
+    cost += reshard_bytes(a_shape, dtype, a_spec, PartitionSpec(s_k), mesh)
   if len(b_shape) == 2:
-    want_b = PartitionSpec(keep_bk, n_entry if _ax(n_entry) != _ax(keep_bk)
-                           else None)
-    cost += reshard_bytes(b_shape, dtype, b_spec, want_b, mesh) * 0.5
+    cost += reshard_bytes(b_shape, dtype, b_spec,
+                          PartitionSpec(s_k, n_entry), mesh)
+  elif len(b_shape) == 1:
+    cost += reshard_bytes(b_shape, dtype, b_spec, PartitionSpec(s_k), mesh)
+
+  m = a_shape[0] if len(a_shape) == 2 else 1
+  n = b_shape[1] if len(b_shape) == 2 else 1
+  k = a_shape[-1] if a_shape else 1
+  if kk > 1:  # partial-sum combine of C over the contraction shards
+    cost += float(m) * n * itemsize * (kk - 1) / kk
+  km, kn = _n_shards(m_entry, mesh), _n_shards(n_entry, mesh)
+  util = min(km * kn * max(kk, 1), int(mesh.devices.size))
+  cost += _compute_cost(float(m) * n * k, itemsize, util)
   return cost
 
 
@@ -245,14 +311,14 @@ def _stencil_halo_bytes(shape, dtype, spec, mesh, halo: int = 1) -> float:
   sharded spatial dim moves ``halo`` boundary rows per shard per side
   (the reference's neighbor-tile fetch, as one ppermute ring)."""
   entries = _norm(spec, len(shape))
-  item = np.dtype(dtype).itemsize
+  item = _itemsize(dtype)
   total = 0.0
   for d, entry in enumerate(entries):
     k = _n_shards(entry, mesh)
     if k <= 1:
       continue
     ghost_rows = 2 * halo * k  # both directions, every boundary
-    row_bytes = float(np.prod(shape or (1,))) / max(shape[d], 1) * item
+    row_bytes = _nelems(shape) / max(shape[d], 1) * item
     total += ghost_rows * row_bytes
   return total
 
@@ -282,17 +348,31 @@ def plan(expr: Expr, mesh=None) -> TilingPlan:
     out: Dict[Tuple, Tuple[float, PartitionSpec, list]] = {}
 
     if isinstance(e, Val):
-      # a leaf may be re-laid-out once at placement time: charge the move
-      # from its current layout (if it already lives on the mesh)
+      # Steady-state planning: a placement move is one-time and amortizes
+      # to ~nothing over a program, so it enters only as an EPSILON
+      # tie-break toward the leaf's current layout — this makes the plan a
+      # near-pure function of DAG structure, so re-planning an
+      # already-placed DAG fixpoints immediately instead of oscillating
+      # (each transient layout re-plans AND recompiles the region).
+      # Replicating a leaf does carry a standing cost (n copies of the
+      # array resident in HBM): charge a small per-byte term so big
+      # leaves prefer sharded layouts when otherwise near-tied while
+      # small leaves still replicate (the r2 netflix-factor lesson).
       cur = (e.value.tiling.spec if isinstance(e.value, SpartanArray)
              else PartitionSpec())
+      b = _nelems(shape) * _itemsize(dtype)
+      n_total = int(mesh.devices.size)
+      for s in cands:
+        replicas = n_total // max(_spec_util(s, len(shape), mesh), 1)
+        mem = 0.05 * b * (replicas - 1) / max(replicas, 1)
+        tie = 1e-6 * reshard_bytes(shape, dtype, cur, s, mesh)
+        out[_norm(s, len(shape))] = (mem + tie, s, [])
+    elif isinstance(e, CreationExpr):
+      item = _itemsize(dtype)
       for s in cands:
         out[_norm(s, len(shape))] = (
-            reshard_bytes(shape, dtype, cur, s, mesh) * 0.1, s, [])
-      # (×0.1: a one-time placement move amortizes across the whole program)
-    elif isinstance(e, CreationExpr):
-      for s in cands:
-        out[_norm(s, len(shape))] = (0.0, s, [])
+            _compute_cost(_nelems(shape), item,
+                          _spec_util(s, len(shape), mesh)), s, [])
     elif isinstance(e, (MapExpr, MapWithLocationExpr)):
       kids = [c for c in e.inputs]
       kid_tabs = [solve(c) for c in kids]
@@ -305,7 +385,7 @@ def plan(expr: Expr, mesh=None) -> TilingPlan:
           except Exception:
             picks.append((c, PartitionSpec()))
             continue
-          if len(cshape) != len(shape) or int(np.prod(cshape or (1,))) <= 1:
+          if len(cshape) != len(shape) or _nelems(cshape) <= 1:
             # broadcast operand: replicated is free enough
             best_c = min(tab.values(), key=lambda v: v[0])
             total += best_c[0]
@@ -319,6 +399,8 @@ def plan(expr: Expr, mesh=None) -> TilingPlan:
               best_cost, best_spec = t, cspec
           total += best_cost
           picks.append((c, best_spec))
+        total += _compute_cost(_nelems(shape), _itemsize(dtype),
+                               _spec_util(s, len(shape), mesh))
         out[_norm(s, len(shape))] = (total, s, picks)
     elif isinstance(e, ReduceExpr):
       kids = list(e.inputs)
@@ -343,9 +425,14 @@ def plan(expr: Expr, mesh=None) -> TilingPlan:
               a %= rep.ndim
               if a < len(centr):
                 kk *= _n_shards(centr[a], mesh)
-          combine = (float(np.prod(shape or (1,))) *
-                     np.dtype(dtype).itemsize * (kk - 1) / max(kk, 1))
-          t = ccost + move + combine
+          combine = (_nelems(shape) * _itemsize(dtype)
+                     * (kk - 1) / max(kk, 1))
+          try:
+            work = _compute_cost(rep.size, _itemsize(rep.dtype),
+                                 _spec_util(cspec, rep.ndim, mesh))
+          except Exception:
+            work = 0.0
+          t = ccost + move + combine + work
           if best is None or t < best[0]:
             best = (t, cspec)
         others = 0.0
@@ -418,9 +505,11 @@ def plan(expr: Expr, mesh=None) -> TilingPlan:
           try:
             halo = _stencil_halo_bytes(c0.shape, c0.dtype, cspec, mesh)
             move = reshard_bytes(shape, dtype, cspec, s, mesh)
+            work = _compute_cost(c0.size, _itemsize(c0.dtype),
+                                 _spec_util(cspec, c0.ndim, mesh))
           except Exception:
-            halo, move = 0.0, 0.0
-          t = ccost + halo + move
+            halo, move, work = 0.0, 0.0, 0.0
+          t = ccost + halo + move + work
           if best is None or t < best[0]:
             best = (t, cspec)
         out[_norm(s, len(shape))] = (best[0] + others, s,
@@ -437,10 +526,12 @@ def plan(expr: Expr, mesh=None) -> TilingPlan:
         base += bc[0]
         picks.append((c, bc[1]))
       n_total = float(np.prod([mesh.shape[a] for a in mesh.axis_names]))
-      a2a = (float(np.prod(shape or (1,))) * np.dtype(dtype).itemsize *
+      a2a = (_nelems(shape) * _itemsize(dtype) *
              (n_total - 1) / max(n_total, 1))
       for s in cands:
-        out[_norm(s, len(shape))] = (base + a2a, s, picks)
+        work = _compute_cost(_nelems(shape), _itemsize(dtype),
+                             _spec_util(s, len(shape), mesh))
+        out[_norm(s, len(shape))] = (base + a2a + work, s, picks)
     else:
       # structural ops: chain through the dominant child
       kids = e.children()
@@ -535,8 +626,9 @@ def _reduce_out_spec(child_spec: PartitionSpec, child_shape, axis,
 
 
 def apply_plan(expr: Expr, plan_: TilingPlan, mesh=None) -> None:
-  """Reshard the DAG's SpartanArray leaves to the planned layouts
-  (in place: the Val's wrapped array is replaced)."""
+  """Reshard the DAG's SpartanArray leaves to the planned layouts —
+  in place on the arrays themselves (``reshard_``), so every holder sees
+  the planned placement from then on."""
   mesh = mesh or get_mesh()
 
   def visit(e: Expr):
@@ -544,7 +636,7 @@ def apply_plan(expr: Expr, plan_: TilingPlan, mesh=None) -> None:
       spec = plan_.leaf_specs.get(e.expr_id)
       if spec is not None and _norm(spec, e.value.ndim) != _norm(
           e.value.tiling.spec, e.value.ndim):
-        e.value = e.value.reshard(Tiling(mesh, spec))
+        e.value.reshard_(Tiling(mesh, spec))
 
   expr.visit(visit)
 

@@ -119,6 +119,12 @@ class PercentileExpr(Expr):
     v_lo = vals[np.asarray([where[r] for r in lo])].astype(fdt)
     v_hi = vals[np.asarray([where[r] for r in hi])].astype(fdt)
     out = v_lo + (v_hi - v_lo) * jnp.asarray(pos - np.floor(pos), fdt)
+    if jnp.issubdtype(x.dtype, jnp.floating):
+      # NaN propagation (ADVICE r2): the rank search encodes NaN as the
+      # max key and would return a finite order statistic; numpy (and the
+      # gather route's jnp.percentile) return NaN whenever any input is
+      # NaN — emit the same.  NaN-aware callers use nanpercentile.
+      out = jnp.where(jnp.any(jnp.isnan(x)), jnp.asarray(jnp.nan, fdt), out)
     # match the gather lowering's aval exactly — routing is mesh-dependent
     # but avals are cached mesh-independently, so both routes must agree.
     ref = jax.eval_shape(self._emit_gather,

@@ -29,6 +29,12 @@ def _expr(a, b):
 
 
 def test_results_invariant_under_passes(rng, toggle):
+  # bit-exactness across pass permutations holds per-LAYOUT: pin the
+  # heuristic tiler so every permutation computes over identical layouts
+  # (the cost-model pass may lay out differently depending on which fusion
+  # passes ran, which permutes float summation order at ~1e-15 — layout
+  # choice is allowed to do that; fusion passes are not)
+  toggle.opt_smart_tiling = False
   a_np = rng.standard_normal((16, 16))
   b_np = rng.standard_normal((16, 16))
   want = ((_expr(a_np, b_np)).sum(axis=0))
@@ -117,28 +123,61 @@ def test_largest_input_chooses_tiling(rng):
 
 
 def test_smart_tiling_known_dags(rng):
-  """The smart-tiler picks the expected shardings for canonical DAGs
-  (reference tiling tests; SURVEY.md §4)."""
+  """The inheritance-heuristic tiler picks the expected shardings for
+  canonical DAGs (reference tiling tests; SURVEY.md §4).  Scoped to the
+  heuristic branch — the production cost-model pass has its own canonical
+  expectations below."""
+  from spartan_tpu.config import FLAGS
   from spartan_tpu.core.mesh import get_mesh
   mesh = get_mesh()
-  a = sp.from_numpy(rng.standard_normal((16, 16)))
-  b = sp.from_numpy(rng.standard_normal((16, 16)))
-  # dot output: 2-D mesh-sharded (one axis per dim)
-  d = optimize(sp.dot(a, b))
-  entries = tuple(d.tiling_hint.spec)
-  axes_used = {e for e in entries if e is not None}
-  assert len(axes_used) == 2
-  # full reduction: replicated scalar
-  r = optimize(sp.sum(a))
-  assert tuple(r.tiling_hint.spec) == ()
-  # axis-reduction keeps the surviving dim's axes
-  r1 = optimize(sp.sum(a, axis=1))
-  surviving = tuple(r1.tiling_hint.spec)
-  assert len(surviving) <= 1
-  # transpose swaps the spec entries
-  t = optimize(a.T)
-  ta = tuple(optimize(sp.lazify(a.value) + 0.0).tiling_hint.spec)
-  assert tuple(t.tiling_hint.spec) == tuple(reversed(ta))
+  FLAGS.opt_smart_tiling = False
+  try:
+    a = sp.from_numpy(rng.standard_normal((16, 16)))
+    b = sp.from_numpy(rng.standard_normal((16, 16)))
+    # dot output: 2-D mesh-sharded (one axis per dim)
+    d = optimize(sp.dot(a, b))
+    entries = tuple(d.tiling_hint.spec)
+    axes_used = {e for e in entries if e is not None}
+    assert len(axes_used) == 2
+    # full reduction: replicated scalar
+    r = optimize(sp.sum(a))
+    assert tuple(r.tiling_hint.spec) == ()
+    # axis-reduction keeps the surviving dim's axes
+    r1 = optimize(sp.sum(a, axis=1))
+    surviving = tuple(r1.tiling_hint.spec)
+    assert len(surviving) <= 1
+    # transpose swaps the spec entries
+    t = optimize(a.T)
+    ta = tuple(optimize(sp.lazify(a.value) + 0.0).tiling_hint.spec)
+    assert tuple(t.tiling_hint.spec) == tuple(reversed(ta))
+  finally:
+    FLAGS.opt_smart_tiling = True
+
+
+def test_cost_model_tiling_canonical(rng):
+  """The production cost-model pass (default path, plain optimize())
+  picks canonical layouts: a big dot partitions its output over the full
+  mesh and row-shards the left operand IN PLACE; a gradient-shaped
+  X^T(Xw) keeps X sharded and the weight replicated."""
+  from spartan_tpu.core.mesh import get_mesh
+  from spartan_tpu.expr.smart_tiling import _spec_util
+  mesh = get_mesh()
+  n_dev = int(mesh.devices.size)
+
+  A = sp.from_numpy(rng.standard_normal((256, 256)))
+  B = sp.from_numpy(rng.standard_normal((256, 256)))
+  d = optimize(sp.dot(A, B))
+  assert _spec_util(d.tiling_hint.spec, 2, mesh) == n_dev
+  # the pass re-placed the row operand in place (placement persists)
+  assert _spec_util(A.value.tiling.spec, 2, mesh) > 1
+
+  X = sp.from_numpy(rng.standard_normal((64 * n_dev, 32)))
+  w = sp.from_numpy(rng.standard_normal(32))
+  g = optimize(sp.dot(X.T, sp.dot(X, w)))
+  # gradient output: small vector — replicated (every device needs w)
+  assert _spec_util(g.tiling_hint.spec, 1, mesh) == 1
+  # X stays row-sharded: the data-parallel layout
+  assert _spec_util(X.value.tiling.spec, 2, mesh) > 1
 
 
 def test_optimization_pass_counts(rng):

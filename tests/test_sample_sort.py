@@ -119,6 +119,26 @@ def test_sample_percentile_median_selection(rng):
                                np.quantile(a, 0.31), rtol=1e-12)
 
 
+def test_sample_percentile_nan_propagates(rng):
+  """ADVICE r2 (medium): the rank-search route must return NaN when any
+  input is NaN — matching numpy and the gather route — so identical
+  programs can't give different answers depending on sort_method/mesh."""
+  a = rng.standard_normal(1 << 12)
+  a[137] = np.nan
+  sa = sp.from_numpy(a)
+  with sample_method():
+    assert np.isnan(float(sp.percentile(sa, 50.0).glom()))
+    assert np.isnan(float(sp.median(sa).glom()))
+    out = np.asarray(sp.percentile(sa, [25.0, 75.0]).glom())
+    assert np.isnan(out).all()
+  # gather route agrees (was already NaN)
+  assert np.isnan(float(sp.percentile(sp.from_numpy(a), 50.0).glom()))
+  # and the NaN-aware spellings still select over the finite values
+  with sample_method():
+    np.testing.assert_allclose(float(sp.nanpercentile(sa, 50.0).glom()),
+                               np.nanpercentile(a, 50.0), rtol=1e-12)
+
+
 def test_sample_percentile_int_input(rng):
   a = rng.integers(0, 10**6, 1 << 12).astype(np.int32)
   with sample_method():

@@ -381,6 +381,57 @@ def test_spmv_onehot_sharded_route_on_mesh(rng):
     FLAGS.sparse_force_onehot = old_oh
     FLAGS.sparse_auto_bsr = old_bsr
 
+def test_spmv_eager_f64_matrix_promotes(rng):
+  """ADVICE r2: an f64 SparseArray with f32 x must take the exact XLA
+  path and return the promoted f64 — the Pallas gates may not pack the
+  f64 values down to f32 (the eager gates previously checked only
+  x.dtype)."""
+  import scipy.sparse as ss
+
+  from spartan_tpu.backend import sparse as sps
+  from spartan_tpu.config import FLAGS
+
+  old = FLAGS.sparse_force_onehot
+  FLAGS.sparse_force_onehot = True   # would take the Pallas gate if buggy
+  try:
+    A = ss.random(300, 300, density=0.05, random_state=7, format="csr",
+                  dtype=np.float64)
+    S = sps.from_scipy(A, dtype=np.float64)
+    x = rng.standard_normal(300).astype(np.float32)
+    out = sps.spmv(S, x)
+    assert out.dtype == np.float64
+    np.testing.assert_allclose(np.asarray(out), A @ x.astype(np.float64),
+                               rtol=1e-6)
+  finally:
+    FLAGS.sparse_force_onehot = old
+
+
+def test_spmv_expr_global_precision_flag_routes_exact(rng):
+  """ADVICE r2: a global --dot_precision=highest must suppress the
+  bf16-pass windowed/one-hot routes at SpMVExpr construction, same as the
+  per-call precision override."""
+  import scipy.sparse as ss
+
+  from spartan_tpu.backend import sparse as sps
+  from spartan_tpu.config import FLAGS
+
+  old = (FLAGS.dot_precision, FLAGS.sparse_force_windowed,
+         FLAGS.sparse_auto_bsr)
+  FLAGS.dot_precision = "highest"
+  FLAGS.sparse_force_windowed = True  # would pick fmt='win*' if not exact
+  FLAGS.sparse_auto_bsr = False
+  try:
+    A = ss.random(400, 400, density=0.02, random_state=3, format="csr",
+                  dtype=np.float32)
+    e = sps.spmv_expr(sps.from_scipy(A, dtype=np.float32),
+                      sp.from_numpy(rng.standard_normal(400)
+                                    .astype(np.float32)))
+    assert e.fmt == "ell", e.fmt  # exact gather formulation, not windowed
+  finally:
+    (FLAGS.dot_precision, FLAGS.sparse_force_windowed,
+     FLAGS.sparse_auto_bsr) = old
+
+
 def test_grad_through_spmv_all_formats(rng):
   """sp.grad must flow through every SpMV route: the autodiff bridge asks
   emitters for the differentiable lowering (COO scatter-add for windowed
@@ -439,6 +490,26 @@ def test_grad_through_spmv_all_formats(rng):
   finally:
     (FLAGS.sparse_force_windowed, FLAGS.sparse_force_onehot,
      FLAGS.sparse_auto_bsr) = old
+
+def test_sparse_transpose_memoized(rng):
+  """VERDICT r2 weak #4: dot(dense, S) builds S.T per construction —
+  the host-round-trip transpose must be computed once and cached on the
+  instance (and S.T.T is S)."""
+  A = ss.random(96, 64, density=0.1, random_state=np.random.RandomState(5),
+                format="csr")
+  S = sps.from_scipy(A)
+  t1 = S.T
+  assert S.T is t1          # memoized
+  assert t1.T is S          # involution resolves to the original
+  C = rng.standard_normal((4, 96))
+  # two constructions reuse the same transposed instance
+  e1, e2 = sp.dot(sp.from_numpy(C), S), sp.dot(sp.from_numpy(C), S)
+  np.testing.assert_allclose(np.asarray(e1.glom()), C @ A.toarray(),
+                             atol=1e-10)
+  np.testing.assert_allclose(np.asarray(e2.glom()), C @ A.toarray(),
+                             atol=1e-10)
+  assert S.T is t1
+
 
 def test_sparse_dot_dispatch(rng):
   """sp.dot with sparse operands dispatches to the sparse kernels (the
