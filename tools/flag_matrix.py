@@ -18,6 +18,8 @@ MATRIX = [
     {"SPARTAN_OPT_AFFINE_REDUCE": "0"},
     {"SPARTAN_OPT_CONST_FOLD": "0"},
     {"SPARTAN_OPT_AUTO_TILING": "0"},
+    {"SPARTAN_OPT_SMART_TILING": "0"},
+    {"SPARTAN_SMART_TILING_MAX_NODES": "4"},   # forces the heuristic fallback
     {"SPARTAN_USE_PALLAS": "0"},
     {"SPARTAN_PALLAS_INTERPRET": "1"},
     {"SPARTAN_CHUNK_EVAL_THRESHOLD": "50"},
