@@ -41,6 +41,27 @@ def fit(points, k: int, iterations: int = 15, m: float = 2.0, seed: int = 0):
   return centers.evaluate(), u.evaluate()
 
 
+def fit_fused(points, k: int, iterations: int = 15, m: float = 2.0,
+              seed: int = 0):
+  """Whole fuzzy-c-means run in ONE compiled on-device loop
+  (sp.make_fori over the centers carry); semantically identical to
+  :func:`fit`."""
+  points = sp.lazify(points)
+  n, d = points.shape
+  rng = np.random.default_rng(seed)
+  c0 = sp.from_numpy(
+      np.asarray(points.evaluate().glom()[rng.choice(n, k, replace=False)]))
+  run = sp.make_fori(
+      lambda c: update_centers(points, memberships(points, c, m), m), c0)
+  centers = run(iterations)
+  # :func:`fit` returns the memberships w.r.t. the centers BEFORE the
+  # last update (the classic FCM loop order) — same compiled program,
+  # one fewer iteration, zero recompiles (the count is a traced operand)
+  c_prev = run(iterations - 1) if iterations > 0 else c0.evaluate()
+  u = memberships(points, sp.lazify(c_prev), m).evaluate()
+  return centers, u
+
+
 def run(n: int = 2048, d: int = 4, k: int = 3, iterations: int = 15):
   from spartan_tpu.examples.kmeans import make_data
   pts, true_centers = make_data(n, d, k)

@@ -30,6 +30,16 @@ def fit(X, y, iterations: int = 50, alpha: float = 1.0):
   return w.evaluate()
 
 
+def fit_fused(X, y, iterations: int = 50, alpha: float = 1.0):
+  """Whole training run in ONE compiled on-device loop (sp.make_fori) —
+  no per-step host dispatch (seconds/step through a tunneled chip);
+  semantically identical to :func:`fit`."""
+  X, y = sp.lazify(X), sp.lazify(y)
+  run = sp.make_fori(lambda w: gradient_step(X, y, w, alpha),
+                     sp.zeros((X.shape[1],), dtype=np.float64))
+  return run(iterations)
+
+
 def predict(X, w):
   return sigmoid(sp.dot(sp.lazify(X), sp.lazify(w))) > 0.5
 

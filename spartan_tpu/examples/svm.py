@@ -28,6 +28,16 @@ def fit(X, y, iterations: int = 100, alpha: float = 0.1, C: float = 10.0):
   return w.evaluate()
 
 
+def fit_fused(X, y, iterations: int = 100, alpha: float = 0.1,
+              C: float = 10.0):
+  """Whole subgradient run in ONE compiled on-device loop (sp.make_fori);
+  semantically identical to :func:`fit`."""
+  X, y = sp.lazify(X), sp.lazify(y)
+  run = sp.make_fori(lambda w: gradient_step(X, y, w, alpha, C),
+                     sp.zeros((X.shape[1],), dtype=np.float64))
+  return run(iterations)
+
+
 def predict(X, w):
   return sp.sign(sp.dot(sp.lazify(X), sp.lazify(w)))
 

@@ -26,7 +26,10 @@ class LinearRegression:
     self.coef_ = None
 
   def fit(self, X, y):
-    w = linear_reg.fit(_lazy(X), _lazy(y), self.iterations, self.alpha)
+    # fit_fused: the whole run is ONE compiled on-device loop (no
+    # per-step host dispatch — seconds/step through a tunneled chip)
+    w = linear_reg.fit_fused(_lazy(X), _lazy(y), self.iterations,
+                             self.alpha)
     self.coef_ = np.asarray(w.glom())
     return self
 
@@ -65,8 +68,9 @@ class LogisticRegression:
     self.coef_ = None
 
   def fit(self, X, y):
-    w = logistic_reg.fit(_lazy(X), _lazy(np.asarray(y, dtype=np.float64)),
-                         self.iterations, self.alpha)
+    w = logistic_reg.fit_fused(
+        _lazy(X), _lazy(np.asarray(y, dtype=np.float64)),
+        self.iterations, self.alpha)
     self.coef_ = np.asarray(w.glom())
     return self
 
@@ -91,7 +95,8 @@ class SVC:
 
   def fit(self, X, y):
     y = np.where(np.asarray(y) > 0, 1.0, -1.0)
-    w = svm_mod.fit(_lazy(X), _lazy(y), self.iterations, self.alpha, self.C)
+    w = svm_mod.fit_fused(_lazy(X), _lazy(y), self.iterations,
+                          self.alpha, self.C)
     self.coef_ = np.asarray(w.glom())
     return self
 
@@ -160,8 +165,8 @@ class FuzzyKMeans:
 
   def fit(self, X):
     from spartan_tpu.examples import fuzzy_kmeans
-    centers, u = fuzzy_kmeans.fit(_lazy(X), self.n_clusters,
-                                  self.iterations, self.m, self.seed)
+    centers, u = fuzzy_kmeans.fit_fused(_lazy(X), self.n_clusters,
+                                        self.iterations, self.m, self.seed)
     self.cluster_centers_ = np.asarray(centers.glom())
     self.membership_ = np.asarray(u.glom())
     return self
