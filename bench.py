@@ -370,7 +370,13 @@ STAGES = {
     "verify": bench_verify,
     "nonaffine": bench_nonaffine_pallas,   # --all only
 }
-DEFAULT_PLAN = ["c1_small", "c1_full", "dot", "linreg", "kmeans",
+# c1_full FIRST: the per-session first-program service cost (minutes on
+# bad days, cache hit or not — measured 456 s for a cached executable)
+# dominates whichever stage runs first, so the stage that absorbs it
+# should be the headline 16384² metric, not the 4096² provisional.  The
+# provisional still runs second (seconds when the session is warm) and
+# the registry-order assembly keeps c1_full's values on top.
+DEFAULT_PLAN = ["c1_full", "c1_small", "dot", "linreg", "kmeans",
                 "pagerank", "verify"]
 
 
@@ -557,9 +563,12 @@ def main():
     # cost up to ~7 min on bad days while every LATER program in the warm
     # session takes seconds.  Killing a slow-but-alive first compile and
     # retrying pays the same cost again in the fresh session, so give the
-    # first stage nearly the whole budget (reserve ~90 s for the warm
-    # stages after it + emission) rather than a fixed cap.
-    first_budget = int(max(_time_left() - 90, 60))
+    # first stage nearly the whole budget rather than a fixed cap.  The
+    # reserve is deliberately razor-thin (25 s): warm stages take seconds
+    # each, and every abandoned first compile both loses the run AND
+    # leaves a server-side zombie that clogs the NEXT session's queue
+    # (observed: 325 s, then 374 s, growing with each abandoned attempt).
+    first_budget = int(max(_time_left() - 25, 60))
     tmos = _stage_timeouts(remaining, _time_left(), first_budget)
     _stamp(f"attempt {attempt}: worker over {remaining} "
            f"(first-stage deadline {first_budget}s, {_time_left():.0f}s left)")
