@@ -198,8 +198,15 @@ def windowed_spmm_traced(rb, win, init, cols_lo, rows_lo, vals, B, *,
   n, m = shape
   k = B.shape[1]
   if k > _LANES:
-    raise ValueError(f"windowed_spmm_traced supports k <= {_LANES}, "
-                     f"got {k} (route larger k to the XLA path)")
+    # k tiling at the wrapper level: one kernel launch per 128-column
+    # tile of B, same pack reused (the kernel is k-shape-polymorphic
+    # only through recompiles, so the per-tile program is compiled once
+    # and reused across tiles of the same width)
+    outs = [windowed_spmm_traced(rb, win, init, cols_lo, rows_lo, vals,
+                                 B[:, off:off + _LANES], shape=shape,
+                                 use_bf16=use_bf16, interpret=interpret)
+            for off in range(0, k, _LANES)]
+    return jnp.concatenate(outs, axis=1)
   s_n = rb.shape[0]
   n_rb = max(-(-n // _RB), 1)
   mq = -(-m // _WIN) * _WIN

@@ -571,7 +571,7 @@ def spmm(A, B) -> jax.Array:
   from spartan_tpu.config import FLAGS
   on_cpu = jax.devices()[0].platform == "cpu"
   use_win = ((FLAGS.use_pallas and not on_cpu) or FLAGS.sparse_force_winmm)
-  if (use_win and Bj.shape[1] <= 128 and Bj.dtype != jnp.float64
+  if (use_win and Bj.shape[1] <= 512 and Bj.dtype != jnp.float64
       and jnp.dtype(A.dtype) != jnp.float64
       and (int(get_mesh().devices.size) == 1
            or FLAGS.sparse_force_winmm)):
@@ -915,7 +915,7 @@ class SpMMExpr(Expr):
     except Exception:
       k_cols = None
     if (_resolve_precision(precision) is None and k_cols is not None
-        and k_cols <= 128
+        and k_cols <= 512
         and (FLAGS.sparse_force_winmm
              or (jax.devices()[0].platform != "cpu"
                  and int(mesh.devices.size) == 1))
