@@ -200,3 +200,29 @@ def test_learn_als_sparse_matches_dense(rng):
   m2 = ALS(n_factors=4, iterations=3).fit(sps.from_dense(dense))
   np.testing.assert_allclose(m2.user_factors_, m1.user_factors_, atol=1e-9)
   np.testing.assert_allclose(m2.item_factors_, m1.item_factors_, atol=1e-9)
+
+
+def test_bench_orchestrator_contract():
+  """The driver contract: `python bench.py` prints exactly ONE JSON line
+  on stdout (stage results assemble into it), even when only a subset of
+  stages runs.  Exercised on CPU via the testing escape + a plan override
+  (the verify stage is the cheapest)."""
+  import json
+  import os
+  import subprocess
+  import sys
+
+  env = dict(os.environ, SPARTAN_BENCH_CPU="1",
+             SPARTAN_BENCH_STAGES="verify", SPARTAN_BENCH_BUDGET="240")
+  env.pop("JAX_PLATFORMS", None)
+  root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  out = subprocess.run([sys.executable, os.path.join(root, "bench.py")],
+                       capture_output=True, text=True, timeout=280,
+                       env=env, cwd=root)
+  lines = [ln for ln in out.stdout.strip().splitlines() if ln.strip()]
+  assert len(lines) == 1, out.stdout + out.stderr[-1000:]
+  rec = json.loads(lines[0])
+  assert rec["bench_diag"]["completed"] == ["verify"], rec
+  assert rec.get("framework_verified") is True
+  # the primary metric keys are always present (null when no c1 stage ran)
+  assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
