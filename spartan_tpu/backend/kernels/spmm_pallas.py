@@ -241,3 +241,159 @@ def make_spmm_windowed(packed: WindowedSpMM, use_bf16: bool = False,
                                 use_bf16=use_bf16, interpret=interpret)
 
   return spmm_fn
+
+
+# ---------------------------------------------------------------------------
+# Multi-device (owner-computes) form — mirrors spmv_pallas's sharded
+# windowed machinery: per-shard stacked chunk arrays, per-device
+# pallas_call inside shard_map, B replicated.
+# ---------------------------------------------------------------------------
+
+
+def rbmm_per_of(n: int, n_shards: int) -> int:
+  n_rb = max(-(-n // _RB), 1)
+  return -(-n_rb // n_shards)
+
+
+class ShardedWindowedSpMM:
+  """Per-shard stacked chunk arrays (leading dim = shard)."""
+
+  def __init__(self, rb, win, init, cols_lo, rows_lo, vals, shape,
+               n_shards, rb_per, nnz):
+    self.rb, self.win, self.init = rb, win, init
+    self.cols_lo, self.rows_lo, self.vals = cols_lo, rows_lo, vals
+    self.shape, self.n_shards, self.rb_per = shape, n_shards, rb_per
+    self.nnz = nnz
+    self._dev = None
+
+  @property
+  def steps_per_shard(self):
+    return self.rb.shape[1]
+
+  @property
+  def fill(self):
+    return self.nnz / max(self.rb.shape[0] * self.steps_per_shard
+                          * _STRIPS * _LANES, 1)
+
+  def device_arrays(self):
+    if self._dev is None:
+      self._dev = (jnp.asarray(self.rb), jnp.asarray(self.win),
+                   jnp.asarray(self.init), jnp.asarray(self.cols_lo),
+                   jnp.asarray(self.rows_lo), jnp.asarray(self.vals))
+    return self._dev
+
+
+def pack_windowed_spmm_sharded(sp_csr, n_shards: int) -> ShardedWindowedSpMM:
+  """Row-shard :func:`pack_windowed_spmm`: shard d owns output row blocks
+  [d·rb_per, (d+1)·rb_per); shorter shards pad with no-op steps."""
+  csr = sp_csr.tocsr()
+  n, m = csr.shape
+  rb_per = rbmm_per_of(n, n_shards)
+  rows_per = rb_per * _RB
+  packs = []
+  for d in range(n_shards):
+    r0 = min(d * rows_per, n)
+    r1 = min(r0 + rows_per, n)
+    sub = csr[r0:r1].copy()
+    sub.resize((rows_per, m))
+    packs.append(pack_windowed_spmm(sub))
+  s_max = max(p.n_steps for p in packs)
+
+  def pad_steps(p):
+    extra = s_max - p.n_steps
+    if extra == 0:
+      return p
+    rb = np.concatenate([p.rb, np.full(extra, rb_per - 1, np.int32)])
+    win = np.concatenate([p.win, np.zeros(extra, np.int32)])
+    init = np.concatenate([p.init, np.zeros(extra, np.int32)])
+    z = lambda a: np.concatenate(  # noqa: E731
+        [a, np.zeros((extra * _STRIPS, _LANES), a.dtype)])
+    return WindowedSpMM(rb, win, init, z(p.cols_lo), z(p.rows_lo),
+                        z(p.vals), p.shape, p.nnz)
+
+  packs = [pad_steps(p) for p in packs]
+  stack = lambda f: np.stack([f(p) for p in packs])  # noqa: E731
+  return ShardedWindowedSpMM(
+      stack(lambda p: p.rb), stack(lambda p: p.win),
+      stack(lambda p: p.init), stack(lambda p: p.cols_lo),
+      stack(lambda p: p.rows_lo), stack(lambda p: p.vals),
+      (n, m), n_shards, rb_per, int(csr.nnz))
+
+
+def sharded_windowed_spmm_traced(rb, win, init, cols_lo, rows_lo, vals, B,
+                                 *, shape, mesh, use_bf16: bool = False,
+                                 interpret: bool = False):
+  """Y = A @ B with the chunk arrays row-sharded over all mesh axes
+  (leading dim = shard) and B replicated; per-device pallas calls inside
+  shard_map (the pallas_call is opaque to the SPMD partitioner)."""
+  from jax.sharding import PartitionSpec
+
+  n, m = shape
+  k = B.shape[1]
+  if k > _LANES:
+    outs = [sharded_windowed_spmm_traced(
+        rb, win, init, cols_lo, rows_lo, vals, B[:, off:off + _LANES],
+        shape=shape, mesh=mesh, use_bf16=use_bf16, interpret=interpret)
+        for off in range(0, k, _LANES)]
+    return jnp.concatenate(outs, axis=1)
+  p = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+  assert rb.shape[0] == p, (rb.shape, p)
+  s_max = rb.shape[1]
+  rb_per = rbmm_per_of(n, p)
+  mq = -(-m // _WIN) * _WIN
+  axes = tuple(mesh.axis_names)
+  ax_arg = axes if len(axes) > 1 else axes[0]
+  bt = jnp.pad(B.astype(jnp.float32).T, ((0, _LANES - k), (0, mq - m)))
+
+  def body(rb_l, win_l, init_l, cols_l, rows_l, vals_l, bt_full):
+    rb_f = rb_l.reshape(-1)
+    win_f = win_l.reshape(-1)
+    init_f = init_l.reshape(-1)
+    cols_f = cols_l.reshape(s_max * _STRIPS, _LANES)
+    rows_f = rows_l.reshape(s_max * _STRIPS, _LANES)
+    vals_f = vals_l.reshape(s_max * _STRIPS, _LANES)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(s_max,),
+        in_specs=[pl.BlockSpec((_STRIPS, _LANES),
+                               lambda s, b, w, it: (s, 0))] * 3
+        + [pl.BlockSpec((_LANES, _WIN), lambda s, b, w, it: (0, w[s]))],
+        out_specs=pl.BlockSpec((_LANES, _RB),
+                               lambda s, b, w, it: (0, b[s])),
+    )
+    return pl.pallas_call(
+        functools.partial(_spmm_kernel, use_bf16=use_bf16),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((_LANES, rb_per * _RB), jnp.float32),
+        interpret=interpret,
+    )(rb_f, win_f, init_f, cols_f, rows_f, vals_f, bt_full)
+
+  spec_s = PartitionSpec(ax_arg)
+  fn = jax.shard_map(
+      body, mesh=mesh,
+      in_specs=(spec_s,) * 6 + (PartitionSpec(),),
+      out_specs=PartitionSpec(None, ax_arg),
+      check_vma=False)  # pallas out_shape carries no vma annotation
+  dt = jnp.promote_types(vals.dtype, B.dtype)
+  out = fn(rb, win, init, cols_lo, rows_lo, vals, bt)
+  return out[:k, :n].T.astype(dt)
+
+
+def unshard_windowed_spmm(rb, win, init, cols_lo, rows_lo, vals,
+                          n: int, n_shards: int):
+  """Flatten sharded-stacked SpMM chunk arrays back to the global form —
+  pure traced jnp ops, so a 'winmmsh' node built under one mesh still
+  evaluates if the mesh later changes size.  Shard-major step order keeps
+  row blocks monotone, so the per-shard init flags stay valid globally."""
+  p, s_max = rb.shape
+  rb_per = rbmm_per_of(n, n_shards)
+  offs = (jnp.arange(p, dtype=rb.dtype) * rb_per)[:, None]
+  rb_g = (rb + offs).reshape(-1)
+  win_g = win.reshape(-1)
+  init_g = init.reshape(-1)
+  flat = lambda a: a.reshape(p * s_max * _STRIPS, _LANES)  # noqa: E731
+  # the flattened pack addresses p·rb_per blocks — callers must size the
+  # output to n_pad rows (> n when the shard split over-padded) and trim
+  n_pad = p * rb_per * _RB
+  return (rb_g, win_g, init_g, flat(cols_lo), flat(rows_lo), flat(vals),
+          n_pad)

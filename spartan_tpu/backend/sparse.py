@@ -40,7 +40,7 @@ class SparseArray:
 
   __slots__ = ("cols", "vals", "shape", "nnz", "_bsr_cache",
                "_windowed_cache", "_winsh_cache", "_t_cache",
-               "_owner_cache", "_winmm_cache")
+               "_owner_cache", "_winmm_cache", "_winmmsh_cache")
 
   def __init__(self, cols: jax.Array, vals: jax.Array,
                shape: Tuple[int, int], nnz: int):
@@ -54,6 +54,7 @@ class SparseArray:
     self._t_cache = None  # memoized transpose (VERDICT r2 weak #4)
     self._owner_cache = None  # (mesh key, row-sharded padded form)
     self._winmm_cache = None  # WindowedSpMM pack (or False: fill too low)
+    self._winmmsh_cache = None  # (n_shards, ShardedWindowedSpMM | False)
 
   @property
   def dtype(self):
@@ -191,6 +192,20 @@ class SparseArray:
     sh = NamedSharding(mesh, spec)
     return SparseArray(_jax.device_put(self.cols, sh),
                        _jax.device_put(self.vals, sh), self.shape, self.nnz)
+
+  def to_windowed_spmm_sharded(self, n_shards: int,
+                               min_fill: float = 0.2):
+    """Sharded windowed-SpMM pack (leading dim = shard), memoized per
+    shard count; None below the fill gate (see :meth:`to_windowed_spmm`).
+    """
+    cache = getattr(self, "_winmmsh_cache", None)
+    if cache is None or cache[0] != n_shards:
+      from spartan_tpu.backend.kernels import spmm_pallas
+      packed = spmm_pallas.pack_windowed_spmm_sharded(self.to_scipy(),
+                                                      n_shards)
+      self._winmmsh_cache = (
+          n_shards, packed if packed.fill >= min_fill else False)
+    return self._winmmsh_cache[1] or None
 
   def to_windowed_spmm(self, min_fill: float = 0.2):
     """Windowed-SpMM pack (kernels/spmm_pallas.py), memoized; returns
@@ -889,7 +904,7 @@ class SpMMExpr(Expr):
   flows through with no special casing."""
 
   _members = ("inputs",)
-  _params = ("n_rows", "fmt", "bs", "pad_m", "precision")
+  _params = ("n_rows", "fmt", "bs", "pad_m", "n_shards", "precision")
 
   def __init__(self, A, B, precision=None):
     self._A = A
@@ -905,7 +920,7 @@ class SpMMExpr(Expr):
       super().__init__(
           inputs=[Val(A.block_cols), Val(A.block_vals), lazify(B)],
           n_rows=self._A.shape[0], fmt="bsr", bs=A.bs, pad_m=A.shape[1],
-          precision=precision)
+          n_shards=0, precision=precision)
       return
     from spartan_tpu.config import FLAGS
     from spartan_tpu.expr.dot import _resolve_precision
@@ -917,27 +932,38 @@ class SpMMExpr(Expr):
     if (_resolve_precision(precision) is None and k_cols is not None
         and k_cols <= 512
         and (FLAGS.sparse_force_winmm
-             or (jax.devices()[0].platform != "cpu"
-                 and int(mesh.devices.size) == 1))
+             or jax.devices()[0].platform != "cpu")
         and jnp.dtype(A.dtype) != jnp.float64):
       # unstructured fast path (VERDICT r2 missing #5): the windowed
       # Pallas SpMM kernel — fill-gated at pack time (ultra-sparse
-      # matrices stay on the XLA gather).  Single-device only: on a mesh
-      # the row-sharded ELL owner-computes path below distributes.
-      packed = A.to_windowed_spmm()
-      if packed is not None:
-        super().__init__(
-            inputs=[Val(a) for a in packed.device_arrays()] + [Bl],
-            n_rows=A.shape[0], fmt="winmm", bs=0, pad_m=A.shape[1],
-            precision=precision)
-        return
+      # matrices stay on the XLA gather).  On a >1-device mesh the
+      # output row blocks are owner-computed per device (fmt='winmmsh',
+      # per-device pallas_call inside shard_map, B replicated).
+      n_dev = int(mesh.devices.size)
+      if n_dev > 1:
+        packed = A.to_windowed_spmm_sharded(n_dev)
+        if packed is not None:
+          super().__init__(
+              inputs=[Val(a) for a in packed.device_arrays()] + [Bl],
+              n_rows=A.shape[0], fmt="winmmsh", bs=0, pad_m=A.shape[1],
+              n_shards=n_dev, precision=precision)
+          return
+      else:
+        packed = A.to_windowed_spmm()
+        if packed is not None:
+          super().__init__(
+              inputs=[Val(a) for a in packed.device_arrays()] + [Bl],
+              n_rows=A.shape[0], fmt="winmm", bs=0, pad_m=A.shape[1],
+              n_shards=0, precision=precision)
+          return
     if int(mesh.devices.size) > 1:
       A = _owner_shard_ell(A, mesh)     # owner-computes by default
     super().__init__(inputs=[Val(A.cols), Val(A.vals), lazify(B)],
                      n_rows=self._A.shape[0], fmt="ell", bs=0,
-                     pad_m=A.shape[1], precision=precision)
+                     pad_m=A.shape[1], n_shards=0, precision=precision)
 
-  def _winmm_coo_emit(self, rb, win, cols_lo, rows_lo, vals, B):
+  def _winmm_coo_emit(self, rb, win, cols_lo, rows_lo, vals, B,
+                      n_pad=None):
     """Differentiable (pure-XLA) lowering of the SpMM windowed pack:
     decode the chunk arrays back to global COO and scatter-add — gather
     and scatter both have autodiff rules (mirrors SpMVExpr's
@@ -952,11 +978,34 @@ class SpMMExpr(Expr):
     k = B.shape[1]
     contrib = (vals.astype(dt).reshape(-1)[:, None]
                * Bp[cols_g.reshape(-1), :])
-    n_pad = max(-(-self.n_rows // smp._RB), 1) * smp._RB
+    if n_pad is None:
+      n_pad = max(-(-self.n_rows // smp._RB), 1) * smp._RB
     Y = jnp.zeros((n_pad, k), dt).at[rows_g.reshape(-1)].add(contrib)
     return Y[: self.n_rows]
 
   def _emit(self, ctx, deps):
+    if self.fmt == "winmmsh":
+      rb, win, init, cols_lo, rows_lo, vals, B = deps
+      dt = jnp.promote_types(vals.dtype, B.dtype)
+      from spartan_tpu.backend.kernels import spmm_pallas
+      mesh = get_mesh()
+      if ctx.differentiable or int(mesh.devices.size) != self.n_shards:
+        # autodiff, or the mesh changed size since construction: flatten
+        # back to the global windowed form (traced jnp ops)
+        *flat, n_pad = spmm_pallas.unshard_windowed_spmm(
+            rb, win, init, cols_lo, rows_lo, vals, self.n_rows,
+            self.n_shards)
+        if ctx.differentiable:
+          return self._winmm_coo_emit(flat[0], flat[1], flat[3], flat[4],
+                                      flat[5], B, n_pad).astype(dt)
+        return spmm_pallas.windowed_spmm_traced(
+            *flat, B, shape=(n_pad, self.pad_m),
+            interpret=jax.default_backend() == "cpu"
+        )[: self.n_rows].astype(dt)
+      return spmm_pallas.sharded_windowed_spmm_traced(
+          rb, win, init, cols_lo, rows_lo, vals, B,
+          shape=(self.n_rows, self.pad_m), mesh=mesh,
+          interpret=jax.default_backend() == "cpu").astype(dt)
     if self.fmt == "winmm":
       rb, win, init, cols_lo, rows_lo, vals, B = deps
       dt = jnp.promote_types(vals.dtype, B.dtype)

@@ -744,7 +744,8 @@ def test_spmm_windowed_kernel_routes(rng):
     assert np.abs(got_e - want).max() < tol
 
     e = sps.spmm_expr(S, sp.from_numpy(B))
-    assert e.fmt == "winmm", e.fmt
+    # 8-dev CPU mesh in tests → the sharded owner-computes form
+    assert e.fmt in ("winmm", "winmmsh"), e.fmt
     assert np.abs(np.asarray(e.evaluate().glom()) - want).max() < tol
 
     # composes into the DAG
@@ -767,5 +768,35 @@ def test_spmm_windowed_kernel_routes(rng):
     e2 = sps.spmm_expr(S2, sp.from_numpy(
         rng.standard_normal((5000, 8)).astype(np.float32)))
     assert e2.fmt == "ell"
+  finally:
+    FLAGS.sparse_force_winmm = old
+
+
+def test_spmm_windowed_sharded_route(rng, cluster):
+  """fmt='winmmsh': output row blocks owner-computed per device inside
+  shard_map; values + grad match; the unshard fallback serves a
+  mesh-size mismatch."""
+  from spartan_tpu.config import FLAGS
+
+  old = FLAGS.sparse_force_winmm
+  FLAGS.sparse_force_winmm = True
+  try:
+    A = ss.random(900, 1200, density=0.03,
+                  random_state=np.random.RandomState(21), format="csr",
+                  dtype=np.float32)
+    S = sps.from_scipy(A, dtype=np.float32)
+    B = rng.standard_normal((1200, 24)).astype(np.float32)
+    want = A @ B
+    tol = np.abs(want).max() * 2e-5
+
+    e = sps.spmm_expr(S, sp.from_numpy(B))
+    assert e.fmt == "winmmsh" and e.n_shards == int(cluster.devices.size)
+    assert np.abs(np.asarray(e.evaluate().glom()) - want).max() < tol
+
+    Bl = sp.from_numpy(B)
+    (g,) = sp.grad(sp.sum(sps.spmm_expr(S, Bl) ** 2), wrt=[Bl])
+    want_g = 2 * A.T @ want
+    assert (np.abs(np.asarray(g.glom()) - want_g).max()
+            < np.abs(want_g).max() * 1e-4)
   finally:
     FLAGS.sparse_force_winmm = old
