@@ -54,6 +54,13 @@ _STRIPS = 8          # strips per grid step (share one window DMA)
 _RB = 128            # output rows per block
 _WIN = 8 * _LANES    # B-row window: 1024
 
+# One take_along_axis over the full (128, 1024) window instead of 8
+# chunked (128,128) gathers + VPU selects — saves ~7/8 of the gather
+# stage's VPU work IF Mosaic accepts the 1024-lane-operand gather on this
+# toolchain (the (128,128) axis-1 form compiles; this wide form is
+# probed on-chip by tools/spmm_probe.py and gated here).
+_WIDE_GATHER = False
+
 
 class WindowedSpMM:
   """Host-packed chunks for :func:`windowed_spmm_traced` (one-time per
@@ -162,17 +169,20 @@ def _spmm_kernel(rb_ref, win_ref, init_ref, cols_ref, rows_ref, vals_ref,
   bt = bt_ref[...]                                # (128, 1024) window
   for strip in range(_STRIPS):
     cl = cols_ref[strip:strip + 1, :]             # (1,128) in [0, 1024)
-    q = cl // _LANES
-    rr = cl - q * _LANES
-    rr_b = jnp.broadcast_to(rr, (_LANES, _LANES))
-    # lane gather per 128-col chunk of the window + VPU chunk select —
-    # (128,128) axis-1 dynamic gathers compile on this toolchain; the
-    # (k, 1024)-operand single gather is untested there, don't widen
-    g = jnp.zeros((_LANES, _LANES), jnp.float32)
-    for j in range(_WIN // _LANES):
-      tj = jnp.take_along_axis(bt[:, j * _LANES:(j + 1) * _LANES],
-                               rr_b, axis=1)
-      g = jnp.where(q == j, tj, g)
+    if _WIDE_GATHER:
+      g = jnp.take_along_axis(
+          bt, jnp.broadcast_to(cl, (_LANES, _LANES)), axis=1)
+    else:
+      q = cl // _LANES
+      rr = cl - q * _LANES
+      rr_b = jnp.broadcast_to(rr, (_LANES, _LANES))
+      # lane gather per 128-col chunk of the window + VPU chunk select —
+      # (128,128) axis-1 dynamic gathers compile on this toolchain
+      g = jnp.zeros((_LANES, _LANES), jnp.float32)
+      for j in range(_WIN // _LANES):
+        tj = jnp.take_along_axis(bt[:, j * _LANES:(j + 1) * _LANES],
+                                 rr_b, axis=1)
+        g = jnp.where(q == j, tj, g)
     p = g * vals_ref[strip:strip + 1, :].astype(jnp.float32)
     rl = rows_ref[strip:strip + 1, :]             # (1,128) in [0, 128)
     m = (jax.lax.broadcasted_iota(jnp.int32, (_RB, _LANES), 0)
