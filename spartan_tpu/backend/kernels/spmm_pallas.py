@@ -55,10 +55,13 @@ _RB = 128            # output rows per block
 _WIN = 8 * _LANES    # B-row window: 1024
 
 # One take_along_axis over the full (128, 1024) window instead of 8
-# chunked (128,128) gathers + VPU selects — saves ~7/8 of the gather
-# stage's VPU work IF Mosaic accepts the 1024-lane-operand gather on this
-# toolchain (the (128,128) axis-1 form compiles; this wide form is
-# probed on-chip by tools/spmm_probe.py and gated here).
+# chunked (128,128) gathers + VPU selects.  PROBED r3, DEAD END on this
+# toolchain (tools/gather_probe_r3.py): (128,1024)-operand with
+# (128,128) indices hits a lowering AssertionError, and the full-shape
+# (128,1024)/(128,1024) form is rejected by Mosaic itself — "Not
+# implemented: Multiple source vregs along gather dimension".
+# ``tpu.dynamic_gather`` is single-vreg (128 lanes) along the gathered
+# dim, so the chunked gather+select IS the mechanism, not a workaround.
 _WIDE_GATHER = False
 
 

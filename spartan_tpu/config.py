@@ -212,6 +212,21 @@ FLAGS.add(BoolFlag("sparse_force_winmm", False,
                    "route spmm/SpMMExpr through the windowed Pallas SpMM "
                    "kernel regardless of platform (interpret mode off-TPU) "
                    "— testing/debug"))
+FLAGS.add(BoolFlag("sparse_dense_route", True,
+                   "let spmm/SpMMExpr densify moderately-dense sparse "
+                   "matrices and ride the MXU dense matmul — on TPU the "
+                   "dense path beats per-nonzero gathers once density and "
+                   "memory allow (see sparse_dense_min_density/max_bytes)"))
+FLAGS.add(FloatFlag("sparse_dense_min_density", 2e-3,
+                    "min nnz/(n*m) for the densified SpMM route: below "
+                    "this the dense matmul's wasted FLOPs/bandwidth lose "
+                    "to the windowed Pallas kernel / XLA gather"))
+FLAGS.add(IntFlag("sparse_dense_max_bytes", 2 << 30,
+                  "max f32 bytes (4*n*m) the densified SpMM route may "
+                  "materialize on device; larger matrices stay sparse"))
+FLAGS.add(BoolFlag("sparse_force_dense", False,
+                   "route spmm/SpMMExpr through the densified MXU path "
+                   "regardless of platform/density — testing/debug"))
 FLAGS.add(BoolFlag("sparse_force_onehot", False,
                    "route SpMVExpr's ELL path through the one-hot MXU "
                    "Pallas kernel regardless of platform (interpret mode "

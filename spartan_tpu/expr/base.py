@@ -141,7 +141,8 @@ def semantic_flags_fingerprint() -> Tuple:
   return (FLAGS.float64_reductions, FLAGS.opt_affine_reduce,
           FLAGS.sort_method, FLAGS.sort_sample_threshold,
           FLAGS.dot_precision, FLAGS.use_pallas,
-          FLAGS.sparse_force_onehot, FLAGS.sparse_force_winmm)
+          FLAGS.sparse_force_onehot, FLAGS.sparse_force_winmm,
+          FLAGS.sparse_dense_route, FLAGS.sparse_force_dense)
 
 
 class Expr:

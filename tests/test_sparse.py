@@ -800,3 +800,75 @@ def test_spmm_windowed_sharded_route(rng, cluster):
             < np.abs(want_g).max() * 1e-4)
   finally:
     FLAGS.sparse_force_winmm = old
+
+
+def test_spmm_dense_route(rng, cluster):
+  """r3 densified MXU route: at density/memory within budget, spmm rides
+  one dense matmul (fmt='dense').  Values, chain composition, grad, and
+  the aval contract (same shape/dtype as the ELL route) all hold; f64
+  operands stay on the XLA-faithful sparse path."""
+  from spartan_tpu.config import FLAGS
+
+  old = FLAGS.sparse_force_dense
+  FLAGS.sparse_force_dense = True
+  try:
+    A = ss.random(700, 900, density=0.02,
+                  random_state=np.random.RandomState(31), format="csr",
+                  dtype=np.float32)
+    S = sps.from_scipy(A, dtype=np.float32)
+    B = rng.standard_normal((900, 32)).astype(np.float32)
+    want = A @ B
+    tol = np.abs(want).max() * 2e-5
+
+    # densified form is memoized and exact
+    np.testing.assert_allclose(np.asarray(S.to_densified()), A.toarray(),
+                               atol=1e-7)
+    assert S.to_densified() is S.to_densified()
+
+    got_e = np.asarray(sps.spmm(S, B))
+    assert np.abs(got_e - want).max() < tol
+
+    e = sps.spmm_expr(S, sp.from_numpy(B))
+    assert e.fmt == "dense", e.fmt
+    # aval contract: routing is flag/platform-dependent but avals cache
+    # mesh-independently — dense must emit the ELL route's aval exactly
+    FLAGS.sparse_force_dense = False
+    e_ell = sps.spmm_expr(S, sp.from_numpy(B))
+    FLAGS.sparse_force_dense = True
+    assert e_ell.fmt == "ell"
+    assert e.aval().shape == e_ell.aval().shape
+    assert e.aval().dtype == e_ell.aval().dtype
+    # 700 rows over the 8-dev mesh: leaf padded to divide, trimmed back
+    assert np.abs(np.asarray(e.evaluate().glom()) - want).max() < tol
+
+    chain = sps.spmm_expr(S, sp.from_numpy(B)) * 2.0 + 1.0
+    assert np.abs(np.asarray(chain.glom()) - (2 * want + 1)).max() < 2 * tol
+
+    # grad flows (plain XLA dot — no special-case lowering needed)
+    Bl = sp.from_numpy(B)
+    (g,) = sp.grad(sp.sum(sps.spmm_expr(S, Bl) ** 2), wrt=[Bl])
+    want_g = 2 * A.T @ want
+    assert (np.abs(np.asarray(g.glom()) - want_g).max()
+            < np.abs(want_g).max() * 1e-4)
+
+    # f64 A (or B) keeps the XLA-faithful sparse path
+    S64 = sps.from_scipy(A, dtype=np.float64)
+    e64 = sps.spmm_expr(S64, sp.from_numpy(B))
+    assert e64.fmt != "dense"
+    eb64 = sps.spmm_expr(S, sp.from_numpy(
+        rng.standard_normal((900, 4))))  # f64 B on the x64 mesh
+    assert eb64.fmt != "dense"
+  finally:
+    FLAGS.sparse_force_dense = old
+
+
+def test_spmm_dense_route_gates(rng):
+  """Without the force flag the dense route needs TPU + density + memory
+  budget — on the CPU test mesh it must never trigger."""
+  A = ss.random(256, 256, density=0.05,
+                random_state=np.random.RandomState(32), format="csr",
+                dtype=np.float32)
+  S = sps.from_scipy(A, dtype=np.float32)
+  e = sps.spmm_expr(S, sp.from_numpy(
+      rng.standard_normal((256, 8)).astype(np.float32)))
+  assert e.fmt != "dense"

@@ -49,10 +49,12 @@ def one_case(seed: int) -> str:
   else:
     tol = 2e-4          # bf16 passes inside the Pallas kernels
 
-  route_mm = bool(r.random() < 0.5)   # SpMM: XLA gather vs windowed MXU
+  # SpMM surface: XLA gather vs windowed MXU kernel vs densified matmul
+  route_mm = str(r.choice(["gather", "winmm", "dense"]))
   FLAGS.sparse_force_onehot = route == "onehot"
   FLAGS.sparse_force_windowed = route == "windowed"
-  FLAGS.sparse_force_winmm = route_mm
+  FLAGS.sparse_force_winmm = route_mm == "winmm"
+  FLAGS.sparse_force_dense = route_mm == "dense"
   FLAGS.sparse_auto_bsr = route == "auto"
   try:
     got = np.asarray(sps.spmv(S, x))
@@ -65,9 +67,9 @@ def one_case(seed: int) -> str:
     k = int(r.integers(1, 6))
     B = r.standard_normal((m, k)).astype(dt)
     gotm = np.asarray(sp.dot(S, sp.from_numpy(B)).glom())
-    tol_mm = 2e-4 if (route_mm and dt == np.float32) else tol
+    tol_mm = 2e-4 if (route_mm == "winmm" and dt == np.float32) else tol
     if np.abs(gotm - A @ B).max() / scale > tol_mm:
-      return f"seed {seed}: sp.dot(S, B) mismatch (winmm={route_mm})"
+      return f"seed {seed}: sp.dot(S, B) mismatch (mm_route={route_mm})"
     C = r.standard_normal((3, n)).astype(dt)
     gotr = np.asarray(sp.dot(sp.from_numpy(C), S).glom())
     if np.abs(gotr - C @ A.toarray()).max() / max(
@@ -86,6 +88,7 @@ def one_case(seed: int) -> str:
     FLAGS.sparse_force_onehot = False
     FLAGS.sparse_force_windowed = False
     FLAGS.sparse_force_winmm = False
+    FLAGS.sparse_force_dense = False
     FLAGS.sparse_auto_bsr = True
   return ""
 

@@ -76,4 +76,17 @@ for (n, m, k, d) in [(8192, 8192, 64, 0.01), (16384, 16384, 64, 0.005),
   print(f"   windowed {ms_win:8.3f} ms  ({nnz/ms_win/1e6:7.2f} Gnnz/s)   "
         f"xla-gather {ms_xla:8.3f} ms  ({nnz/ms_xla/1e6:7.2f} Gnnz/s)   "
         f"speedup {ms_xla/ms_win:5.1f}x", flush=True)
+  # densified MXU route (r3): f32 dense matmul — memory-gated
+  if 4 * n * m <= 4 << 30:
+    Ad = S.to_densified()
+
+    def f_dense(Bv):
+      return jnp.matmul(Ad, Bv, preferred_element_type=jnp.float32)
+
+    rel_d = np.abs(np.asarray(f_dense(B)) - want).max() / max(
+        np.abs(want).max(), 1e-9)
+    ms_d = slope_ms(f_dense, B)
+    print(f"   dense    {ms_d:8.3f} ms  ({nnz/ms_d/1e6:7.2f} Gnnz/s)   "
+          f"relerr={rel_d:.2e}  vs windowed {ms_win/ms_d:5.1f}x",
+          flush=True)
 print("probe done", flush=True)
