@@ -453,11 +453,12 @@ def _row_sharded(arrs, mesh):
   return out
 
 
-def _dense_routable(A) -> bool:
-  """Should ``spmm``/``SpMMExpr`` densify ``A`` and ride the dense MXU
-  matmul?  True when density and the f32 memory budget make the dense
-  path the throughput winner (TPU only; ``--sparse_force_dense`` for
-  CPU-mesh test coverage).  f64 stays on the XLA-faithful sparse path."""
+def _dense_routable(A, spmv: bool = False) -> bool:
+  """Should ``spmm``/``SpMMExpr`` (or ``spmv`` with the higher density
+  bar) densify ``A`` and ride the dense MXU matmul?  True when density
+  and the f32 memory budget make the dense path the throughput winner
+  (TPU only; ``--sparse_force_dense`` for CPU-mesh test coverage).  f64
+  stays on the XLA-faithful sparse path."""
   from spartan_tpu.config import FLAGS
   if (not FLAGS.sparse_dense_route or not isinstance(A, SparseArray)
       or jnp.dtype(A.dtype) == jnp.float64):
@@ -465,8 +466,10 @@ def _dense_routable(A) -> bool:
   if FLAGS.sparse_force_dense:
     return True
   n, m = A.shape
+  min_d = (FLAGS.sparse_dense_min_density_spmv if spmv
+           else FLAGS.sparse_dense_min_density)
   return (jax.devices()[0].platform != "cpu"
-          and A.nnz >= FLAGS.sparse_dense_min_density * n * m
+          and A.nnz >= min_d * n * m
           and 4 * n * m <= FLAGS.sparse_dense_max_bytes)
 
 
@@ -544,6 +547,13 @@ def spmv(A, x, use_pallas: Optional[bool] = None) -> jax.Array:
       return bsr_spmv(routed, xp)[: A.shape[0]].astype(xj.dtype)
   from spartan_tpu.config import FLAGS
   on_cpu = jax.devices()[0].platform == "cpu"
+  if (xj.dtype != jnp.float64
+      and not (FLAGS.sparse_force_onehot or FLAGS.sparse_force_windowed)
+      and _dense_routable(A, spmv=True)):
+    # densified MXU route (r3): past ~8e-3 density the dense matvec's
+    # HBM-roofline read beats the windowed/one-hot Pallas kernels
+    return jnp.matmul(A.to_densified(), xj.astype(jnp.float32),
+                      preferred_element_type=jnp.float32).astype(xj.dtype)
   if use_pallas is None:
     use_pallas = (FLAGS.use_pallas and not on_cpu) or (
         FLAGS.sparse_force_onehot or FLAGS.sparse_force_windowed)
@@ -769,10 +779,12 @@ class SpMVExpr(Expr):
   gather.  The choice is captured in ``fmt`` (a cache-key param)."""
 
   _members = ("inputs",)
-  _params = ("n_rows", "fmt", "bs", "pad_m", "n_shards", "precision")
+  _params = ("n_rows", "fmt", "bs", "pad_m", "n_shards", "precision",
+             "src_dtype")
 
   def __init__(self, A, x, precision=None):
     self._A = A
+    src_dtype = str(jnp.dtype(A.dtype))
     # 'high'/'highest' ask for XLA-faithful numerics: skip the bf16-pass
     # Pallas routes and run the exact gather/einsum formulations.  The
     # global --dot_precision flag participates via _resolve_precision
@@ -791,9 +803,32 @@ class SpMVExpr(Expr):
       super().__init__(
           inputs=[Val(A.block_cols), Val(A.block_vals), lazify(x)],
           n_rows=self._A.shape[0], fmt="bsr", bs=A.bs, pad_m=A.shape[1],
-          n_shards=0, precision=precision)
+          n_shards=0, precision=precision, src_dtype=src_dtype)
       return
     from spartan_tpu.config import FLAGS
+    xl = lazify(x)
+    try:
+      xb_f64 = jnp.dtype(xl.dtype) == jnp.float64
+    except Exception:
+      xb_f64 = True  # unknown dtype: stay on the XLA-faithful path
+    if (not xb_f64
+        and not (FLAGS.sparse_force_onehot or FLAGS.sparse_force_windowed)
+        and _dense_routable(A, spmv=True)):
+      # densified MXU route (r3): see SpMMExpr — at density ≳8e-3 the
+      # dense matvec's HBM-roofline read beats the Pallas kernels
+      Ad = A.to_densified()
+      mesh = get_mesh()
+      n_dev = int(mesh.devices.size)
+      if n_dev > 1:
+        pad = (-Ad.shape[0]) % n_dev
+        if pad:
+          Ad = jnp.pad(Ad, ((0, pad), (0, 0)))
+        (Ad,) = _row_sharded([Ad], mesh)
+      super().__init__(
+          inputs=[Val(Ad), xl], n_rows=A.shape[0], fmt="dense", bs=0,
+          pad_m=A.shape[1], n_shards=0, precision=precision,
+          src_dtype=src_dtype)
+      return
     if (not exact
         and (FLAGS.sparse_force_windowed or (on_tpu and A.shape[1] > 32768))
         and jnp.dtype(A.dtype) != jnp.float64):
@@ -806,22 +841,23 @@ class SpMVExpr(Expr):
       if n_dev > 1:
         packed = A.to_windowed_sharded(n_dev)
         super().__init__(
-            inputs=[Val(a) for a in packed.device_arrays()] + [lazify(x)],
+            inputs=[Val(a) for a in packed.device_arrays()] + [xl],
             n_rows=A.shape[0], fmt="winsh", bs=0, pad_m=A.shape[1],
-            n_shards=n_dev, precision=precision)
+            n_shards=n_dev, precision=precision, src_dtype=src_dtype)
         return
       packed = A.to_windowed()
       super().__init__(
-          inputs=[Val(a) for a in packed.device_arrays()] + [lazify(x)],
+          inputs=[Val(a) for a in packed.device_arrays()] + [xl],
           n_rows=A.shape[0], fmt="win", bs=0, pad_m=A.shape[1],
-          n_shards=0, precision=precision)
+          n_shards=0, precision=precision, src_dtype=src_dtype)
       return
     mesh = get_mesh()
     if int(mesh.devices.size) > 1:
       A = _owner_shard_ell(A, mesh)     # owner-computes by default
-    super().__init__(inputs=[Val(A.cols), Val(A.vals), lazify(x)],
+    super().__init__(inputs=[Val(A.cols), Val(A.vals), xl],
                      n_rows=self._A.shape[0], fmt="ell", bs=0,
-                     pad_m=A.shape[1], n_shards=0, precision=precision)
+                     pad_m=A.shape[1], n_shards=0, precision=precision,
+                     src_dtype=src_dtype)
 
   def _windowed_coo_emit(self, rb, win, cols_lo, rows_lo, vals, x,
                          n_pad: int):
@@ -842,6 +878,14 @@ class SpMVExpr(Expr):
     return y[: self.n_rows]
 
   def _emit(self, ctx, deps):
+    if self.fmt == "dense":
+      Ad, x = deps
+      dt = jnp.promote_types(jnp.dtype(self.src_dtype), x.dtype)
+      from spartan_tpu.expr.dot import _resolve_precision
+      prec = _resolve_precision(self.precision)
+      y = jnp.matmul(Ad, x.astype(jnp.float32), precision=prec,
+                     preferred_element_type=jnp.float32)
+      return y[: self.n_rows].astype(dt)
     if self.fmt == "winsh":
       rb, win, init, cols_lo, rows_lo, vals, x = deps
       from spartan_tpu.backend.kernels import spmv_pallas

@@ -224,9 +224,15 @@ FLAGS.add(FloatFlag("sparse_dense_min_density", 2e-3,
 FLAGS.add(IntFlag("sparse_dense_max_bytes", 2 << 30,
                   "max f32 bytes (4*n*m) the densified SpMM route may "
                   "materialize on device; larger matrices stay sparse"))
+FLAGS.add(FloatFlag("sparse_dense_min_density_spmv", 8e-3,
+                    "min density for the densified SpMV route — higher "
+                    "than SpMM's because the windowed/one-hot Pallas "
+                    "SpMV kernels (~1.4 Gnnz/s) set a higher bar than "
+                    "the SpMM gather did"))
 FLAGS.add(BoolFlag("sparse_force_dense", False,
-                   "route spmm/SpMMExpr through the densified MXU path "
-                   "regardless of platform/density — testing/debug"))
+                   "route spmm/SpMMExpr AND spmv/SpMVExpr through the "
+                   "densified MXU path regardless of platform/density "
+                   "— testing/debug"))
 FLAGS.add(BoolFlag("sparse_force_onehot", False,
                    "route SpMVExpr's ELL path through the one-hot MXU "
                    "Pallas kernel regardless of platform (interpret mode "

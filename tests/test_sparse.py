@@ -872,3 +872,58 @@ def test_spmm_dense_route_gates(rng):
   e = sps.spmm_expr(S, sp.from_numpy(
       rng.standard_normal((256, 8)).astype(np.float32)))
   assert e.fmt != "dense"
+
+
+def test_spmv_dense_route(rng, cluster):
+  """r3 densified route for SpMV (higher density bar than SpMM): values,
+  chain, grad, and the aval contract hold; force flags for the Pallas
+  kernels take precedence over the dense route."""
+  from spartan_tpu.config import FLAGS
+
+  old = FLAGS.sparse_force_dense
+  FLAGS.sparse_force_dense = True
+  try:
+    A = ss.random(600, 800, density=0.02,
+                  random_state=np.random.RandomState(41), format="csr",
+                  dtype=np.float32)
+    S = sps.from_scipy(A, dtype=np.float32)
+    x = rng.standard_normal(800).astype(np.float32)
+    want = A @ x
+    tol = np.abs(want).max() * 2e-5
+
+    got_e = np.asarray(sps.spmv(S, x))
+    assert np.abs(got_e - want).max() < tol
+
+    e = sps.spmv_expr(S, sp.from_numpy(x))
+    assert e.fmt == "dense", e.fmt
+    FLAGS.sparse_force_dense = False
+    e_ell = sps.spmv_expr(S, sp.from_numpy(x))
+    FLAGS.sparse_force_dense = True
+    assert e_ell.fmt == "ell"
+    assert e.aval().shape == e_ell.aval().shape
+    assert e.aval().dtype == e_ell.aval().dtype
+    assert np.abs(np.asarray(e.evaluate().glom()) - want).max() < tol
+
+    chain = sps.spmv_expr(S, sp.from_numpy(x)) * 0.85 + 0.15
+    assert (np.abs(np.asarray(chain.glom()) - (0.85 * want + 0.15)).max()
+            < 2 * tol)
+
+    xl = sp.from_numpy(x)
+    (g,) = sp.grad(sp.sum(sps.spmv_expr(S, xl) ** 2), wrt=[xl])
+    want_g = 2 * A.T @ want
+    assert (np.abs(np.asarray(g.glom()) - want_g).max()
+            < np.abs(want_g).max() * 1e-4)
+
+    # the Pallas force flags still win (kernel tests rely on them)
+    FLAGS.sparse_force_windowed = True
+    try:
+      e_w = sps.spmv_expr(S, sp.from_numpy(x))
+      assert e_w.fmt in ("win", "winsh"), e_w.fmt
+    finally:
+      FLAGS.sparse_force_windowed = False
+
+    # f64 stays on the XLA-faithful sparse path
+    S64 = sps.from_scipy(A, dtype=np.float64)
+    assert sps.spmv_expr(S64, sp.from_numpy(x)).fmt != "dense"
+  finally:
+    FLAGS.sparse_force_dense = old
