@@ -334,6 +334,46 @@ def bench_pagerank_step(n_blocks: int = 64, blocks_per_row: int = 8,
           if ms > 0 else None}
 
 
+def bench_spmm_dense(n: int = 16384, k: int = 64,
+                     density: float = 5e-3) -> dict:
+  """--all extra: the r3 densified sparse route — unstructured sparse ×
+  dense via one MXU matmul (HBM-bound read of the f32 densified A)."""
+  import scipy.sparse as ssp
+
+  import jax
+  import jax.numpy as jnp
+  from spartan_tpu.backend import sparse as sps
+  _ensure_init()
+
+  A = ssp.random(n, n, density=density,
+                 random_state=np.random.RandomState(7), format="csr",
+                 dtype=np.float32)
+  S = sps.from_scipy(A, dtype=np.float32)
+  B = jax.jit(lambda: jax.random.normal(
+      jax.random.key(1), (n, k), jnp.float32))()
+  Ad = S.to_densified()
+  Ad.block_until_ready()
+  _stamp("densified A on device")
+
+  from jax import lax
+
+  # Ad MUST be a jit argument, not a closure capture: a closed-over array
+  # becomes an HLO constant and the 1 GB request body 413s the tunnel's
+  # remote compile service (same failure mode as make_spmv_windowed's
+  # closure constants — CLAUDE.md)
+  @jax.jit
+  def loop(Ad, B, kk):
+    def body(i, c):
+      B2, c2 = lax.optimization_barrier((B, c))
+      out = jnp.matmul(Ad, B2, preferred_element_type=jnp.float32)
+      return jnp.sum(out) * 1e-30 + 0.0 * c2
+    return lax.fori_loop(0, kk, body, jnp.zeros((), jnp.float32))
+
+  slope, _, _ = _slope_time(lambda kk: (lambda: loop(Ad, B, kk)),
+                            k_lo=4, k_hi=20, reps=4)
+  return {"spmm_dense_gnnz_per_s": round(S.nnz / slope / 1e9, 3)}
+
+
 def _enable_compile_cache():
   """Persistent XLA compile cache in-repo: compiles through the tunnel's
   remote compile service can cost minutes cold; priming the cache once
@@ -369,6 +409,7 @@ STAGES = {
     "pagerank": bench_pagerank_step,
     "verify": bench_verify,
     "nonaffine": bench_nonaffine_pallas,   # --all only
+    "spmm_dense": bench_spmm_dense,        # --all only
 }
 # c1_full FIRST: the per-session first-program service cost (minutes on
 # bad days, cache hit or not — measured 456 s for a cached executable)
@@ -551,8 +592,10 @@ def main():
 
   plan_env = os.environ.get("SPARTAN_BENCH_STAGES")
   plan = plan_env.split(",") if plan_env else list(DEFAULT_PLAN)
-  if "--all" in sys.argv and "nonaffine" not in plan:
-    plan.append("nonaffine")
+  if "--all" in sys.argv:
+    for extra in ("nonaffine", "spmm_dense"):
+      if extra not in plan:
+        plan.append(extra)
 
   max_attempts = 2
   for attempt in range(1, max_attempts + 1):
