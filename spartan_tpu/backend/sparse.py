@@ -453,6 +453,22 @@ def _row_sharded(arrs, mesh):
   return out
 
 
+def _dense_route_precision(precision):
+  """Matmul precision for the densified MXU route.  The route replaces
+  f32-faithful sparse formulations (~1e-6 relerr); letting the matmul take
+  TPU-default bf16 passes would mean the auto-router silently changes
+  answers by ~3 orders of magnitude (measured 2.4e-3 relerr SpMM —
+  BASELINE.md r3 sweep).  Unspecified precision therefore floors to
+  HIGHEST: measured free for SpMV (1.88 vs 1.79 Gnnz/s) and ~1.8× for
+  SpMM while still 3–5× the windowed kernel this route supersedes.  An
+  explicit per-call ``precision='default'`` keeps the raw bf16 path."""
+  from spartan_tpu.expr.dot import _resolve_precision
+  p = _resolve_precision(precision)
+  if p is None and precision is None:
+    return jax.lax.Precision.HIGHEST
+  return p
+
+
 def _dense_routable(A, spmv: bool = False) -> bool:
   """Should ``spmm``/``SpMMExpr`` (or ``spmv`` with the higher density
   bar) densify ``A`` and ride the dense MXU matmul?  True when density
@@ -553,6 +569,7 @@ def spmv(A, x, use_pallas: Optional[bool] = None) -> jax.Array:
     # densified MXU route (r3): past ~8e-3 density the dense matvec's
     # HBM-roofline read beats the windowed/one-hot Pallas kernels
     return jnp.matmul(A.to_densified(), xj.astype(jnp.float32),
+                      precision=_dense_route_precision(None),
                       preferred_element_type=jnp.float32).astype(xj.dtype)
   if use_pallas is None:
     use_pallas = (FLAGS.use_pallas and not on_cpu) or (
@@ -636,6 +653,7 @@ def spmm(A, B) -> jax.Array:
     # per-nonzero gather once density/memory allow
     dt = jnp.promote_types(A.dtype, Bj.dtype)
     return jnp.matmul(A.to_densified(), Bj.astype(jnp.float32),
+                      precision=_dense_route_precision(None),
                       preferred_element_type=jnp.float32).astype(dt)
   use_win = ((FLAGS.use_pallas and not on_cpu) or FLAGS.sparse_force_winmm)
   if (use_win and Bj.shape[1] <= 512 and Bj.dtype != jnp.float64
@@ -881,9 +899,8 @@ class SpMVExpr(Expr):
     if self.fmt == "dense":
       Ad, x = deps
       dt = jnp.promote_types(jnp.dtype(self.src_dtype), x.dtype)
-      from spartan_tpu.expr.dot import _resolve_precision
-      prec = _resolve_precision(self.precision)
-      y = jnp.matmul(Ad, x.astype(jnp.float32), precision=prec,
+      y = jnp.matmul(Ad, x.astype(jnp.float32),
+                     precision=_dense_route_precision(self.precision),
                      preferred_element_type=jnp.float32)
       return y[: self.n_rows].astype(dt)
     if self.fmt == "winsh":
@@ -1102,9 +1119,8 @@ class SpMMExpr(Expr):
         raise ValueError(f"SpMMExpr needs a 2-D right operand, got "
                          f"{B.shape}")
       dt = jnp.promote_types(jnp.dtype(self.src_dtype), B.dtype)
-      from spartan_tpu.expr.dot import _resolve_precision
-      prec = _resolve_precision(self.precision)
-      y = jnp.matmul(Ad, B.astype(jnp.float32), precision=prec,
+      y = jnp.matmul(Ad, B.astype(jnp.float32),
+                     precision=_dense_route_precision(self.precision),
                      preferred_element_type=jnp.float32)
       return y[: self.n_rows].astype(dt)
     if self.fmt == "winmmsh":

@@ -874,6 +874,58 @@ def test_spmm_dense_route_gates(rng):
   assert e.fmt != "dense"
 
 
+def test_dense_route_precision_floor(rng):
+  """Auto-routing to the densified MXU path must not silently degrade
+  accuracy: with precision unspecified the dense matmul floors to
+  HIGHEST (TPU-default bf16 passes measured 2.4e-3 relerr vs ~1e-6 for
+  the sparse routes this path replaces — BASELINE.md r3 sweep).  An
+  explicit per-call 'default' keeps the fast bf16 path; a global
+  --dot_precision setting still wins."""
+  import jax
+  from spartan_tpu.backend.sparse import _dense_route_precision
+  from spartan_tpu.config import FLAGS
+
+  assert _dense_route_precision(None) == jax.lax.Precision.HIGHEST
+  assert _dense_route_precision("default") is None
+  assert _dense_route_precision("high") == "high"
+  old_flag = FLAGS.dot_precision
+  FLAGS.dot_precision = "highest"
+  try:
+    assert _dense_route_precision(None) == "highest"
+  finally:
+    FLAGS.dot_precision = old_flag
+
+  # the floor reaches the emitted dot: HIGHEST appears in the jaxpr of
+  # both SpMM and SpMV fmt='dense' emissions (and not with 'default')
+  from spartan_tpu.expr.base import EmitCtx
+  old = FLAGS.sparse_force_dense
+  FLAGS.sparse_force_dense = True
+  try:
+    A = ss.random(64, 64, density=0.1,
+                  random_state=np.random.RandomState(33), format="csr",
+                  dtype=np.float32)
+    S = sps.from_scipy(A, dtype=np.float32)
+    B = rng.standard_normal((64, 8)).astype(np.float32)
+    x = rng.standard_normal(64).astype(np.float32)
+    for expr_fn, rhs in ((sps.spmm_expr, B), (sps.spmv_expr, x)):
+      for prec, want_highest in ((None, True), ("default", False)):
+        e = (expr_fn(S, sp.from_numpy(rhs)) if prec is None
+             else expr_fn.__wrapped__(S, sp.from_numpy(rhs), precision=prec)
+             if hasattr(expr_fn, "__wrapped__") else None)
+        if e is None:  # no precision kwarg on the helper: construct direct
+          from spartan_tpu.backend.sparse import SpMMExpr, SpMVExpr
+          cls = SpMMExpr if rhs.ndim == 2 else SpMVExpr
+          e = cls(S, sp.from_numpy(rhs), precision=prec)
+        assert e.fmt == "dense", e.fmt
+        Ad = np.asarray(S.to_densified())
+        jaxpr = str(jax.make_jaxpr(
+            lambda a, b: e._emit(EmitCtx(), [a, b]))(Ad, rhs))
+        assert ("Precision.HIGHEST" in jaxpr) == want_highest, (
+            prec, jaxpr[-500:])
+  finally:
+    FLAGS.sparse_force_dense = old
+
+
 def test_spmv_dense_route(rng, cluster):
   """r3 densified route for SpMV (higher density bar than SpMM): values,
   chain, grad, and the aval contract hold; force flags for the Pallas
