@@ -238,8 +238,10 @@ def bench_matmul(n: int = 8192):
       return jnp.sum(out) * 1e-30 + 0.0 * c2
     return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
+  # delta = 24 iters x ~5.7 ms = ~140 ms signal: session-to-session spread
+  # at delta=8 (46 ms) was 180-190 TFLOP/s — pure tunnel timing noise
   slope, _, _ = _slope_time(lambda k: (lambda: loop(a, b, k)),
-                            k_lo=4, k_hi=12, reps=6)
+                            k_lo=4, k_hi=28, reps=6)
   tflops = 2 * n ** 3 / slope / 1e12
   peak = _lookup(jax.devices()[0], _MXU_PEAK_BF16, 1.0)
   return {"dot_tflops": round(tflops, 2),
@@ -276,7 +278,9 @@ def bench_linreg_step(n: int = 1 << 20, d: int = 64) -> dict:
   y = sp.lazify(sp.randn(n).astype(np.float32).evaluate())
   run = sp.make_fori(lambda w: linear_reg.gradient_step(X, y, w, 1e-4),
                      sp.from_numpy(np.zeros(d, np.float32)))
-  ms = _fori_slope_ms(run, lambda r: _sync(r.data), 4, 24)
+  # delta = 92 iters x ~0.5 ms = ~46 ms signal (was 20 x 0.5 = 10 ms,
+  # below the tunnel noise floor — spread 0.48-0.84 ms across sessions)
+  ms = _fori_slope_ms(run, lambda r: _sync(r.data), 4, 96, reps=6)
   return {"linreg_step_ms": round(ms, 4)}
 
 
@@ -295,9 +299,10 @@ def bench_kmeans_step(n: int = 1 << 19, d: int = 64, k: int = 64) -> dict:
 
   run = sp.make_fori(body, sp.from_numpy(
       rng.standard_normal((k, d)).astype(np.float32)))
-  # wide k-range: the ~0.14 ms step needs a big iteration delta to rise
-  # above tunnel timing noise (2..8 measured 0.0 once)
-  ms = _fori_slope_ms(run, lambda r: _sync(r.data), 8, 64, reps=6)
+  # wide k-range: the ~0.07-0.14 ms step needs a big iteration delta to
+  # rise above tunnel timing noise (2..8 measured 0.0 once; 8..64 = ~4 ms
+  # signal still swung 0.05-0.18 ms across sessions)
+  ms = _fori_slope_ms(run, lambda r: _sync(r.data), 8, 512, reps=6)
   return {"kmeans_step_ms": round(ms, 4)}
 
 
@@ -326,9 +331,10 @@ def bench_pagerank_step(n_blocks: int = 64, blocks_per_row: int = 8,
   r0 = sp.ones((n,), dtype=np.float32) / n
   run = sp.make_fori(
       lambda r: sps.spmv_expr(S, r) * 0.85 + 0.15 / n, r0)
-  # the ~0.04-0.1 ms step needs a wide iteration delta to rise above
-  # tunnel timing noise (4..24 once measured 0.0)
-  ms = _fori_slope_ms(run, lambda r: _sync(r.data), 8, 200, reps=6)
+  # the ~0.015-0.1 ms step needs a wide iteration delta to rise above
+  # tunnel timing noise (4..24 once measured 0.0; 8..200 = ~3-10 ms
+  # signal still swung 0.015-0.05 ms across sessions)
+  ms = _fori_slope_ms(run, lambda r: _sync(r.data), 8, 2048, reps=6)
   return {"pagerank_step_ms": round(ms, 4),
           "pagerank_gnnz_per_s": round(nnz / (ms * 1e-3) / 1e9, 2)
           if ms > 0 else None}

@@ -39,7 +39,7 @@ def main() -> None:
   # matches what the driver's orchestrator will run (incl. the 4096²
   # provisional config-1 stage and the oracle-verify region)
   stages = [(name, bench.STAGES[name])
-            for name in bench.DEFAULT_PLAN + ["nonaffine"]]
+            for name in bench.DEFAULT_PLAN + ["nonaffine", "spmm_dense"]]
   failures = 0
   for name, fn in stages:
     try:
