@@ -43,6 +43,17 @@ class StencilExpr(Expr):
   def _emit(self, ctx: EmitCtx, deps: List[Any]):
     x, w = deps
     acc = jnp.promote_types(x.dtype, w.dtype)
+    # Single-channel stride-1 stencils (the classic Laplacian/blur case):
+    # XLA's conv lowering runs at ~7.5 GB/s on TPU for O=I=1 — 100x off
+    # the HBM roofline (measured, tools/stencil_probe_r3.py).  The
+    # shifted-add formulation hits 136-260 GB/s, fuses with neighbors,
+    # differentiates through both operands, and SPMD-partitions (static
+    # slices of a sharded array get halo exchanges automatically).
+    if (self.stride == (1, 1) and w.ndim == 4
+        and w.shape[0] == 1 and w.shape[1] == 1
+        and w.shape[2] * w.shape[3] <= 49
+        and self.padding in ("SAME", "VALID")):
+      return self._emit_shifted(x, w, acc)
     return jax.lax.conv_general_dilated(
         x, w.astype(acc),
         window_strides=self.stride,
@@ -50,6 +61,29 @@ class StencilExpr(Expr):
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         preferred_element_type=acc if acc != jnp.float64 else None,
     ).astype(acc)
+
+  def _emit_shifted(self, x, w, acc):
+    kh, kw = int(w.shape[2]), int(w.shape[3])
+    n, c, h, ww = x.shape
+    if self.padding == "SAME":
+      # XLA SAME at stride 1: pad_total = k-1, low half first
+      ph0, pw0 = (kh - 1) // 2, (kw - 1) // 2
+      xp = jnp.pad(x.astype(acc), ((0, 0), (0, 0),
+                                   (ph0, kh - 1 - ph0),
+                                   (pw0, kw - 1 - pw0)))
+      oh, ow = h, ww
+    else:  # VALID
+      xp = x.astype(acc)
+      oh, ow = h - kh + 1, ww - kw + 1
+    # lax.conv_general_dilated is cross-correlation (no filter flip):
+    # out[i,j] = sum_{di,dj} w[di, dj] * xp[i+di, j+dj]
+    out = jnp.zeros((n, c, oh, ow), acc)
+    for di in range(kh):
+      for dj in range(kw):
+        tap = w[0, 0, di, dj].astype(acc)
+        out = out + tap * jax.lax.slice(
+            xp, (0, 0, di, dj), (n, c, di + oh, dj + ow))
+    return out
 
 
 class PoolExpr(Expr):

@@ -66,3 +66,45 @@ def test_stencil_feeds_lazy_chain(rng):
   w = rng.standard_normal((1, 1, 3, 3))
   expr = sp.maxpool(sp.stencil(sp.from_numpy(x), sp.from_numpy(w)), 2).sum()
   assert np.isfinite(expr.glom())
+
+
+def test_single_channel_shifted_emit(rng):
+  """O=I=1 stride-1 stencils take the shifted-add emission (the XLA conv
+  lowering is ~100x off the HBM roofline for this case on TPU — measured
+  in tools/stencil_probe_r3.py); must agree with the conv oracle for
+  every kernel shape / padding."""
+  import jax
+  import jax.numpy as jnp
+  for kh, kw in [(3, 3), (2, 2), (5, 3), (1, 1), (4, 5), (7, 7)]:
+    for pad in ("SAME", "VALID"):
+      x = rng.standard_normal((2, 1, 12, 16))
+      w = rng.standard_normal((1, 1, kh, kw))
+      got = sp.stencil(sp.from_numpy(x), sp.from_numpy(w),
+                       padding=pad).glom()
+      want = jax.lax.conv_general_dilated(
+          jnp.asarray(x), jnp.asarray(w), (1, 1), pad,
+          dimension_numbers=("NCHW", "OIHW", "NCHW"))
+      np.testing.assert_allclose(got, np.asarray(want),
+                                 rtol=1e-12, atol=1e-12)
+
+
+def test_single_channel_shifted_grad(rng):
+  """grad flows through the shifted-add stencil emission for both x and
+  the filter taps, matching the conv formulation."""
+  import jax
+  import jax.numpy as jnp
+  from spartan_tpu import autodiff
+  xe = rng.standard_normal((1, 1, 8, 8))
+  we = rng.standard_normal((1, 1, 3, 3))
+  X, W = sp.from_numpy(xe), sp.from_numpy(we)
+  loss = sp.sum(sp.stencil(X, W) ** 2)
+  gx, gw = [np.asarray(g.data) for g in autodiff.grad(loss, [X, W])]
+
+  def jf(X, W):
+    return jnp.sum(jax.lax.conv_general_dilated(
+        X, W, (1, 1), "SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW")) ** 2)
+
+  jgx, jgw = jax.grad(jf, argnums=(0, 1))(jnp.asarray(xe), jnp.asarray(we))
+  np.testing.assert_allclose(gx, np.asarray(jgx), rtol=1e-10, atol=1e-10)
+  np.testing.assert_allclose(gw, np.asarray(jgw), rtol=1e-10, atol=1e-10)

@@ -73,13 +73,14 @@ def xla_conv(coeffs):
 
 def xla_shift(coeffs):
   def fn(x):
+    n, m = x.shape
     xp = jnp.pad(x, 1)
     acc = jnp.zeros_like(x)
     for di in range(3):
       for dj in range(3):
         c = coeffs[di * 3 + dj]
         if c:
-          acc = acc + c * lax.slice(xp, (di, dj), (di + N, dj + N))
+          acc = acc + c * lax.slice(xp, (di, dj), (di + n, dj + m))
     return acc
   return fn
 
