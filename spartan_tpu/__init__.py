@@ -72,6 +72,7 @@ from spartan_tpu.expr.fio import checkpoint, from_file, load, save  # noqa: E402
 from spartan_tpu.backend import sparse  # noqa: E402
 from spartan_tpu.backend.sparse import (SparseArray, sparse_diagonal,  # noqa: E402
                                         sprandn)
+from spartan_tpu import linalg  # noqa: E402  (np.linalg-style surface)
 
 __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "SpartanArray", "get_mesh", "make_mesh", "with_mesh", "Expr",
@@ -80,5 +81,5 @@ __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "shuffle", "smart_tile", "tiling_plan", "remat", "fori_loop", "make_fori",
            "while_loop", "scan_iters", "cond", "compile", "reduce",
            "grad", "value_and_grad", "jvp", "sgd_train",
-           "checkpoint", "from_file", "load", "save", "sparse",
+           "checkpoint", "from_file", "load", "save", "sparse", "linalg",
            "SparseArray", "sparse_diagonal", "sprandn"] + list(_builtin_all)

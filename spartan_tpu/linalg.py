@@ -1,0 +1,134 @@
+"""``sp.linalg`` — NumPy-style linear algebra over the distributed
+primitives.
+
+The reference shipped its linear algebra as example programs
+(``spartan/examples/{cholesky,qr,cg,lanczos,pca}`` — SURVEY.md §2.5
+broader demo set); this module promotes them to a library surface so a
+``np.linalg`` user finds the expected entry points.  Every O(n²)+ step
+runs as sharded expression-layer ops on the mesh; only O(b³) diagonal
+blocks / O(k³) Krylov eigenproblems run driver-side (the reference's
+single-tile kernel granularity).
+
+Conventions: inputs may be numpy arrays, exprs, or SpartanArrays;
+returns are SpartanArrays (factor/solve surfaces) or numpy (tiny
+Krylov/σ outputs), matching the examples they wrap.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+import spartan_tpu as sp
+
+
+__all__ = ["cholesky", "qr", "solve", "solve_triangular", "lstsq",
+           "eigvalsh_lanczos", "svd_lowrank", "cg"]
+
+
+def cholesky(A, block: int = 128):
+  """Lower-triangular ``L`` with ``L @ L.T == A`` for SPD ``A``
+  (blocked right-looking; panel solve + rank-b update sharded on the
+  mesh)."""
+  from spartan_tpu.examples import cholesky as _chol
+  return _chol.factor(A, block=block)
+
+
+def qr(X) -> Tuple[object, object]:
+  """Reduced QR of a tall-skinny matrix via CholeskyQR2 (two sharded
+  Gram+correction rounds).  Returns ``(Q, R)``: Q an (n, d) SpartanArray
+  with orthonormal columns, R a (d, d) SpartanArray, ``Q @ R == X``."""
+  from spartan_tpu.examples import qr as _qr
+  q, r = _qr.tsqr(X)
+  return q, sp.from_numpy(np.ascontiguousarray(r)).evaluate()
+
+
+def solve_triangular(A, b, lower: bool = True, block: int = 256):
+  """Solve ``A x = b`` for triangular ``A`` by blocked substitution.
+
+  The O(n²) off-diagonal updates are sharded ``sp.dot`` products; each
+  (block, block) diagonal system is solved driver-side (reference
+  single-tile granularity).  ``b`` may be (n,) or (n, m)."""
+  import scipy.linalg as sla
+  A, b = sp.lazify(A), sp.lazify(b)
+  n = A.shape[0]
+  vec = len(b.shape) == 1
+  bounds = [(j, min(j + block, n)) for j in range(0, n, block)]
+  if not lower:
+    bounds = bounds[::-1]
+  x = sp.Val(sp.zeros(tuple(b.shape), dtype=np.float64).evaluate())
+  for i0, i1 in bounds:
+    rhs = b[i0:i1]
+    if lower and i0 > 0:
+      rhs = rhs - sp.dot(A[i0:i1, 0:i0], x[0:i0], precision="highest")
+    elif not lower and i1 < n:
+      rhs = rhs - sp.dot(A[i0:i1, i1:n], x[i1:n], precision="highest")
+    diag = np.asarray(A[i0:i1, i0:i1].glom())
+    xi = sla.solve_triangular(diag, np.asarray(rhs.glom()), lower=lower)
+    idx = (slice(i0, i1),) if vec else (slice(i0, i1), slice(None))
+    x = sp.Val(sp.assign(x, idx, sp.Val(xi)).evaluate())
+  return x.evaluate()
+
+
+def cg(A, b, tol: float = 1e-10, max_iters: int = 1000):
+  """Conjugate-gradient SPD solve, entirely on device (one compiled
+  ``sp.while_loop`` iterating to tolerance)."""
+  from spartan_tpu.examples import cg as _cg
+  return _cg.solve_fused(A, b, tol=tol, max_iters=max_iters)
+
+
+def solve(A, b, method: str = "auto", block: int = 128,
+          tol: float = 1e-10):
+  """Solve ``A x = b`` for symmetric positive-definite ``A``.
+
+  ``method``: 'cholesky' (direct: blocked factor + two triangular
+  solves), 'cg' (iterative, whole solve in one compiled device loop), or
+  'auto' (cholesky — direct is the np.linalg.solve expectation)."""
+  if method == "auto":
+    method = "cholesky"
+  if method == "cg":
+    return cg(A, b, tol=tol)
+  if method != "cholesky":
+    raise ValueError(f"unknown method {method!r}")
+  L = cholesky(A, block=block)
+  y = solve_triangular(L, b, lower=True, block=block)
+  return solve_triangular(sp.transpose(L), y, lower=False, block=block)
+
+
+def lstsq(X, y, reg: float = 0.0, method: str = "auto"):
+  """Least-squares ``argmin_w |X w - y|² + reg |w|²`` via the normal
+  equations: the (d, d) Gram matrix is a sharded ``X.T @ X``; the small
+  SPD system then solves with :func:`solve`."""
+  X, y = sp.lazify(X), sp.lazify(y)
+  d = X.shape[1]
+  g = sp.dot(sp.transpose(X), X, precision="highest")
+  if reg:
+    g = g + reg * sp.eye(d, dtype=np.float64)
+  c = sp.dot(sp.transpose(X), y, precision="highest")
+  return solve(sp.Val(g.evaluate()), sp.Val(c.evaluate()), method=method)
+
+
+def eigvalsh_lanczos(A, k: int = 6, m: int | None = None, seed: int = 0):
+  """Top-k eigenvalues of symmetric ``A`` from an m-step Lanczos
+  subspace (sharded matvecs; the m×m tridiagonal eigenproblem is
+  driver-side).  Returns a (k,) numpy array, ascending (np.linalg.eigh
+  order)."""
+  from spartan_tpu.examples import lanczos as _lan
+  A = sp.lazify(A)
+  m = m if m is not None else max(2 * k + 8, 24)
+  m = min(m, int(A.shape[0]))
+  alphas, betas, _ = _lan.tridiagonalize(A, k=m, seed=seed)
+  t = np.diag(alphas)
+  if len(betas):
+    nn = len(alphas)
+    t += np.diag(betas[:nn - 1], 1) + np.diag(betas[:nn - 1], -1)
+  vals = np.linalg.eigvalsh(t)
+  return vals[-k:]
+
+
+def svd_lowrank(X, k: int = 6, iterations: int = 20, seed: int = 0):
+  """Randomized rank-k SVD (the reference's SSVD): subspace iteration
+  with sharded matmuls; returns ``(U (n,k), S (k,), Vt (k,d))`` numpy."""
+  from spartan_tpu.examples import pca as _pca
+  return _pca.ssvd(X, k=k, iterations=iterations, seed=seed)
