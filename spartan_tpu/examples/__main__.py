@@ -151,6 +151,13 @@ def _convnet():
   return {"losses": [round(l, 4) for l in losses]}
 
 
+@_register("heat")
+def _heat():
+  from spartan_tpu.examples import heat
+  err, total = heat.run(256, 200)
+  return {"max_err_vs_numpy": err, "heat_total": total}
+
+
 def main(argv):
   rest = [a for a in argv if not a.startswith("--")]
   flags = [a for a in argv if a.startswith("--")]

@@ -344,3 +344,12 @@ def test_tsqr_ill_conditioned():
   qn = np.asarray(q.glom())
   assert np.abs(qn.T @ qn - np.eye(16)).max() < 1e-12
   np.testing.assert_allclose(qn @ r, xn, atol=1e-10)
+
+
+def test_heat_diffusion_matches_numpy_loop():
+  """2-D heat equation through the shifted-add stencil emission in one
+  compiled device loop vs the identical numpy loop (universal oracle)."""
+  from spartan_tpu.examples import heat
+  err, total = heat.run(64, 50)
+  assert err < 1e-8, err
+  assert np.isfinite(total)
