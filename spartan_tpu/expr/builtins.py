@@ -758,6 +758,81 @@ def nonzero(v) -> Expr:
   return HostExpr([lazify(v)], lambda x: np.stack(np.nonzero(x)))
 
 
+# -- numpy-parity additions (r3 surface audit) ------------------------------
+
+def asarray(v, dtype=None) -> Expr:
+  """``numpy.asarray``: wrap host data (lazy leaf) / pass exprs through."""
+  out = lazify(v)
+  return astype(out, dtype) if dtype is not None else out
+
+
+array = asarray
+
+
+def copy(v) -> Expr:
+  """Functional copy — lazy arrays are immutable, so this is the identity
+  map (kept for numpy-API parity; reference arrays copied tile stores)."""
+  return map([lazify(v)], jnp.copy)
+
+
+def append(a, b, axis=None) -> Expr:
+  a, b = lazify(a), lazify(b)
+  if axis is None:
+    return concatenate([ravel(a), ravel(b)], axis=0)
+  return concatenate([a, b], axis=axis)
+
+
+def fmax(a, b) -> Expr:
+  return map([lazify(a), lazify(b)], jnp.fmax)
+
+
+def fmin(a, b) -> Expr:
+  return map([lazify(a), lazify(b)], jnp.fmin)
+
+
+def logaddexp(a, b) -> Expr:
+  return map([lazify(a), lazify(b)], jnp.logaddexp)
+
+
+def nan_to_num(v, nan=0.0, posinf=None, neginf=None) -> Expr:
+  return map([lazify(v)], jnp.nan_to_num,
+             fn_kw={"nan": nan, "posinf": posinf, "neginf": neginf})
+
+
+def interp(x, xp, fp, left=None, right=None) -> Expr:
+  return map([lazify(x), lazify(xp), lazify(fp)], jnp.interp,
+             fn_kw={"left": left, "right": right})
+
+
+def rot90(v, k=1, axes=(0, 1)) -> Expr:
+  return map([lazify(v)], jnp.rot90, fn_kw={"k": k, "axes": tuple(axes)})
+
+
+def flatnonzero(v) -> Expr:
+  """Data-dependent output length → eager host boundary, like nonzero."""
+  from spartan_tpu.expr.fio import HostExpr
+  return HostExpr([lazify(v)], np.flatnonzero)
+
+
+def unravel_index(indices, shape):
+  """Tuple of coordinate exprs (numpy contract), traced as one stack."""
+  shape = _tuplify(shape)
+  st = map([lazify(indices)],
+           lambda i: jnp.stack(jnp.unravel_index(i, shape)))
+  return tuple(st[d] for d in range(len(shape)))
+
+
+def fill_diagonal(v, val) -> Expr:
+  """Functional ``numpy.fill_diagonal``: returns a NEW expr (lazy arrays
+  are immutable; the reference's in-place writes map to write-exprs)."""
+  return map([lazify(v), lazify(val)],
+             lambda x, w: jnp.fill_diagonal(x, w, inplace=False))
+
+
+amax = max
+amin = min
+
+
 # -- misc -------------------------------------------------------------------
 
 def allclose(a, b, rtol=1e-05, atol=1e-08) -> bool:
@@ -818,4 +893,8 @@ __all__ = [
     "write", "assign",
     # misc
     "allclose", "array_equal",
+    # numpy-parity additions (r3 surface audit)
+    "asarray", "array", "copy", "append", "fmax", "fmin", "logaddexp",
+    "nan_to_num", "interp", "rot90", "flatnonzero", "unravel_index",
+    "fill_diagonal", "amax", "amin",
 ]

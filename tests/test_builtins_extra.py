@@ -106,3 +106,68 @@ def test_einsum_parity_and_caching(rng, cluster):
   t2 = sp.einsum("ij,ij->i", sp.from_numpy(a), sp.from_numpy(a)).glom()
   np.testing.assert_allclose(t1, np.einsum("ij,ij->", a, a), rtol=1e-12)
   np.testing.assert_allclose(t2, np.einsum("ij,ij->i", a, a), rtol=1e-12)
+
+
+def test_r3_surface_aliases(rng, cluster):
+  a = rng.standard_normal((5, 7))
+  assert float(sp.amax(sp.from_numpy(a)).glom()) == a.max()
+  assert float(sp.amin(sp.from_numpy(a)).glom()) == a.min()
+  np.testing.assert_array_equal(sp.asarray(a).glom(), np.asarray(a))
+  np.testing.assert_array_equal(sp.array(a, dtype=np.float32).glom(),
+                                np.array(a, dtype=np.float32))
+  np.testing.assert_array_equal(sp.copy(sp.from_numpy(a)).glom(), a)
+
+
+def test_r3_append_binary_maps(rng, cluster):
+  a, b = rng.standard_normal((3, 4)), rng.standard_normal((2, 4))
+  np.testing.assert_array_equal(
+      sp.append(sp.from_numpy(a), sp.from_numpy(b), axis=0).glom(),
+      np.append(a, b, axis=0))
+  np.testing.assert_array_equal(
+      sp.append(sp.from_numpy(a), sp.from_numpy(b)).glom(), np.append(a, b))
+  x, y = rng.standard_normal(16), rng.standard_normal(16)
+  x[3] = np.nan
+  np.testing.assert_array_equal(
+      sp.fmax(sp.from_numpy(x), sp.from_numpy(y)).glom(), np.fmax(x, y))
+  np.testing.assert_array_equal(
+      sp.fmin(sp.from_numpy(x), sp.from_numpy(y)).glom(), np.fmin(x, y))
+  np.testing.assert_allclose(
+      sp.logaddexp(sp.from_numpy(y), sp.from_numpy(y)).glom(),
+      np.logaddexp(y, y), rtol=1e-12)
+
+
+def test_r3_nan_to_num_interp_rot90(rng, cluster):
+  x = rng.standard_normal(12)
+  x[2], x[5], x[9] = np.nan, np.inf, -np.inf
+  np.testing.assert_array_equal(sp.nan_to_num(sp.from_numpy(x)).glom(),
+                                np.nan_to_num(x))
+  np.testing.assert_array_equal(
+      sp.nan_to_num(sp.from_numpy(x), nan=7.0, posinf=1e3, neginf=-1e3).glom(),
+      np.nan_to_num(x, nan=7.0, posinf=1e3, neginf=-1e3))
+  xp = np.linspace(0.0, 1.0, 11)
+  fp = np.sin(xp)
+  q = rng.uniform(-0.2, 1.2, 33)
+  np.testing.assert_allclose(
+      sp.interp(sp.from_numpy(q), sp.from_numpy(xp), sp.from_numpy(fp)).glom(),
+      np.interp(q, xp, fp), rtol=1e-12)
+  a = rng.standard_normal((4, 6))
+  for k in range(4):
+    np.testing.assert_array_equal(sp.rot90(sp.from_numpy(a), k=k).glom(),
+                                  np.rot90(a, k=k))
+
+
+def test_r3_index_helpers(rng, cluster):
+  a = rng.standard_normal((4, 6))
+  a[a < 0.3] = 0.0
+  np.testing.assert_array_equal(sp.flatnonzero(sp.from_numpy(a)).glom(),
+                                np.flatnonzero(a))
+  idx = np.array([0, 5, 11, 23])
+  got = sp.unravel_index(sp.from_numpy(idx), (4, 6))
+  want = np.unravel_index(idx, (4, 6))
+  assert len(got) == len(want) == 2
+  for g, w in zip(got, want):
+    np.testing.assert_array_equal(np.asarray(g.glom()), w)
+  b = rng.standard_normal((5, 5))
+  np.testing.assert_array_equal(
+      sp.fill_diagonal(sp.from_numpy(b), 9.0).glom(),
+      np.where(np.eye(5, dtype=bool), 9.0, b))
