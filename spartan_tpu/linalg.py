@@ -24,7 +24,11 @@ import spartan_tpu as sp
 
 
 __all__ = ["cholesky", "qr", "solve", "solve_triangular", "lstsq",
-           "eigvalsh_lanczos", "svd_lowrank", "cg"]
+           "eigvalsh_lanczos", "svd_lowrank", "cg",
+           # full np.linalg surface (r3): XLA-native dense factorizations
+           "inv", "pinv", "det", "slogdet", "eigh", "eigvalsh", "eig",
+           "eigvals", "svd", "svdvals", "matrix_power", "matrix_rank",
+           "cond", "norm"]
 
 
 def cholesky(A, block: int = 128):
@@ -132,3 +136,122 @@ def svd_lowrank(X, k: int = 6, iterations: int = 20, seed: int = 0):
   with sharded matmuls; returns ``(U (n,k), S (k,), Vt (k,d))`` numpy."""
   from spartan_tpu.examples import pca as _pca
   return _pca.ssvd(X, k=k, iterations=iterations, seed=seed)
+
+
+# -- full np.linalg surface (r3) --------------------------------------------
+#
+# Dense factorizations as LAZY exprs over XLA's native TPU lowerings
+# (eigh/svd/LU all compile to on-device kernels).  These are the
+# np.linalg convenience entry points at single-factorization scale; the
+# sharded/blocked variants above (blocked cholesky, TSQR, Lanczos, SSVD,
+# CG) are the distributed-scale paths.  Multi-output factorizations
+# return tuples of exprs — evaluated together (one region) XLA CSEs the
+# shared factorization; evaluated separately each output re-factorizes.
+
+def _jl_call(name, kw, a):
+  import jax.numpy as jnp
+  return getattr(jnp.linalg, name)(a, **dict(kw))
+
+
+def _jl_pick(name, kw, i, a):
+  import jax.numpy as jnp
+  return getattr(jnp.linalg, name)(a, **dict(kw))[i]
+
+
+def _lin_map(A, name, **kw):
+  import functools
+  return sp.map([sp.lazify(A)],
+                functools.partial(_jl_call, name, tuple(sorted(kw.items()))))
+
+
+def _lin_multi(A, name, n_out, **kw):
+  import functools
+  A = sp.lazify(A)
+  kwt = tuple(sorted(kw.items()))
+  return tuple(sp.map([A], functools.partial(_jl_pick, name, kwt, i))
+               for i in range(n_out))
+
+
+def inv(A):
+  """Matrix inverse (XLA LU; prefer :func:`solve` for a single system)."""
+  return _lin_map(A, "inv")
+
+
+def pinv(A, rtol=None):
+  return _lin_map(A, "pinv", **({} if rtol is None else {"rtol": rtol}))
+
+
+def det(A):
+  return _lin_map(A, "det")
+
+
+def slogdet(A):
+  """``(sign, logabsdet)`` exprs (np.linalg.slogdet contract)."""
+  return _lin_multi(A, "slogdet", 2)
+
+
+def eigvalsh(A):
+  """Full ascending spectrum of a symmetric matrix (XLA on-device eigh;
+  for top-k at scale use :func:`eigvalsh_lanczos`)."""
+  return _lin_map(A, "eigvalsh")
+
+
+def eigh(A):
+  """``(w, v)`` exprs — eigenvalues ascending, orthonormal columns."""
+  return _lin_multi(A, "eigh", 2)
+
+
+def eig(A):
+  """General (non-symmetric) eigendecomposition ``(w, v)``.
+
+  XLA:TPU has no nonsymmetric-eig kernel, so this is an eager host
+  boundary (``np.linalg.eig``) — the same NotShapeable-style convention
+  the framework uses for data-dependent shapes.  Complex outputs."""
+  from spartan_tpu.expr.fio import HostExpr
+  A = sp.lazify(A)
+  w = HostExpr([A], lambda a: np.linalg.eig(a)[0])
+  v = HostExpr([A], lambda a: np.linalg.eig(a)[1])
+  return w, v
+
+
+def eigvals(A):
+  from spartan_tpu.expr.fio import HostExpr
+  return HostExpr([sp.lazify(A)], np.linalg.eigvals)
+
+
+def svd(X, full_matrices: bool = False, compute_uv: bool = True):
+  """Full SVD ``(U, S, Vt)`` exprs (XLA on-device kernel); with
+  ``compute_uv=False`` returns the singular-value expr alone.  For
+  rank-k at scale use :func:`svd_lowrank`."""
+  if not compute_uv:
+    return _lin_map(X, "svd", full_matrices=full_matrices,
+                    compute_uv=False)
+  return _lin_multi(X, "svd", 3, full_matrices=full_matrices)
+
+
+def svdvals(X):
+  return svd(X, compute_uv=False)
+
+
+def matrix_power(A, n: int):
+  return _lin_map(A, "matrix_power", n=int(n))
+
+
+def matrix_rank(A, rtol=None):
+  return _lin_map(A, "matrix_rank",
+                  **({} if rtol is None else {"rtol": rtol}))
+
+
+def cond(A, p=None):
+  return _lin_map(A, "cond", **({} if p is None else {"p": p}))
+
+
+def norm(x, ord=None, axis=None, keepdims: bool = False):
+  """np.linalg.norm with the full ``ord`` surface (2-norms of matrices
+  via on-device SVD; Frobenius/vector norms stay elementwise+reduce)."""
+  kw = {"keepdims": keepdims}
+  if ord is not None:
+    kw["ord"] = ord
+  if axis is not None:
+    kw["axis"] = axis
+  return _lin_map(x, "norm", **kw)

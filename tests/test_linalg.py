@@ -86,3 +86,71 @@ def test_svd_lowrank(rng):
   np.testing.assert_allclose(s, want, rtol=1e-6)
   np.testing.assert_allclose(U @ np.diag(s) @ Vt,
                              (U * s) @ Vt, atol=1e-9)
+
+
+def test_inv_det_slogdet(rng):
+  a = _spd(48, rng)
+  np.testing.assert_allclose(np.asarray(sp.linalg.inv(a).glom()),
+                             np.linalg.inv(a), rtol=1e-8, atol=1e-8)
+  np.testing.assert_allclose(float(sp.linalg.det(a[:6, :6]).glom()),
+                             np.linalg.det(a[:6, :6]), rtol=1e-9)
+  sign, logdet = sp.linalg.slogdet(a)
+  ws, wl = np.linalg.slogdet(a)
+  assert float(sign.glom()) == ws
+  np.testing.assert_allclose(float(logdet.glom()), wl, rtol=1e-10)
+
+
+def test_eigh_full(rng):
+  m = rng.standard_normal((64, 64))
+  a = (m + m.T) / 2
+  np.testing.assert_allclose(np.asarray(sp.linalg.eigvalsh(a).glom()),
+                             np.linalg.eigvalsh(a), rtol=1e-8, atol=1e-8)
+  w, v = sp.linalg.eigh(a)
+  wn, vn = np.asarray(w.glom()), np.asarray(v.glom())
+  np.testing.assert_allclose(a @ vn, vn * wn, atol=1e-8)
+  np.testing.assert_allclose(vn.T @ vn, np.eye(64), atol=1e-8)
+
+
+def test_eig_general_host_boundary(rng):
+  a = rng.standard_normal((24, 24))
+  w, v = sp.linalg.eig(a)
+  wn, vn = np.asarray(w.glom()), np.asarray(v.glom())
+  np.testing.assert_allclose(a @ vn, vn * wn, atol=1e-9)
+  ev = np.asarray(sp.linalg.eigvals(a).glom())
+  np.testing.assert_allclose(sorted(ev.real), sorted(wn.real), atol=1e-9)
+
+
+def test_svd_full(rng):
+  x = rng.standard_normal((40, 24))
+  u, s, vt = sp.linalg.svd(x)
+  un, sn, vtn = (np.asarray(e.glom()) for e in (u, s, vt))
+  np.testing.assert_allclose((un * sn) @ vtn, x, atol=1e-9)
+  np.testing.assert_allclose(sn, np.linalg.svd(x, compute_uv=False),
+                             rtol=1e-9)
+  np.testing.assert_allclose(np.asarray(sp.linalg.svdvals(x).glom()),
+                             np.linalg.svd(x, compute_uv=False), rtol=1e-9)
+
+
+def test_power_rank_cond_norm(rng):
+  a = _spd(32, rng)
+  np.testing.assert_allclose(np.asarray(sp.linalg.matrix_power(a, 3).glom()),
+                             np.linalg.matrix_power(a, 3), rtol=1e-8)
+  assert int(sp.linalg.matrix_rank(a).glom()) == 32
+  lowrank = np.outer(rng.standard_normal(16), rng.standard_normal(16))
+  assert int(sp.linalg.matrix_rank(lowrank).glom()) == 1
+  np.testing.assert_allclose(float(sp.linalg.cond(a).glom()),
+                             np.linalg.cond(a), rtol=1e-6)
+  x = rng.standard_normal((8, 12))
+  for o in (None, "fro", 1, np.inf, 2, -2):
+    np.testing.assert_allclose(float(sp.linalg.norm(x, ord=o).glom()),
+                               np.linalg.norm(x, ord=o), rtol=1e-8,
+                               err_msg=f"ord={o}")
+  np.testing.assert_allclose(
+      np.asarray(sp.linalg.norm(x, axis=1).glom()),
+      np.linalg.norm(x, axis=1), rtol=1e-10)
+
+
+def test_pinv(rng):
+  x = rng.standard_normal((24, 12))
+  np.testing.assert_allclose(np.asarray(sp.linalg.pinv(x).glom()),
+                             np.linalg.pinv(x), rtol=1e-7, atol=1e-8)
