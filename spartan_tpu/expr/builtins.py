@@ -833,6 +833,34 @@ amax = max
 amin = min
 
 
+def permutation(v) -> Expr:
+  """Random permutation (``np.random.permutation``): an int gives a
+  permuted ``arange``; an array permutes along axis 0.  TPU-native
+  formulation: argsort of uniform random keys — large sharded inputs
+  ride the distributed sample sort (no Fisher–Yates serial chain)."""
+  if isinstance(v, (int, np.integer)):
+    return argsort(rand(int(v)))
+  v = lazify(v)
+  return take(v, argsort(rand(v.shape[0])), axis=0)
+
+
+def choice(v, size, replace: bool = True) -> Expr:
+  """Random sample from a 1-D population (``np.random.choice``).  With
+  replacement: uniform traced index gather.  Without: the first ``size``
+  entries of a random-key argsort (exact, distributed-sort-backed)."""
+  if isinstance(v, (int, np.integer)):
+    v = arange(int(v))
+  v = lazify(v)
+  n = v.shape[0]
+  size = int(size)
+  if replace:
+    return take(v, randint(0, n, size=(size,)))
+  if size > n:
+    raise ValueError("cannot take a larger sample than population when "
+                     "replace=False")
+  return take(v, permutation(n)[:size])
+
+
 # -- misc -------------------------------------------------------------------
 
 def allclose(a, b, rtol=1e-05, atol=1e-08) -> bool:
@@ -896,5 +924,5 @@ __all__ = [
     # numpy-parity additions (r3 surface audit)
     "asarray", "array", "copy", "append", "fmax", "fmin", "logaddexp",
     "nan_to_num", "interp", "rot90", "flatnonzero", "unravel_index",
-    "fill_diagonal", "amax", "amin",
+    "fill_diagonal", "amax", "amin", "permutation", "choice",
 ]

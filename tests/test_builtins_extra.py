@@ -171,3 +171,23 @@ def test_r3_index_helpers(rng, cluster):
   np.testing.assert_array_equal(
       sp.fill_diagonal(sp.from_numpy(b), 9.0).glom(),
       np.where(np.eye(5, dtype=bool), 9.0, b))
+
+
+def test_r3_permutation_choice(cluster):
+  sp.set_random_seed(1234)
+  p = np.asarray(sp.permutation(257).glom())
+  np.testing.assert_array_equal(np.sort(p), np.arange(257))
+  a = np.arange(100.0) * 2.0
+  pa = np.asarray(sp.permutation(sp.from_numpy(a)).glom())
+  np.testing.assert_array_equal(np.sort(pa), a)
+  m = np.arange(24.0).reshape(8, 3)
+  pm = np.asarray(sp.permutation(sp.from_numpy(m)).glom())
+  np.testing.assert_array_equal(np.sort(pm[:, 0]), m[:, 0])
+  np.testing.assert_array_equal(pm[:, 1] - pm[:, 0], m[:, 1] - m[:, 0])
+
+  c = np.asarray(sp.choice(50, 20, replace=False).glom())
+  assert len(np.unique(c)) == 20 and c.min() >= 0 and c.max() < 50
+  cr = np.asarray(sp.choice(sp.from_numpy(a), 64).glom())
+  assert np.isin(cr, a).all()
+  with np.testing.assert_raises(ValueError):
+    sp.choice(5, 10, replace=False)
