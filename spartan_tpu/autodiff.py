@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Callable, List, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from spartan_tpu.core.array import SpartanArray
 from spartan_tpu.expr import optimize as opt_mod
@@ -75,17 +76,27 @@ def as_function(expr: Expr, wrt: Sequence[Expr],
   return fn, args
 
 
-def compile_fn(expr: Expr, wrt: Sequence[Expr]):
+def compile_fn(expr: Expr, wrt: Sequence[Expr], donate: Sequence[int] = ()):
   """Precompile a DAG into a reusable callable over the ``wrt`` leaves —
   the serving-style entry point: trace/compile once, then call with fresh
   values (numpy / jax / SpartanArray) at device speed.
 
       f = sp.compile(loss, wrt=[x_leaf])
       out = f(new_batch)          # SpartanArray
-  """
+
+  ``donate`` lists wrt positions whose device buffers XLA may reuse for
+  the outputs — the ``state = f(state)`` training-carry pattern runs
+  without a second copy of the state in HBM.  A donated argument is
+  consumed by the call (its buffer is gone afterwards); XLA silently
+  skips donation when layouts/shardings don't line up, so it is always
+  safe to request."""
   fn, args = as_function(expr, wrt)
-  jitted = jax.jit(fn)
-  jitted(*args)  # compile now with the template shapes
+  donate = tuple(int(i) for i in donate)
+  jitted = jax.jit(fn, donate_argnums=donate) if donate else jax.jit(fn)
+  # warm the compile with COPIES of donated slots — the template args are
+  # the wrt leaves' live buffers, which the warm-up call must not consume
+  warm = [jnp.array(a) if i in donate else a for i, a in enumerate(args)]
+  jitted(*warm)  # compile now with the template shapes
 
   shapes = [tuple(a.shape) for a in args]
 

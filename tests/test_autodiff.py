@@ -117,3 +117,19 @@ def test_compile_container_outputs(rng):
   s, m = f(fresh)
   np.testing.assert_allclose(np.asarray(s.glom()), fresh.sum(0), atol=1e-12)
   assert float(m.glom()) == fresh.max()
+
+
+def test_compile_donated_carry(rng):
+  """sp.compile(donate=...): the state=f(state) pattern — donated buffers
+  are consumed; results stay exact and the template leaf survives."""
+  w_np = rng.standard_normal(64)
+  w = sp.from_numpy(w_np)
+  step = sp.compile(0.5 * w + 1.0, wrt=[w], donate=[0])
+  state, want = step(w_np), 0.5 * w_np + 1.0
+  for _ in range(3):
+    want = 0.5 * want + 1.0
+    state = step(state)          # donates the previous state's buffer
+  np.testing.assert_allclose(np.asarray(state.glom()), want, rtol=1e-12)
+  # the template leaf's buffer was protected from the warm-up call
+  np.testing.assert_allclose(np.asarray(sp.lazify(w).glom()), w_np,
+                             rtol=1e-15)
