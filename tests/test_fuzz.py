@@ -20,6 +20,8 @@ _UNARY = [
     ("tanh", sp.tanh, np.tanh),
     ("square", sp.square, np.square),
     ("transpose", lambda x: x.T, lambda x: x.T),
+    ("nan_to_num", sp.nan_to_num, np.nan_to_num),
+    ("copy", sp.copy, np.copy),
 ]
 _BINARY = [
     ("add", lambda a, b: a + b, np.add),
@@ -27,6 +29,8 @@ _BINARY = [
     ("mul", lambda a, b: a * b, np.multiply),
     ("max", sp.maximum, np.maximum),
     ("min", sp.minimum, np.minimum),
+    ("fmax", sp.fmax, np.fmax),
+    ("logaddexp", sp.logaddexp, np.logaddexp),
 ]
 _REDUCE = [
     ("sum0", lambda x: sp.sum(x, axis=0), lambda x: x.sum(axis=0)),
