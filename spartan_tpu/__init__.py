@@ -73,6 +73,7 @@ from spartan_tpu.backend import sparse  # noqa: E402
 from spartan_tpu.backend.sparse import (SparseArray, sparse_diagonal,  # noqa: E402
                                         sprandn)
 from spartan_tpu import linalg  # noqa: E402  (np.linalg-style surface)
+from spartan_tpu import fft  # noqa: E402  (np.fft-style surface)
 
 __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "SpartanArray", "get_mesh", "make_mesh", "with_mesh", "Expr",
@@ -81,5 +82,5 @@ __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "shuffle", "smart_tile", "tiling_plan", "remat", "fori_loop", "make_fori",
            "while_loop", "scan_iters", "cond", "compile", "reduce",
            "grad", "value_and_grad", "jvp", "sgd_train",
-           "checkpoint", "from_file", "load", "save", "sparse", "linalg",
+           "checkpoint", "from_file", "load", "save", "sparse", "linalg", "fft",
            "SparseArray", "sparse_diagonal", "sprandn"] + list(_builtin_all)

@@ -1,0 +1,89 @@
+"""``sp.fft`` — numpy.fft-style spectral surface over lazy exprs.
+
+The reference had no FFT (spartan's builtins stop at dense linear
+algebra; SURVEY.md §2.1 builtins row) — this is a widening for the
+NumPy-user surface.  Every transform is a lazy map over XLA's native FFT
+lowering (TPU executes FFTs on-device); complex avals flow through the
+DAG like any other dtype (map/reduce/slicing are dtype-agnostic).
+``fftfreq``/``rfftfreq`` are tiny host-built leaves.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import spartan_tpu as sp
+
+__all__ = ["fft", "ifft", "rfft", "irfft", "fft2", "ifft2", "fftn",
+           "ifftn", "rfft2", "irfft2", "fftshift", "ifftshift",
+           "fftfreq", "rfftfreq"]
+
+
+def _fft_call(name, kw, a):
+  import jax.numpy as jnp
+  return getattr(jnp.fft, name)(a, **dict(kw))
+
+
+def _fft_map(v, name, **kw):
+  kw = {k: w for k, w in kw.items() if w is not None}
+  return sp.map([sp.lazify(v)],
+                functools.partial(_fft_call, name, tuple(sorted(kw.items()))))
+
+
+def fft(v, n=None, axis=-1):
+  return _fft_map(v, "fft", n=n, axis=axis)
+
+
+def ifft(v, n=None, axis=-1):
+  return _fft_map(v, "ifft", n=n, axis=axis)
+
+
+def rfft(v, n=None, axis=-1):
+  return _fft_map(v, "rfft", n=n, axis=axis)
+
+
+def irfft(v, n=None, axis=-1):
+  return _fft_map(v, "irfft", n=n, axis=axis)
+
+
+def fft2(v, axes=(-2, -1)):
+  return _fft_map(v, "fft2", axes=tuple(axes))
+
+
+def ifft2(v, axes=(-2, -1)):
+  return _fft_map(v, "ifft2", axes=tuple(axes))
+
+
+def fftn(v, axes=None):
+  return _fft_map(v, "fftn", axes=None if axes is None else tuple(axes))
+
+
+def ifftn(v, axes=None):
+  return _fft_map(v, "ifftn", axes=None if axes is None else tuple(axes))
+
+
+def rfft2(v, axes=(-2, -1)):
+  return _fft_map(v, "rfft2", axes=tuple(axes))
+
+
+def irfft2(v, axes=(-2, -1)):
+  return _fft_map(v, "irfft2", axes=tuple(axes))
+
+
+def fftshift(v, axes=None):
+  return _fft_map(v, "fftshift", axes=None if axes is None else tuple(axes))
+
+
+def ifftshift(v, axes=None):
+  return _fft_map(v, "ifftshift",
+                  axes=None if axes is None else tuple(axes))
+
+
+def fftfreq(n, d=1.0):
+  return sp.from_numpy(np.fft.fftfreq(int(n), d))
+
+
+def rfftfreq(n, d=1.0):
+  return sp.from_numpy(np.fft.rfftfreq(int(n), d))
