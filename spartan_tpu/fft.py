@@ -21,9 +21,38 @@ __all__ = ["fft", "ifft", "rfft", "irfft", "fft2", "ifft2", "fftn",
            "fftfreq", "rfftfreq"]
 
 
+def _transform_axes(name, kw, ndim):
+  """Which dims the transform runs over (normalized, non-negative)."""
+  if name in ("fftshift", "ifftshift"):
+    return ()  # a roll, not an FFT — no locality requirement
+  if name in ("fft", "ifft", "rfft", "irfft"):
+    axes = (kw.get("axis", -1),)
+  else:  # fft2/ifft2/rfft2/irfft2/fftn/ifftn
+    axes = kw.get("axes")
+    if axes is None:
+      axes = tuple(range(ndim)) if name in ("fftn", "ifftn") else (-2, -1)
+  return tuple(a % ndim for a in axes)
+
+
 def _fft_call(name, kw, a):
+  import jax
   import jax.numpy as jnp
-  return getattr(jnp.fft, name)(a, **dict(kw))
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  kw = dict(kw)
+  axes = _transform_axes(name, kw, a.ndim)
+  if axes:
+    # An FFT needs its transform axes whole on each device; constraining
+    # them to None (others unconstrained) keeps batch dims sharded and
+    # ALSO sidesteps an XLA:CPU fft-thunk layout RET_CHECK that aborts
+    # chained fft programs whose transform axis is sharded (reproduced
+    # on jax 0.9: jit(real∘ifft2∘fft2) over a last-axis-sharded input).
+    from spartan_tpu.core.mesh import get_mesh
+    mesh = get_mesh()
+    if mesh is not None and mesh.devices.size > 1:
+      spec = P(*[None if d in axes else P.UNCONSTRAINED
+                 for d in range(a.ndim)])
+      a = jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+  return getattr(jnp.fft, name)(a, **kw)
 
 
 def _fft_map(v, name, **kw):

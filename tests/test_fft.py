@@ -48,3 +48,18 @@ def test_fft_composes_with_dag(rng, cluster):
   filtered = np.asarray(sp.real(sp.fft.ifft(spec * keep)).glom())
   want = np.real(np.fft.ifft(np.fft.fft(r) * (k < 0.1)))
   np.testing.assert_allclose(filtered, want, rtol=1e-9, atol=1e-12)
+
+
+def test_fft_sharded_transform_axis(rng, cluster):
+  """Chained fft programs over arrays sharded on the TRANSFORM axis must
+  not hit the XLA:CPU fft-thunk layout abort — the emission constrains
+  transform axes local (batch dims stay sharded)."""
+  u = rng.standard_normal((256, 256))
+  U = sp.from_numpy(u, tile_hint=(256, 32))     # column-sharded
+  got = np.asarray(
+      sp.real(sp.fft.ifft2(sp.fft.fft2(U) * 0.5)).glom())
+  np.testing.assert_allclose(
+      got, np.real(np.fft.ifft2(np.fft.fft2(u) * 0.5)), atol=1e-10)
+  # batched 1-D fft keeps the row sharding on the batch dim
+  got1 = np.asarray(sp.abs(sp.fft.fft(U)).glom())
+  np.testing.assert_allclose(got1, np.abs(np.fft.fft(u)), atol=1e-9)
