@@ -158,6 +158,13 @@ def _heat():
   return {"max_err_vs_numpy": err, "heat_total": total}
 
 
+@_register("poisson")
+def _poisson():
+  from spartan_tpu.examples import poisson
+  res, ustd = poisson.run(256)
+  return {"poisson_residual": res, "u_std": ustd}
+
+
 def main(argv):
   rest = [a for a in argv if not a.startswith("--")]
   flags = [a for a in argv if a.startswith("--")]

@@ -353,3 +353,12 @@ def test_heat_diffusion_matches_numpy_loop():
   err, total = heat.run(64, 50)
   assert err < 1e-8, err
   assert np.isfinite(total)
+
+
+def test_poisson_spectral_solve():
+  """FFT Poisson solve: the discrete Laplacian of the solution must
+  reproduce f (the symbol inverts that exact operator) to fp accuracy."""
+  from spartan_tpu.examples import poisson
+  res, ustd = poisson.run(128)
+  assert res < 1e-9, res
+  assert ustd > 0
