@@ -84,13 +84,17 @@ def cg(A, b, tol: float = 1e-10, max_iters: int = 1000):
 
 def solve(A, b, method: str = "auto", block: int = 128,
           tol: float = 1e-10):
-  """Solve ``A x = b`` for symmetric positive-definite ``A``.
+  """Solve ``A x = b``.
 
-  ``method``: 'cholesky' (direct: blocked factor + two triangular
-  solves), 'cg' (iterative, whole solve in one compiled device loop), or
-  'auto' (cholesky — direct is the np.linalg.solve expectation)."""
+  ``method``: 'lu' (XLA on-device partial-pivot LU — correct for ANY
+  square ``A``, the np.linalg.solve contract; this is 'auto'),
+  'cholesky' (SPD only: blocked distributed factor + two triangular
+  solves — the scale path), or 'cg' (SPD, iterative, whole solve in one
+  compiled device loop)."""
   if method == "auto":
-    method = "cholesky"
+    method = "lu"
+  if method == "lu":
+    return sp.map([sp.lazify(A), sp.lazify(b)], _jl_solve2)
   if method == "cg":
     return cg(A, b, tol=tol)
   if method != "cholesky":
@@ -98,6 +102,11 @@ def solve(A, b, method: str = "auto", block: int = 128,
   L = cholesky(A, block=block)
   y = solve_triangular(L, b, lower=True, block=block)
   return solve_triangular(sp.transpose(L), y, lower=False, block=block)
+
+
+def _jl_solve2(a, b):
+  import jax.numpy as jnp
+  return jnp.linalg.solve(a, b)
 
 
 def lstsq(X, y, reg: float = 0.0, method: str = "auto"):
@@ -110,6 +119,9 @@ def lstsq(X, y, reg: float = 0.0, method: str = "auto"):
   if reg:
     g = g + reg * sp.eye(d, dtype=np.float64)
   c = sp.dot(sp.transpose(X), y, precision="highest")
+  # the Gram matrix is SPD — keep the blocked distributed factorization
+  # as the default route (np.linalg.solve-style LU stays available)
+  method = "cholesky" if method == "auto" else method
   return solve(sp.Val(g.evaluate()), sp.Val(c.evaluate()), method=method)
 
 

@@ -154,3 +154,14 @@ def test_pinv(rng):
   x = rng.standard_normal((24, 12))
   np.testing.assert_allclose(np.asarray(sp.linalg.pinv(x).glom()),
                              np.linalg.pinv(x), rtol=1e-7, atol=1e-8)
+
+
+def test_solve_general_lu(rng):
+  """np.linalg.solve contract: ANY square system, not just SPD."""
+  a = rng.standard_normal((48, 48))          # general, not SPD
+  b = rng.standard_normal(48)
+  x = np.asarray(sp.linalg.solve(sp.from_numpy(a), sp.from_numpy(b)).glom())
+  np.testing.assert_allclose(x, np.linalg.solve(a, b), rtol=1e-8, atol=1e-9)
+  B = rng.standard_normal((48, 3))           # matrix rhs
+  X = np.asarray(sp.linalg.solve(sp.from_numpy(a), sp.from_numpy(B)).glom())
+  np.testing.assert_allclose(X, np.linalg.solve(a, B), rtol=1e-8, atol=1e-9)
