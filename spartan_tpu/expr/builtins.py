@@ -861,6 +861,218 @@ def choice(v, size, replace: bool = True) -> Expr:
   return take(v, permutation(n)[:size])
 
 
+# -- numpy-parity additions, second sweep (r3 surface audit) ----------------
+
+def _binary_builtin(jfn):
+  def op(a, b):
+    return map([lazify(a), lazify(b)], jfn)
+  op.__name__ = jfn.__name__
+  return op
+
+
+sinc = _unary_builtin(jnp.sinc)
+signbit = _unary_builtin(jnp.signbit)
+angle = _unary_builtin(jnp.angle)
+iscomplex = _unary_builtin(jnp.iscomplex)
+isreal = _unary_builtin(jnp.isreal)
+heaviside = _binary_builtin(jnp.heaviside)
+copysign = _binary_builtin(jnp.copysign)
+nextafter = _binary_builtin(jnp.nextafter)
+float_power = _binary_builtin(jnp.float_power)
+gcd = _binary_builtin(jnp.gcd)
+lcm = _binary_builtin(jnp.lcm)
+ldexp = _binary_builtin(jnp.ldexp)
+polyval = _binary_builtin(jnp.polyval)
+
+
+def modf(v):
+  """``(fractional, integral)`` exprs (numpy tuple contract)."""
+  v = lazify(v)
+  return (map([v], lambda x: jnp.modf(x)[0]),
+          map([v], lambda x: jnp.modf(x)[1]))
+
+
+def frexp(v):
+  v = lazify(v)
+  return (map([v], lambda x: jnp.frexp(x)[0]),
+          map([v], lambda x: jnp.frexp(x)[1]))
+
+
+def divmod(a, b):  # noqa: A001 — numpy shadows the py builtin the same way
+  a, b = lazify(a), lazify(b)
+  return (floor_divide(a, b), mod(a, b))
+
+
+def _static_idx(p):
+  if isinstance(p, (int, np.integer)):
+    return int(p)
+  return tuple(_static_idx(q) for q in p)
+
+
+def pad(v, pad_width, mode: str = "constant", **kw):
+  fkw = {"pad_width": _static_idx(pad_width), "mode": mode}
+  fkw.update({k: (tuple(w) if isinstance(w, (list, tuple)) else w)
+              for k, w in kw.items()})
+  return map([lazify(v)], jnp.pad, fn_kw=fkw)
+
+
+def convolve(a, b, mode: str = "full") -> Expr:
+  return map([lazify(a), lazify(b)], jnp.convolve, fn_kw={"mode": mode})
+
+
+def correlate(a, b, mode: str = "valid") -> Expr:
+  return map([lazify(a), lazify(b)], jnp.correlate, fn_kw={"mode": mode})
+
+
+def vander(x, N=None, increasing: bool = False) -> Expr:
+  return map([lazify(x)], jnp.vander,
+             fn_kw={"N": N, "increasing": increasing})
+
+
+def ediff1d(v) -> Expr:
+  return map([lazify(v)], lambda x: jnp.diff(jnp.ravel(x)))
+
+
+def trapz(y, x=None, dx: float = 1.0, axis: int = -1) -> Expr:
+  """numpy.trapz (jnp.trapezoid — the post-numpy-2 name)."""
+  if x is not None:
+    ax = int(axis)
+    return map([lazify(y), lazify(x)],
+               lambda yy, xx: jnp.trapezoid(yy, xx, axis=ax))
+  return map([lazify(y)], jnp.trapezoid, fn_kw={"dx": dx, "axis": axis})
+
+
+def insert(v, obj, values, axis=None) -> Expr:
+  obj = _static_idx(obj)
+
+  def _ins(a, w):
+    o = np.asarray(obj) if isinstance(obj, tuple) else obj
+    return jnp.insert(a, o, w, axis=axis)
+
+  return map([lazify(v), lazify(values)], _ins)
+
+
+def delete(v, obj, axis=None) -> Expr:
+  obj = _static_idx(obj)
+
+  def _del(a):
+    o = np.asarray(obj) if isinstance(obj, tuple) else obj
+    return jnp.delete(a, o, axis=axis)
+
+  return map([lazify(v)], _del)
+
+
+def apply_along_axis(func1d, axis, arr) -> Expr:
+  ax = int(axis)
+
+  def _apply(a):
+    return jnp.apply_along_axis(func1d, ax, a)
+
+  return map([lazify(arr)], _apply)
+
+
+def msort(v) -> Expr:
+  return sort(v, axis=0)
+
+
+def isin(element, test_elements) -> Expr:
+  """Static output shape (bool of ``element``'s shape) → stays traced."""
+  return map([lazify(element), lazify(test_elements)], jnp.isin)
+
+
+def in1d(a, b) -> Expr:
+  return map([lazify(a), lazify(b)],
+             lambda x, y: jnp.isin(jnp.ravel(x), y))
+
+
+def select(condlist, choicelist, default=0.0) -> Expr:
+  n = len(condlist)
+  ins = [lazify(c) for c in condlist] + [lazify(c) for c in choicelist]
+
+  def _sel(*xs):
+    return jnp.select(list(xs[:n]), list(xs[n:]), default)
+
+  return map(ins, _sel)
+
+
+def argwhere(v) -> Expr:
+  from spartan_tpu.expr.fio import HostExpr
+  return HostExpr([lazify(v)], np.argwhere)
+
+
+def extract(cond, v) -> Expr:
+  from spartan_tpu.expr.fio import HostExpr
+  return HostExpr([lazify(cond), lazify(v)], np.extract)
+
+
+def compress(cond, v, axis=None) -> Expr:
+  from spartan_tpu.expr.fio import HostExpr
+  return HostExpr([lazify(cond), lazify(v)],
+                  lambda c, a: np.compress(c, a, axis=axis))
+
+
+def setdiff1d(a, b) -> Expr:
+  from spartan_tpu.expr.fio import HostExpr
+  return HostExpr([lazify(a), lazify(b)], np.setdiff1d)
+
+
+def union1d(a, b) -> Expr:
+  from spartan_tpu.expr.fio import HostExpr
+  return HostExpr([lazify(a), lazify(b)], np.union1d)
+
+
+def intersect1d(a, b) -> Expr:
+  from spartan_tpu.expr.fio import HostExpr
+  return HostExpr([lazify(a), lazify(b)], np.intersect1d)
+
+
+def indices(dimensions, dtype=np.int64) -> Expr:
+  return from_numpy(np.indices(_tuplify(dimensions), dtype=dtype))
+
+
+def fromfunction(fn, shape, **kw) -> Expr:
+  return from_numpy(np.fromfunction(fn, _tuplify(shape), **kw))
+
+
+def triu_indices(n, k=0, m=None):
+  return tuple(from_numpy(i) for i in np.triu_indices(n, k, m))
+
+
+def tril_indices(n, k=0, m=None):
+  return tuple(from_numpy(i) for i in np.tril_indices(n, k, m))
+
+
+def diag_indices(n, ndim=2):
+  return tuple(from_numpy(i) for i in np.diag_indices(n, ndim))
+
+
+def nanprod(v, axis=None) -> Expr:
+  v = lazify(v)
+  if np.dtype(v.dtype).kind not in "fc":
+    return prod(v, axis=axis)
+  return prod(map([v], lambda x: jnp.where(jnp.isnan(x),
+                                           jnp.ones((), x.dtype), x)),
+              axis=axis)
+
+
+def nancumsum(v, axis=None) -> Expr:
+  v = lazify(v)
+  if np.dtype(v.dtype).kind not in "fc":
+    return cumsum(v, axis=axis)
+  return cumsum(map([v], lambda x: jnp.where(jnp.isnan(x),
+                                             jnp.zeros((), x.dtype), x)),
+                axis=axis)
+
+
+def nancumprod(v, axis=None) -> Expr:
+  v = lazify(v)
+  if np.dtype(v.dtype).kind not in "fc":
+    return cumprod(v, axis=axis)
+  return cumprod(map([v], lambda x: jnp.where(jnp.isnan(x),
+                                              jnp.ones((), x.dtype), x)),
+                 axis=axis)
+
+
 # -- misc -------------------------------------------------------------------
 
 def allclose(a, b, rtol=1e-05, atol=1e-08) -> bool:
@@ -925,4 +1137,13 @@ __all__ = [
     "asarray", "array", "copy", "append", "fmax", "fmin", "logaddexp",
     "nan_to_num", "interp", "rot90", "flatnonzero", "unravel_index",
     "fill_diagonal", "amax", "amin", "permutation", "choice",
+    # second sweep
+    "sinc", "signbit", "angle", "iscomplex", "isreal", "heaviside",
+    "copysign", "nextafter", "float_power", "gcd", "lcm", "ldexp",
+    "polyval", "modf", "frexp", "divmod", "pad", "convolve", "correlate",
+    "vander", "ediff1d", "trapz", "insert", "delete", "apply_along_axis",
+    "msort", "isin", "in1d", "select", "argwhere", "extract", "compress",
+    "setdiff1d", "union1d", "intersect1d", "indices", "fromfunction",
+    "triu_indices", "tril_indices", "diag_indices", "nanprod",
+    "nancumsum", "nancumprod",
 ]

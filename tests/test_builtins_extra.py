@@ -191,3 +191,161 @@ def test_r3_permutation_choice(cluster):
   assert np.isin(cr, a).all()
   with np.testing.assert_raises(ValueError):
     sp.choice(5, 10, replace=False)
+
+
+def test_r3_sweep2_elementwise(rng, cluster):
+  a = rng.standard_normal((5, 7))
+  b = rng.standard_normal((5, 7))
+  pairs = [
+      (sp.sinc(sp.from_numpy(a)), np.sinc(a)),
+      (sp.signbit(sp.from_numpy(a)), np.signbit(a)),
+      (sp.heaviside(sp.from_numpy(a), sp.from_numpy(b)), np.heaviside(a, b)),
+      (sp.copysign(sp.from_numpy(a), sp.from_numpy(b)), np.copysign(a, b)),
+      (sp.nextafter(sp.from_numpy(a), sp.from_numpy(b)), np.nextafter(a, b)),
+      (sp.float_power(sp.from_numpy(np.abs(a)), sp.from_numpy(b)),
+       np.float_power(np.abs(a), b)),
+  ]
+  for got, want in pairs:
+    np.testing.assert_allclose(np.asarray(got.glom()), want, rtol=1e-12)
+  ia = rng.integers(1, 100, (4, 4))
+  ib = rng.integers(1, 100, (4, 4))
+  np.testing.assert_array_equal(
+      sp.gcd(sp.from_numpy(ia), sp.from_numpy(ib)).glom(), np.gcd(ia, ib))
+  np.testing.assert_array_equal(
+      sp.lcm(sp.from_numpy(ia), sp.from_numpy(ib)).glom(), np.lcm(ia, ib))
+  e = rng.integers(-3, 3, (5, 7))
+  np.testing.assert_allclose(
+      np.asarray(sp.ldexp(sp.from_numpy(a), sp.from_numpy(e)).glom()),
+      np.ldexp(a, e), rtol=1e-12)
+  z = a + 1j * b
+  np.testing.assert_allclose(np.asarray(sp.angle(sp.from_numpy(z)).glom()),
+                             np.angle(z), rtol=1e-12)
+  np.testing.assert_array_equal(sp.iscomplex(sp.from_numpy(z)).glom(),
+                                np.iscomplex(z))
+  np.testing.assert_array_equal(sp.isreal(sp.from_numpy(a)).glom(),
+                                np.isreal(a))
+
+
+def test_r3_sweep2_tuple_outputs(rng, cluster):
+  a = rng.standard_normal(16) * 5
+  fr, it = sp.modf(sp.from_numpy(a))
+  wf, wi = np.modf(a)
+  np.testing.assert_allclose(np.asarray(fr.glom()), wf, rtol=1e-12)
+  np.testing.assert_allclose(np.asarray(it.glom()), wi, rtol=1e-12)
+  m, e = sp.frexp(sp.from_numpy(np.abs(a) + 0.1))
+  wm, we = np.frexp(np.abs(a) + 0.1)
+  np.testing.assert_allclose(np.asarray(m.glom()), wm, rtol=1e-12)
+  np.testing.assert_array_equal(np.asarray(e.glom()), we)
+  q, r = sp.divmod(sp.from_numpy(a), 3.0)
+  wq, wr = np.divmod(a, 3.0)
+  np.testing.assert_allclose(np.asarray(q.glom()), wq, rtol=1e-12)
+  np.testing.assert_allclose(np.asarray(r.glom()), wr, rtol=1e-12)
+
+
+def test_r3_sweep2_shape_ops(rng, cluster):
+  a = rng.standard_normal((4, 6))
+  np.testing.assert_array_equal(
+      sp.pad(sp.from_numpy(a), 2).glom(), np.pad(a, 2))
+  np.testing.assert_array_equal(
+      sp.pad(sp.from_numpy(a), ((1, 2), (0, 3)), mode="edge").glom(),
+      np.pad(a, ((1, 2), (0, 3)), mode="edge"))
+  u, v = rng.standard_normal(20), rng.standard_normal(5)
+  for mode in ("full", "same", "valid"):
+    np.testing.assert_allclose(
+        np.asarray(sp.convolve(sp.from_numpy(u), sp.from_numpy(v),
+                               mode=mode).glom()),
+        np.convolve(u, v, mode=mode), rtol=1e-9, atol=1e-12)
+  np.testing.assert_allclose(
+      np.asarray(sp.correlate(sp.from_numpy(u), sp.from_numpy(v)).glom()),
+      np.correlate(u, v), rtol=1e-9, atol=1e-12)
+  x = rng.standard_normal(6)
+  np.testing.assert_allclose(np.asarray(sp.vander(sp.from_numpy(x)).glom()),
+                             np.vander(x), rtol=1e-10)
+  np.testing.assert_allclose(
+      np.asarray(sp.ediff1d(sp.from_numpy(a)).glom()),
+      np.ediff1d(a), rtol=1e-12)
+  np.testing.assert_allclose(float(sp.trapz(sp.from_numpy(u)).glom()),
+                             np.trapezoid(u), rtol=1e-12)
+  np.testing.assert_allclose(
+      float(sp.trapz(sp.from_numpy(u), x=sp.from_numpy(np.sort(u))).glom()),
+      np.trapezoid(u, np.sort(u)), rtol=1e-10)
+  np.testing.assert_allclose(
+      np.asarray(sp.insert(sp.from_numpy(u), 3, 9.0).glom()),
+      np.insert(u, 3, 9.0), rtol=1e-12)
+  np.testing.assert_allclose(
+      np.asarray(sp.delete(sp.from_numpy(a), 1, axis=0).glom()),
+      np.delete(a, 1, axis=0), rtol=1e-12)
+  np.testing.assert_allclose(
+      np.asarray(sp.apply_along_axis(lambda r: r - r.mean(), 1,
+                                     sp.from_numpy(a)).glom()),
+      np.apply_along_axis(lambda r: r - r.mean(), 1, a), rtol=1e-10)
+  np.testing.assert_array_equal(sp.msort(sp.from_numpy(a)).glom(),
+                                np.sort(a, axis=0))
+  p = rng.standard_normal(4)
+  np.testing.assert_allclose(
+      np.asarray(sp.polyval(sp.from_numpy(p), sp.from_numpy(u)).glom()),
+      np.polyval(p, u), rtol=1e-9)
+
+
+def test_r3_sweep2_sets_and_select(rng, cluster):
+  a = rng.integers(0, 20, 30)
+  b = rng.integers(0, 20, 10)
+  np.testing.assert_array_equal(
+      sp.isin(sp.from_numpy(a), sp.from_numpy(b)).glom(), np.isin(a, b))
+  np.testing.assert_array_equal(
+      sp.in1d(sp.from_numpy(a), sp.from_numpy(b)).glom(),
+      np.isin(a.ravel(), b))
+  np.testing.assert_array_equal(
+      sp.setdiff1d(sp.from_numpy(a), sp.from_numpy(b)).glom(),
+      np.setdiff1d(a, b))
+  np.testing.assert_array_equal(
+      sp.union1d(sp.from_numpy(a), sp.from_numpy(b)).glom(),
+      np.union1d(a, b))
+  np.testing.assert_array_equal(
+      sp.intersect1d(sp.from_numpy(a), sp.from_numpy(b)).glom(),
+      np.intersect1d(a, b))
+  x = rng.standard_normal(24)
+  got = sp.select([sp.from_numpy(x) < -1, sp.from_numpy(x) > 1],
+                  [sp.from_numpy(x) * 0 - 1, sp.from_numpy(x) * 0 + 1],
+                  default=0.0)
+  np.testing.assert_array_equal(np.asarray(got.glom()),
+                                np.select([x < -1, x > 1],
+                                          [x * 0 - 1, x * 0 + 1], 0.0))
+  np.testing.assert_array_equal(
+      sp.argwhere(sp.from_numpy(x > 0.5)).glom(), np.argwhere(x > 0.5))
+  np.testing.assert_array_equal(
+      sp.extract(sp.from_numpy(x > 0), sp.from_numpy(x)).glom(),
+      np.extract(x > 0, x))
+  m = rng.standard_normal((5, 4))
+  np.testing.assert_array_equal(
+      sp.compress(sp.from_numpy(np.array([0, 1, 1, 0, 1])),
+                  sp.from_numpy(m), axis=0).glom(),
+      np.compress([0, 1, 1, 0, 1], m, axis=0))
+
+
+def test_r3_sweep2_index_creations_and_nan(rng, cluster):
+  np.testing.assert_array_equal(sp.indices((3, 4)).glom(),
+                                np.indices((3, 4)))
+  np.testing.assert_array_equal(
+      sp.fromfunction(lambda i, j: i * 10 + j, (3, 4)).glom(),
+      np.fromfunction(lambda i, j: i * 10 + j, (3, 4)))
+  for got, want in zip(sp.triu_indices(5, 1), np.triu_indices(5, 1)):
+    np.testing.assert_array_equal(np.asarray(got.glom()), want)
+  for got, want in zip(sp.tril_indices(5), np.tril_indices(5)):
+    np.testing.assert_array_equal(np.asarray(got.glom()), want)
+  for got, want in zip(sp.diag_indices(4), np.diag_indices(4)):
+    np.testing.assert_array_equal(np.asarray(got.glom()), want)
+  a = rng.standard_normal((4, 6))
+  a[1, 2] = np.nan
+  a[3, 0] = np.nan
+  np.testing.assert_allclose(float(sp.nanprod(sp.from_numpy(a)).glom()),
+                             np.nanprod(a), rtol=1e-10)
+  np.testing.assert_allclose(
+      np.asarray(sp.nancumsum(sp.from_numpy(a), axis=1).glom()),
+      np.nancumsum(a, axis=1), rtol=1e-10)
+  np.testing.assert_allclose(
+      np.asarray(sp.nancumprod(sp.from_numpy(a), axis=0).glom()),
+      np.nancumprod(a, axis=0), rtol=1e-10)
+  ia = rng.integers(1, 5, (3, 3))
+  np.testing.assert_array_equal(int(sp.nanprod(sp.from_numpy(ia)).glom()),
+                                np.nanprod(ia))
