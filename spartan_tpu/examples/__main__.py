@@ -165,6 +165,15 @@ def _poisson():
   return {"poisson_residual": res, "u_std": ustd}
 
 
+@_register("lasso")
+def _lasso():
+  from spartan_tpu.examples import lasso
+  import numpy as np
+  w, w_oracle, w_true = lasso.run(8192, 32)
+  return {"max_err_vs_numpy_fista": float(np.abs(w - w_oracle).max()),
+          "nnz": int((np.abs(w) > 1e-12).sum())}
+
+
 def main(argv):
   rest = [a for a in argv if not a.startswith("--")]
   flags = [a for a in argv if a.startswith("--")]

@@ -6,10 +6,10 @@ estimator classes over :mod:`spartan_tpu.examples`, accepting numpy /
 SpartanArray / lazy-expr inputs.
 """
 
-from spartan_tpu.learn.estimators import (ALS, FuzzyKMeans, KMeans,
+from spartan_tpu.learn.estimators import (ALS, FuzzyKMeans, KMeans, Lasso,
                                           LinearRegression,
                                           LogisticRegression, NaiveBayes,
                                           PCA, Ridge, SVC)
 
-__all__ = ["ALS", "FuzzyKMeans", "KMeans", "LinearRegression",
+__all__ = ["ALS", "FuzzyKMeans", "KMeans", "Lasso", "LinearRegression",
            "LogisticRegression", "NaiveBayes", "PCA", "Ridge", "SVC"]

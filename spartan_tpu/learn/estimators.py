@@ -7,9 +7,9 @@ from typing import Optional
 import numpy as np
 
 import spartan_tpu as sp
-from spartan_tpu.examples import (kmeans as kmeans_mod, linear_reg,
-                                  logistic_reg, naive_bayes, pca as pca_mod,
-                                  ridge_reg, svm as svm_mod)
+from spartan_tpu.examples import (kmeans as kmeans_mod, lasso as lasso_mod,
+                                  linear_reg, logistic_reg, naive_bayes,
+                                  pca as pca_mod, ridge_reg, svm as svm_mod)
 
 
 def _lazy(X):
@@ -53,6 +53,25 @@ class Ridge:
 
   def fit(self, X, y):
     self.coef_ = ridge_reg.fit(_lazy(X), _lazy(y), self.alpha)
+    return self
+
+  def predict(self, X):
+    return np.asarray(sp.dot(_lazy(X), sp.from_numpy(self.coef_)).glom())
+
+
+class Lasso:
+  """L1-regularized regression — FISTA in one compiled on-device loop
+  (examples/lasso)."""
+
+  def __init__(self, alpha: float = 0.1, iterations: int = 200):
+    self.alpha = alpha
+    self.iterations = iterations
+    self.coef_ = None
+
+  def fit(self, X, y):
+    w = lasso_mod.fit_fused(_lazy(X), _lazy(y), self.alpha,
+                            self.iterations)
+    self.coef_ = np.asarray(w.glom())
     return self
 
   def predict(self, X):

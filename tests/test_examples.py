@@ -362,3 +362,24 @@ def test_poisson_spectral_solve():
   res, ustd = poisson.run(128)
   assert res < 1e-9, res
   assert ustd > 0
+
+
+def test_lasso_fista_matches_numpy_loop():
+  """FISTA lasso in one compiled device loop vs the identical numpy
+  loop (universal oracle); solution must actually be sparse."""
+  from spartan_tpu.examples import lasso
+  w, w_oracle, w_true = lasso.run(4096, 24, reg=0.1)
+  assert np.abs(w - w_oracle).max() < 1e-10
+  assert (np.abs(w) < 1e-12).sum() >= (w_true == 0).sum() - 2
+
+
+def test_lasso_estimator():
+  from spartan_tpu import learn
+  rng = np.random.default_rng(0)
+  X = rng.standard_normal((2048, 16))
+  w_true = np.zeros(16); w_true[:4] = [1.5, -2.0, 0.7, 3.0]
+  y = X @ w_true + 0.01 * rng.standard_normal(2048)
+  est = learn.Lasso(alpha=0.01, iterations=300).fit(X, y)
+  assert np.abs(est.coef_ - w_true).max() < 0.05
+  pred = est.predict(X[:8])
+  np.testing.assert_allclose(pred, X[:8] @ est.coef_, rtol=1e-10)
