@@ -713,12 +713,18 @@ def bincount(v, minlength=None, weights=None) -> Expr:
 
 def histogram(v, bins: int = 10, range=None) -> Expr:
   """Fixed-bin histogram (static shape → traceable).  Returns counts;
-  edges are ``linspace(range[0], range[1], bins+1)`` like numpy."""
+  edges are ``linspace(range[0], range[1], bins+1)`` like numpy.  With
+  ``range=None`` the data min/max are evaluated eagerly first (two cheap
+  fused reductions) so the bin edges stay static, numpy-style."""
   v = lazify(v)
   if range is None:
-    raise ValueError("histogram requires an explicit range=(lo, hi) for a "
-                     "static shape; use np.histogram on .glom() otherwise")
-  lo, hi = range
+    mm = ListExpr([min(v), max(v)]).evaluate()
+    lo, hi = (float(np.asarray(m.glom() if hasattr(m, "glom") else m))
+              for m in mm)
+    if lo == hi:
+      lo, hi = lo - 0.5, hi + 0.5
+  else:
+    lo, hi = range
 
   def _hist(x):
     edges = jnp.linspace(lo, hi, bins + 1)

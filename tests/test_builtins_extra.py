@@ -349,3 +349,14 @@ def test_r3_sweep2_index_creations_and_nan(rng, cluster):
   ia = rng.integers(1, 5, (3, 3))
   np.testing.assert_array_equal(int(sp.nanprod(sp.from_numpy(ia)).glom()),
                                 np.nanprod(ia))
+
+
+def test_histogram_auto_range(rng, cluster):
+  x = rng.standard_normal(5000)
+  got = np.asarray(sp.histogram(sp.from_numpy(x), bins=20).glom())
+  want, _ = np.histogram(x, bins=20)
+  np.testing.assert_array_equal(got, want)
+  # degenerate constant input
+  c = np.full(100, 3.0)
+  got = np.asarray(sp.histogram(sp.from_numpy(c), bins=4).glom())
+  assert got.sum() == 100
