@@ -174,6 +174,12 @@ def _lasso():
           "nnz": int((np.abs(w) > 1e-12).sum())}
 
 
+@_register("spectral")
+def _spectral():
+  from spartan_tpu.examples import spectral
+  return {"rings_accuracy": spectral.run(512)}
+
+
 def main(argv):
   rest = [a for a in argv if not a.startswith("--")]
   flags = [a for a in argv if a.startswith("--")]

@@ -9,7 +9,8 @@ SpartanArray / lazy-expr inputs.
 from spartan_tpu.learn.estimators import (ALS, FuzzyKMeans, KMeans, Lasso,
                                           LinearRegression,
                                           LogisticRegression, NaiveBayes,
-                                          PCA, Ridge, SVC)
+                                          PCA, Ridge, SpectralClustering, SVC)
 
 __all__ = ["ALS", "FuzzyKMeans", "KMeans", "Lasso", "LinearRegression",
-           "LogisticRegression", "NaiveBayes", "PCA", "Ridge", "SVC"]
+           "LogisticRegression", "NaiveBayes", "PCA", "Ridge",
+           "SpectralClustering", "SVC"]

@@ -59,6 +59,28 @@ class Ridge:
     return np.asarray(sp.dot(_lazy(X), sp.from_numpy(self.coef_)).glom())
 
 
+class SpectralClustering:
+  """RBF-affinity spectral clustering (examples/spectral): sharded
+  affinity/Laplacian exprs -> sp.linalg.eigh embedding -> fused k-means."""
+
+  def __init__(self, n_clusters: int = 2, gamma: float = 10.0,
+               iterations: int = 20, seed: int = 0):
+    self.n_clusters = n_clusters
+    self.gamma = gamma
+    self.iterations = iterations
+    self.seed = seed
+    self.labels_ = None
+
+  def fit(self, X):
+    from spartan_tpu.examples import spectral
+    self.labels_ = spectral.fit(_lazy(X), self.n_clusters, self.gamma,
+                                self.iterations, seed=self.seed)
+    return self
+
+  def fit_predict(self, X):
+    return self.fit(X).labels_
+
+
 class Lasso:
   """L1-regularized regression — FISTA in one compiled on-device loop
   (examples/lasso)."""

@@ -383,3 +383,22 @@ def test_lasso_estimator():
   assert np.abs(est.coef_ - w_true).max() < 0.05
   pred = est.predict(X[:8])
   np.testing.assert_allclose(pred, X[:8] @ est.coef_, rtol=1e-10)
+
+
+def test_spectral_clustering_rings():
+  """Concentric rings: linearly inseparable — the Laplacian embedding
+  must make them separable (accuracy 1.0; raw k-means gets ~0.5)."""
+  from spartan_tpu.examples import spectral
+  assert spectral.run(512) == 1.0
+
+
+def test_spectral_estimator():
+  from spartan_tpu import learn
+  rng = np.random.default_rng(0)
+  a = rng.standard_normal((64, 2)) * 0.3
+  b = rng.standard_normal((64, 2)) * 0.3 + 4.0
+  X = np.concatenate([a, b])
+  labels = learn.SpectralClustering(2, gamma=1.0).fit_predict(X)
+  truth = np.concatenate([np.zeros(64), np.ones(64)])
+  acc = max((labels == truth).mean(), (labels == 1 - truth).mean())
+  assert acc == 1.0
