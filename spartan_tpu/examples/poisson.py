@@ -21,7 +21,9 @@ def _inv_laplacian_symbol(n: int, h: float) -> np.ndarray:
   lam = (2.0 * np.cos(k[:, None]) + 2.0 * np.cos(k[None, :]) - 4.0) / h**2
   with np.errstate(divide="ignore"):
     inv = np.where(lam == 0.0, 0.0, 1.0 / np.where(lam == 0.0, 1.0, lam))
-  return inv.astype(np.complex128)
+  # the symbol is REAL (eigenvalues of a symmetric stencil); keeping it
+  # real also avoids complex host→device transfers (see core.from_numpy)
+  return inv
 
 
 def solve(f, h: float = 1.0):
