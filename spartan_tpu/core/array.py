@@ -58,13 +58,6 @@ def host_fetch(data) -> np.ndarray:
   except Exception:
     platform = ""
   dt = np.dtype(data.dtype)
-  if platform == "axon" and dt.kind == "c":
-    # the tunnel cannot transfer complex buffers (UNIMPLEMENTED both
-    # directions, observed r3) — split on device, fetch real planes,
-    # recombine on host (bit-exact).
-    re, im = jax.jit(lambda v: (jax.lax.real(v), jax.lax.imag(v)))(data)
-    return (np.asarray(jax.device_get(re))
-            + 1j * np.asarray(jax.device_get(im))).astype(dt)
   if platform != "axon" or dt.kind not in "iu" or dt.itemsize != 4:
     return np.asarray(jax.device_get(data))
   if _halfswap is None:
@@ -207,20 +200,14 @@ def from_numpy(arr, tile_hint: Optional[Sequence[int]] = None,
   if tiling is None:
     tiling = auto_tiling(arr.shape, tile_hint, mesh or get_mesh(),
                          nbytes=arr.nbytes)
-  try:
-    platform = next(iter(tiling.sharding.device_set)).platform
-  except Exception:
-    platform = ""
-  if platform == "axon" and np.issubdtype(arr.dtype, np.complexfloating):
-    # the axon tunnel backend cannot transfer complex buffers
-    # (batched_device_put → UNIMPLEMENTED, observed r3 on v5e): ship the
-    # real/imag planes as real transfers and combine on device.
-    re = jax.device_put(jnp.asarray(arr.real), tiling.sharding)
-    im = jax.device_put(jnp.asarray(arr.imag), tiling.sharding)
-    data = jax.jit(lambda r, i: jax.lax.complex(r, i),
-                   out_shardings=tiling.sharding)(re, im)
-  else:
-    data = jax.device_put(jnp.asarray(arr), tiling.sharding)
+  # NOTE (r3, axon tunnel): the tunnel backend has NO complex buffer
+  # support — complex device_put, complex outputs, and complex fetches
+  # all abort UNIMPLEMENTED (real/imag plane-splitting was tried and
+  # cannot help: the combined on-device buffer itself cannot exist).
+  # Complex values work fine as compile-INTERNAL values there (e.g.
+  # real∘ifft2∘fft2 chains); real TPU/CPU runtimes support complex
+  # arrays end-to-end.
+  data = jax.device_put(jnp.asarray(arr), tiling.sharding)
   return SpartanArray(data, tiling)
 
 

@@ -6,6 +6,12 @@ NumPy-user surface.  Every transform is a lazy map over XLA's native FFT
 lowering (TPU executes FFTs on-device); complex avals flow through the
 DAG like any other dtype (map/reduce/slicing are dtype-agnostic).
 ``fftfreq``/``rfftfreq`` are tiny host-built leaves.
+
+Backend note: the axon dev-tunnel runtime has no complex *buffer*
+support (complex leaves/outputs/fetches abort UNIMPLEMENTED) — complex
+values work there only as compile-internal values, so end chains in
+``sp.real``/``sp.abs``/a real-valued reduction when running through the
+tunnel.  Real TPU and CPU runtimes support complex arrays end-to-end.
 """
 
 from __future__ import annotations

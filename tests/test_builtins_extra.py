@@ -360,3 +360,21 @@ def test_histogram_auto_range(rng, cluster):
   c = np.full(100, 3.0)
   got = np.asarray(sp.histogram(sp.from_numpy(c), bins=4).glom())
   assert got.sum() == 100
+
+
+def test_numpy_ufunc_interop_stays_lazy(rng, cluster):
+  """np.sin(expr) / np.add(a, expr) dispatch to the lazy builtins via
+  __array_ufunc__ (no silent whole-array materialization); uncovered
+  ufunc methods still materialize-and-compute instead of raising."""
+  from spartan_tpu.expr.base import Expr
+  a = rng.standard_normal((6, 6))
+  E = sp.from_numpy(a)
+  r = np.add(a, E)
+  assert isinstance(r, Expr)
+  np.testing.assert_allclose(np.asarray(r.glom()), a + a, rtol=1e-12)
+  r2 = np.sin(E)
+  assert isinstance(r2, Expr)
+  np.testing.assert_allclose(np.asarray(r2.glom()), np.sin(a), rtol=1e-12)
+  acc = np.add.reduce(E)          # uncovered method → explicit fallback
+  np.testing.assert_allclose(acc, a.sum(0), rtol=1e-12)
+  np.testing.assert_allclose(E, a)  # np.testing on exprs keeps working
