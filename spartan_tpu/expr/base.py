@@ -373,7 +373,31 @@ class Expr:
     out = self.glom()
     return out.astype(dtype) if dtype is not None else out
 
+  def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+    """Keep ``np.sin(expr)`` / ``np.add(a, expr)`` LAZY: dispatch to the
+    same-named builtin (numpy-parity semantics) instead of numpy's
+    silent ``__array__`` materialization — which gathered the whole
+    array to the host.  Uncovered ufuncs/methods materialize explicitly
+    (the old behavior), never raise."""
+    if method == "__call__" and not kwargs:
+      from spartan_tpu.expr import builtins as B
+      fn = getattr(B, ufunc.__name__, None)
+      if fn is not None and callable(fn):
+        try:
+          return fn(*inputs)
+        except Exception:
+          pass
+    mat = [np.asarray(x) if isinstance(x, Expr) else x for x in inputs]
+    return getattr(ufunc, method)(*mat, **kwargs)
+
   # -- numpy-flavoured conveniences (match reference Expr surface) ----------
+
+  @property
+  def at(self):
+    """jax-style functional updates: ``e.at[idx].set/add/mul/max/min(v)``
+    → a new lazy expr (sugar over ``sp.write``/scatter-assign; the
+    reference's in-place writes, functional)."""
+    return _AtIndexer(self)
 
   def astype(self, dtype) -> "Expr":
     from spartan_tpu.expr import builtins as B
@@ -689,6 +713,50 @@ class DictExpr(Expr):
 
   def __getitem__(self, k):
     return self.vals[self.keys.index(k)]
+
+
+class _AtIndexer:
+  """``expr.at[idx]`` → an update handle (jax ``.at`` semantics, lazy)."""
+
+  __slots__ = ("_e",)
+
+  def __init__(self, e: "Expr"):
+    self._e = e
+
+  def __getitem__(self, idx):
+    return _AtRef(self._e, idx)
+
+
+class _AtRef:
+  __slots__ = ("_e", "_idx")
+
+  def __init__(self, e: "Expr", idx):
+    self._e, self._idx = e, idx
+
+  def _go(self, v, reducer):
+    from spartan_tpu.expr import write as W
+    idx = self._idx
+    if isinstance(idx, (Expr, np.ndarray, list)):
+      # integer-array scatter: indices are DATA (an input), not a param
+      return W.ScatterAssignExpr(self._e, idx, v, reducer)
+    return W.WriteArrayExpr(self._e, idx, v, reducer)
+
+  def set(self, v):
+    return self._go(v, None)
+
+  def add(self, v):
+    return self._go(v, np.add)
+
+  def multiply(self, v):
+    return self._go(v, np.multiply)
+
+  mul = multiply
+
+  def max(self, v):
+    return self._go(v, np.maximum)
+
+  def min(self, v):
+    return self._go(v, np.minimum)
 
 
 def lazify(v: Any) -> Expr:

@@ -378,3 +378,24 @@ def test_numpy_ufunc_interop_stays_lazy(rng, cluster):
   acc = np.add.reduce(E)          # uncovered method → explicit fallback
   np.testing.assert_allclose(acc, a.sum(0), rtol=1e-12)
   np.testing.assert_allclose(E, a)  # np.testing on exprs keeps working
+
+
+def test_at_functional_updates(rng, cluster):
+  """expr.at[idx].set/add/... — jax-style sugar over write/scatter."""
+  a = rng.standard_normal((6, 8))
+  E = sp.from_numpy(a)
+  got = np.asarray(E.at[1:3, 2:5].set(0.0).glom())
+  want = a.copy(); want[1:3, 2:5] = 0.0
+  np.testing.assert_array_equal(got, want)
+  got = np.asarray(E.at[0].add(10.0).glom())
+  want = a.copy(); want[0] += 10.0
+  np.testing.assert_allclose(got, want, rtol=1e-12)
+  v = rng.standard_normal(16)
+  idx = np.array([1, 5, 5, 9])
+  ups = np.array([1.0, 2.0, 3.0, 4.0])
+  got = np.asarray(sp.from_numpy(v).at[idx].add(sp.from_numpy(ups)).glom())
+  want = v.copy(); np.add.at(want, idx, ups)
+  np.testing.assert_allclose(got, want, rtol=1e-12)
+  got = np.asarray(E.at[2:4].mul(2.0).glom())
+  want = a.copy(); want[2:4] *= 2.0
+  np.testing.assert_allclose(got, want, rtol=1e-12)
