@@ -74,10 +74,32 @@ def fit(points, k: int, iterations: int = 10, centers=None, seed: int = 0):
   return centers.evaluate(), labels.evaluate() if labels is not None else None
 
 
+def farthest_init(points, k: int, seed: int = 0) -> np.ndarray:
+  """Farthest-point (k-center greedy) seeding: random first center, then
+  repeatedly the point farthest from its nearest chosen center.  Each
+  round is one fused sharded distance map + argmax — O(k) small rounds.
+  Immune to the random-init empty-cluster fixed point (two random seeds
+  in one tight blob can leave a center permanently empty)."""
+  points = sp.lazify(points)
+  n = points.shape[0]
+  rng = np.random.default_rng(seed)
+  first = int(rng.integers(0, n))
+  chosen = [np.asarray(points[first].glom())]
+  for _ in range(k - 1):
+    cs = sp.Val(np.stack(chosen))
+    d2 = (sp.sum(points * points, axis=1).reshape((n, 1))
+          - 2.0 * sp.dot(points, sp.transpose(cs))
+          + sp.sum(cs * cs, axis=1))
+    nxt = int(sp.argmax(sp.min(d2, axis=1)).glom())
+    chosen.append(np.asarray(points[nxt].glom()))
+  return np.stack(chosen)
+
+
 def fit_fused(points, k: int, iterations: int = 10, centers=None,
-              seed: int = 0):
+              seed: int = 0, init: str = "random"):
   """Whole Lloyd iteration in ONE compiled on-device loop (the
-  latency-proof TPU pattern; semantics match :func:`fit`)."""
+  latency-proof TPU pattern; semantics match :func:`fit`).
+  ``init='farthest'`` seeds with :func:`farthest_init`."""
   import functools
 
   import jax
@@ -85,7 +107,9 @@ def fit_fused(points, k: int, iterations: int = 10, centers=None,
 
   points = sp.lazify(points).evaluate()
   n, d = points.shape
-  if centers is None:
+  if centers is None and init == "farthest":
+    c0 = farthest_init(sp.Val(points), k, seed)
+  elif centers is None:
     rng = np.random.default_rng(seed)
     c0 = np.asarray(points.glom()[rng.choice(n, k, replace=False)])
   else:

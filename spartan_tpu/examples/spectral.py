@@ -42,7 +42,11 @@ def fit(X, k: int, gamma: float = 10.0, iterations: int = 20,
   """Cluster labels for the rows of X."""
   from spartan_tpu.examples import kmeans
   emb = sp.Val(embed(affinity_rbf(X, gamma), k).evaluate())
-  centers = kmeans.fit_fused(emb, k, iterations, seed=seed)
+  # farthest-point seeding: the NJW embedding is tight orthogonal blobs,
+  # where two random seeds in one blob leave an empty-cluster fixed
+  # point (hit in f32 on chip — rings accuracy 0.5)
+  centers = kmeans.fit_fused(emb, k, iterations, seed=seed,
+                             init="farthest")
   labels = kmeans.assign_labels(emb, sp.Val(centers))
   return np.asarray(labels.glom())
 

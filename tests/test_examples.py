@@ -402,3 +402,13 @@ def test_spectral_estimator():
   truth = np.concatenate([np.zeros(64), np.ones(64)])
   acc = max((labels == truth).mean(), (labels == 1 - truth).mean())
   assert acc == 1.0
+
+
+def test_kmeans_farthest_init():
+  """Farthest-point seeding lands one center per true blob (random
+  seeding can put two in one blob → empty-cluster fixed point)."""
+  from spartan_tpu.examples import kmeans
+  pts, true_c = kmeans.make_data(2048, 4, 4, seed=3)
+  c0 = kmeans.farthest_init(pts, 4, seed=0)
+  owners = np.abs(c0[:, None, :] - true_c[None]).sum(-1).argmin(1)
+  assert sorted(owners.tolist()) == [0, 1, 2, 3]
