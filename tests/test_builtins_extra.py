@@ -399,3 +399,82 @@ def test_at_functional_updates(rng, cluster):
   got = np.asarray(E.at[2:4].mul(2.0).glom())
   want = a.copy(); want[2:4] *= 2.0
   np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_full_elementwise_parity_sweep(rng, cluster):
+  """Every unary/binary elementwise builtin vs its numpy twin — closes
+  the by-name coverage audit (r3 session 3)."""
+  a = rng.uniform(0.1, 0.9, (4, 5))
+  b = rng.uniform(0.1, 0.9, (4, 5))
+  import scipy.special as ss
+  unary = [
+      ("arccos", np.arccos), ("arcsin", np.arcsin), ("arctan", np.arctan),
+      ("cos", np.cos), ("cosh", np.cosh), ("sinh", np.sinh),
+      ("exp2", np.exp2), ("expm1", np.expm1), ("log2", np.log2),
+      ("log10", np.log10), ("log1p", np.log1p), ("rint", np.rint),
+      ("trunc", np.trunc), ("reciprocal", np.reciprocal),
+      ("negative", np.negative), ("positive", np.positive),
+      ("absolute", np.absolute), ("conj", np.conj), ("imag", np.imag),
+      ("degrees", np.degrees), ("radians", np.radians),
+      ("isnan", np.isnan), ("isinf", np.isinf), ("isfinite", np.isfinite),
+      ("logical_not", np.logical_not),
+      ("erf", ss.erf), ("erfc", ss.erfc),
+  ]
+  for name, nfn in unary:
+    got = np.asarray(getattr(sp, name)(sp.from_numpy(a)).glom())
+    np.testing.assert_allclose(got, nfn(a), rtol=1e-10, atol=1e-12,
+                               err_msg=name)
+  binary = [
+      ("arctan2", np.arctan2), ("hypot", np.hypot),
+      ("divide", np.divide), ("true_divide", np.true_divide),
+      ("floor_divide", np.floor_divide), ("multiply", np.multiply),
+      ("subtract", np.subtract),
+      ("equal", np.equal), ("not_equal", np.not_equal),
+      ("less", np.less), ("less_equal", np.less_equal),
+      ("greater", np.greater), ("greater_equal", np.greater_equal),
+      ("logical_and", np.logical_and), ("logical_or", np.logical_or),
+      ("logical_xor", np.logical_xor),
+  ]
+  for name, nfn in binary:
+    got = np.asarray(getattr(sp, name)(sp.from_numpy(a),
+                                       sp.from_numpy(b)).glom())
+    np.testing.assert_allclose(got, nfn(a, b), rtol=1e-10, err_msg=name)
+  ia = rng.integers(0, 63, (4, 5))
+  ib = rng.integers(0, 5, (4, 5))
+  int_binary = [
+      ("bitwise_or", np.bitwise_or), ("bitwise_xor", np.bitwise_xor),
+      ("left_shift", np.left_shift), ("right_shift", np.right_shift),
+  ]
+  for name, nfn in int_binary:
+    got = np.asarray(getattr(sp, name)(sp.from_numpy(ia),
+                                       sp.from_numpy(ib)).glom())
+    np.testing.assert_array_equal(got, nfn(ia, ib), err_msg=name)
+  np.testing.assert_array_equal(sp.invert(sp.from_numpy(ia)).glom(),
+                                np.invert(ia))
+  np.testing.assert_array_equal(sp.bitwise_not(sp.from_numpy(ia)).glom(),
+                                np.invert(ia))
+  # creation / identity / comparison helpers
+  np.testing.assert_array_equal(sp.ones_like(sp.from_numpy(a)).glom(),
+                                np.ones_like(a))
+  np.testing.assert_array_equal(sp.zeros_like(sp.from_numpy(a)).glom(),
+                                np.zeros_like(a))
+  np.testing.assert_array_equal(sp.full_like(sp.from_numpy(a), 7.0).glom(),
+                                np.full_like(a, 7.0))
+  np.testing.assert_array_equal(sp.identity(5).glom(), np.identity(5))
+  assert sp.empty((3, 2)).glom().shape == (3, 2)
+  assert sp.allclose(sp.from_numpy(a), a + 1e-12)
+  assert sp.array_equal(sp.from_numpy(ia), ia)
+  assert not sp.array_equal(sp.from_numpy(ia), ia + 1)
+  np.testing.assert_allclose(float(sp.vdot(sp.from_numpy(a),
+                                           sp.from_numpy(b)).glom()),
+                             np.vdot(a, b), rtol=1e-12)
+  np.testing.assert_allclose(
+      np.asarray(sp.matmul(sp.from_numpy(a), sp.from_numpy(b.T)).glom()),
+      a @ b.T, rtol=1e-10)
+  np.testing.assert_array_equal(
+      sp.unique(sp.from_numpy(ib)).glom(), np.unique(ib))
+  np.testing.assert_array_equal(
+      sp.bincount(sp.from_numpy(ib.ravel())).glom(), np.bincount(ib.ravel()))
+  assert int(sp.nanargmin(sp.from_numpy(a.ravel())).glom()) == a.argmin()
+  r = np.asarray(sp.randint(3, 9, size=(200,)).glom())
+  assert r.min() >= 3 and r.max() < 9 and r.dtype.kind == "i"
