@@ -180,6 +180,13 @@ def _spectral():
   return {"rings_accuracy": spectral.run(512)}
 
 
+@_register("gmm")
+def _gmm():
+  from spartan_tpu.examples import gmm
+  err, pi = gmm.run(4096, 4, 3, 40)
+  return {"gmm_mean_recovery_err": err, "weights": [round(float(p), 4) for p in pi]}
+
+
 def main(argv):
   rest = [a for a in argv if not a.startswith("--")]
   flags = [a for a in argv if a.startswith("--")]

@@ -6,11 +6,13 @@ estimator classes over :mod:`spartan_tpu.examples`, accepting numpy /
 SpartanArray / lazy-expr inputs.
 """
 
-from spartan_tpu.learn.estimators import (ALS, FuzzyKMeans, KMeans, Lasso,
+from spartan_tpu.learn.estimators import (ALS, FuzzyKMeans, GaussianMixture,
+                                          KMeans, Lasso,
                                           LinearRegression,
                                           LogisticRegression, NaiveBayes,
                                           PCA, Ridge, SpectralClustering, SVC)
 
-__all__ = ["ALS", "FuzzyKMeans", "KMeans", "Lasso", "LinearRegression",
+__all__ = ["ALS", "FuzzyKMeans", "GaussianMixture", "KMeans", "Lasso",
+           "LinearRegression",
            "LogisticRegression", "NaiveBayes", "PCA", "Ridge",
            "SpectralClustering", "SVC"]

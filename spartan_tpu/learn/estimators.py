@@ -59,6 +59,34 @@ class Ridge:
     return np.asarray(sp.dot(_lazy(X), sp.from_numpy(self.coef_)).glom())
 
 
+class GaussianMixture:
+  """Diagonal-covariance GMM via EM in one compiled on-device loop
+  (examples/gmm)."""
+
+  def __init__(self, n_components: int = 2, iterations: int = 50,
+               seed: int = 0):
+    self.n_components = n_components
+    self.iterations = iterations
+    self.seed = seed
+    self.means_ = self.variances_ = self.weights_ = None
+
+  def fit(self, X):
+    from spartan_tpu.examples import gmm
+    self.means_, self.variances_, self.weights_ = gmm.fit_fused(
+        _lazy(X), self.n_components, self.iterations, seed=self.seed)
+    return self
+
+  def predict(self, X):
+    import numpy as _np
+    X = _np.asarray(sp.lazify(_lazy(X)).glom())
+    iv = 1.0 / self.variances_
+    quad = ((X * X) @ iv.T - 2.0 * X @ (self.means_ * iv).T
+            + (self.means_ ** 2 * iv).sum(1))
+    logp = -0.5 * (quad + _np.log(self.variances_).sum(1)) + _np.log(
+        self.weights_)
+    return logp.argmax(1)
+
+
 class SpectralClustering:
   """RBF-affinity spectral clustering (examples/spectral): sharded
   affinity/Laplacian exprs -> sp.linalg.eigh embedding -> fused k-means."""

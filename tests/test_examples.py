@@ -412,3 +412,36 @@ def test_kmeans_farthest_init():
   c0 = kmeans.farthest_init(pts, 4, seed=0)
   owners = np.abs(c0[:, None, :] - true_c[None]).sum(-1).argmin(1)
   assert sorted(owners.tolist()) == [0, 1, 2, 3]
+
+
+def test_gmm_em_matches_numpy_loop():
+  """Fused EM loop == identical numpy EM (universal oracle)."""
+  from spartan_tpu.examples import gmm, kmeans
+  rng = np.random.default_rng(0)
+  true_mu = rng.standard_normal((3, 4)) * 5.0
+  lab = rng.integers(0, 3, 1024)
+  X = true_mu[lab] + rng.standard_normal((1024, 4))
+  mu0 = kmeans.farthest_init(sp.from_numpy(X), 3, 0)
+  var0 = np.ones((3, 4)) * X.var(0).mean()
+  pi0 = np.full(3, 1 / 3)
+  run = sp.make_fori(
+      lambda mu, var, pi: gmm.em_step(sp.from_numpy(X), mu, var, pi),
+      (sp.Val(mu0), sp.Val(var0), sp.Val(pi0)))
+  mu, var, pi = (np.asarray(sp.lazify(v).glom()) for v in run(20))
+  mo, vo, po = gmm.em_numpy(X, mu0, var0, pi0, 20)
+  assert np.abs(mu - mo).max() < 1e-9
+  assert np.abs(var - vo).max() < 1e-9
+  assert np.abs(pi - po).max() < 1e-12
+
+
+def test_gmm_estimator_recovers_components():
+  from spartan_tpu import learn
+  rng = np.random.default_rng(1)
+  a = rng.standard_normal((512, 3)) * 0.5
+  b = rng.standard_normal((512, 3)) * 0.5 + 6.0
+  X = np.concatenate([a, b])
+  est = learn.GaussianMixture(2, iterations=40).fit(X)
+  labels = est.predict(X)
+  truth = np.concatenate([np.zeros(512), np.ones(512)])
+  acc = max((labels == truth).mean(), (labels == 1 - truth).mean())
+  assert acc > 0.99
