@@ -136,6 +136,34 @@ def value_and_grad(expr: Expr, wrt: Sequence[Expr]):
   return SpartanArray(val), [SpartanArray(g) for g in grads]
 
 
+def hessian(expr: Expr, wrt: Sequence[Expr]):
+  """Full Hessians of a scalar expr w.r.t. each leaf.  For a single
+  (d,) leaf returns one (d, d) SpartanArray; for several leaves, the
+  list of per-leaf diagonal blocks (cross blocks via :func:`hvp`)."""
+  fn, args = as_function(expr, wrt, differentiable=True)
+  outs = []
+  for i in range(len(args)):
+    h = jax.jit(jax.hessian(fn, argnums=i))(*args)
+    outs.append(SpartanArray(h))
+  return outs[0] if len(outs) == 1 else outs
+
+
+def hvp(expr: Expr, wrt: Sequence[Expr], vectors):
+  """Hessian-vector products (forward-over-reverse — no materialized
+  Hessian; the scalable curvature primitive for Newton-CG at scale)."""
+  import jax.numpy as jnp
+  fn, args = as_function(expr, wrt, differentiable=True)
+  argnums = tuple(range(len(args)))
+
+  def g(*a):
+    return jax.grad(fn, argnums=argnums)(*a)
+
+  vecs = tuple(jnp.asarray(v.glom() if isinstance(v, Expr)
+                           else getattr(v, "data", v)) for v in vectors)
+  _, tangents = jax.jit(lambda *a: jax.jvp(g, a, vecs))(*args)
+  return [SpartanArray(t) for t in tangents]
+
+
 def jvp(expr: Expr, wrt: Sequence[Expr], tangents):
   """Forward-mode: directional derivative of the DAG."""
   fn, args = as_function(expr, wrt, differentiable=True)

@@ -44,5 +44,34 @@ class ScanExpr(Expr):
     raise ValueError(f"unknown scan op {self.op!r}")
 
 
-def scan(v, op: str = "sum", axis: Optional[int] = None) -> ScanExpr:
+class CustomScanExpr(Expr):
+  """User-supplied prefix scan (the reference's extensible scan form):
+  ``scan_fn`` is a binary ASSOCIATIVE combiner traced into one
+  ``jax.lax.associative_scan`` — XLA partitions the work-efficient scan
+  and emits the cross-shard carry, the same contract the reference's
+  per-tile scan + carry phases imposed."""
+
+  _members = ("inputs",)
+  _params = ("fn", "axis", "reverse")
+
+  def __init__(self, src, fn, axis=None, reverse=False):
+    super().__init__(inputs=[lazify(src)], fn=fn, axis=axis,
+                     reverse=bool(reverse))
+
+  def _emit(self, ctx: EmitCtx, deps: List[Any]):
+    x = deps[0]
+    axis = self.axis
+    if axis is None:
+      x = jnp.ravel(x)
+      axis = 0
+    return jax.lax.associative_scan(self.fn, x, axis=axis,
+                                    reverse=self.reverse)
+
+
+def scan(v, op: str = "sum", axis: Optional[int] = None, scan_fn=None,
+         reverse: bool = False):
+  """Named-op prefix scan, or the extensible form via ``scan_fn(a, b)``
+  (binary associative combiner, e.g. log-sum-exp accumulation)."""
+  if scan_fn is not None:
+    return CustomScanExpr(v, fn=scan_fn, axis=axis, reverse=reverse)
   return ScanExpr(v, op=op, axis=axis)

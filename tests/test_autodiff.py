@@ -133,3 +133,23 @@ def test_compile_donated_carry(rng):
   # the template leaf's buffer was protected from the warm-up call
   np.testing.assert_allclose(np.asarray(sp.lazify(w).glom()), w_np,
                              rtol=1e-15)
+
+
+def test_hessian_quadratic(rng):
+  """Hessian of a quadratic form = A + A.T (exact)."""
+  a = rng.standard_normal((6, 6))
+  w = sp.from_numpy(rng.standard_normal(6))
+  loss = sp.sum(w * sp.dot(sp.from_numpy(a), w))
+  H = np.asarray(sp.hessian(loss, [w]).glom())
+  np.testing.assert_allclose(H, a + a.T, rtol=1e-10, atol=1e-12)
+
+
+def test_hvp_matches_full_hessian(rng):
+  X = rng.standard_normal((64, 8))
+  y = rng.standard_normal(64)
+  w = sp.from_numpy(rng.standard_normal(8))
+  loss = sp.sum((sp.dot(sp.from_numpy(X), w) - sp.from_numpy(y)) ** 2)
+  v = rng.standard_normal(8)
+  (got,) = sp.hvp(loss, [w], [sp.from_numpy(v)])
+  want = 2.0 * X.T @ X @ v
+  np.testing.assert_allclose(np.asarray(got.glom()), want, rtol=1e-9)

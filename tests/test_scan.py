@@ -32,3 +32,24 @@ def test_int_cumsum(rng):
   got = sp.cumsum(sp.from_numpy(x)).glom()
   assert got.dtype == np.int64
   np.testing.assert_array_equal(got, x.astype(np.int64).cumsum())
+
+
+def test_custom_scan_fn(rng, cluster):
+  """Extensible scan: user associative combiner via associative_scan."""
+  import jax.numpy as jnp
+  x = rng.standard_normal(257)
+  got = np.asarray(sp.scan(sp.from_numpy(x), scan_fn=jnp.maximum).glom())
+  np.testing.assert_array_equal(got, np.maximum.accumulate(x))
+  # log-sum-exp running accumulation (associative in log space)
+  lse = lambda a, b: jnp.logaddexp(a, b)
+  got = np.asarray(sp.scan(sp.from_numpy(x), scan_fn=lse).glom())
+  np.testing.assert_allclose(got, np.logaddexp.accumulate(x), rtol=1e-9)
+  # reverse form
+  got = np.asarray(sp.scan(sp.from_numpy(x), scan_fn=jnp.maximum,
+                           reverse=True).glom())
+  np.testing.assert_array_equal(got, np.maximum.accumulate(x[::-1])[::-1])
+  # 2-D along an axis
+  m = rng.standard_normal((8, 16))
+  got = np.asarray(sp.scan(sp.from_numpy(m), scan_fn=jnp.minimum,
+                           axis=1).glom())
+  np.testing.assert_array_equal(got, np.minimum.accumulate(m, axis=1))
