@@ -507,9 +507,47 @@ def remainder(a, b) -> Expr:
 
 def einsum(subscripts: str, *operands) -> Expr:
   """Lazy einsum — contractions lower onto the MXU; XLA chooses the
-  collective schedule from the operand shardings."""
+  collective schedule from the operand shardings.  Two-operand pure
+  contractions route to :class:`TensorDotExpr` so the smart-tiling cost
+  model sees them as dots (contraction-aware leaf placement) instead of
+  an opaque map; batch/trace/diagonal forms take the generic map."""
+  routed = _route_einsum_contraction(subscripts, operands)
+  if routed is not None:
+    return routed
   return map([lazify(o) for o in operands],
              functools.partial(_einsum_call, subscripts))
+
+
+def _route_einsum_contraction(subscripts: str, operands):
+  s = subscripts.replace(" ", "")
+  if "..." in s or s.count(",") != 1:
+    return None
+  if "->" in s:
+    ins, out = s.split("->")
+  else:
+    ins = s
+    counts: dict = {}
+    for c in ins.replace(",", ""):
+      counts[c] = counts.get(c, 0) + 1
+    out = "".join(sorted(c for c in counts if counts[c] == 1))
+  t1, t2 = ins.split(",")
+  if len(set(t1)) != len(t1) or len(set(t2)) != len(t2):
+    return None                      # diagonal within an operand
+  shared = [c for c in t1 if c in t2]
+  free1 = [c for c in t1 if c not in t2]
+  free2 = [c for c in t2 if c not in t1]
+  if (sorted(out) != sorted(free1 + free2)
+      or any(c in out for c in shared)):
+    return None                      # batch dims or summed-out free axes
+  a, b = lazify(operands[0]), lazify(operands[1])
+  if len(t1) != len(a.shape) or len(t2) != len(b.shape):
+    return None
+  td = dot_mod.tensordot(a, b, axes=([t1.index(c) for c in shared],
+                                     [t2.index(c) for c in shared]))
+  natural = free1 + free2
+  if out != "".join(natural):
+    td = transpose(td, tuple(natural.index(c) for c in out))
+  return td
 
 
 def _einsum_call(subscripts, *xs):

@@ -478,3 +478,48 @@ def test_full_elementwise_parity_sweep(rng, cluster):
   assert int(sp.nanargmin(sp.from_numpy(a.ravel())).glom()) == a.argmin()
   r = np.asarray(sp.randint(3, 9, size=(200,)).glom())
   assert r.min() >= 3 and r.max() < 9 and r.dtype.kind == "i"
+
+
+def test_einsum_contraction_routing(rng, cluster):
+  """Two-operand pure contractions lower through TensorDotExpr (dot
+  cost model); batch/trace forms keep the generic map — values match
+  np.einsum in every case."""
+  from spartan_tpu.expr.dot import TensorDotExpr
+  from spartan_tpu.expr.reshape import TransposeExpr
+  a = rng.standard_normal((4, 5))
+  b = rng.standard_normal((5, 6))
+  e = sp.einsum("ij,jk->ik", sp.from_numpy(a), sp.from_numpy(b))
+  assert isinstance(e, TensorDotExpr)
+  np.testing.assert_allclose(np.asarray(e.glom()),
+                             np.einsum("ij,jk->ik", a, b), rtol=1e-10)
+  # permuted output → transpose on top of the tensordot
+  e = sp.einsum("ij,jk->ki", sp.from_numpy(a), sp.from_numpy(b))
+  assert isinstance(e, TransposeExpr)
+  np.testing.assert_allclose(np.asarray(e.glom()),
+                             np.einsum("ij,jk->ki", a, b), rtol=1e-10)
+  # higher-rank contraction + implicit output
+  t = rng.standard_normal((3, 4, 5))
+  m = rng.standard_normal((5, 2))
+  e = sp.einsum("abc,cd->abd", sp.from_numpy(t), sp.from_numpy(m))
+  assert isinstance(e, TensorDotExpr)
+  np.testing.assert_allclose(np.asarray(e.glom()),
+                             np.einsum("abc,cd->abd", t, m), rtol=1e-10)
+  e = sp.einsum("ij,jk", sp.from_numpy(a), sp.from_numpy(b))
+  np.testing.assert_allclose(np.asarray(e.glom()),
+                             np.einsum("ij,jk", a, b), rtol=1e-10)
+  # batch matmul / trace / summed-out axes stay on the generic map
+  bt = rng.standard_normal((2, 4, 5))
+  bu = rng.standard_normal((2, 5, 3))
+  e = sp.einsum("bij,bjk->bik", sp.from_numpy(bt), sp.from_numpy(bu))
+  assert not isinstance(e, (TensorDotExpr, TransposeExpr))
+  np.testing.assert_allclose(np.asarray(e.glom()),
+                             np.einsum("bij,bjk->bik", bt, bu), rtol=1e-10)
+  sq = rng.standard_normal((5, 5))
+  e = sp.einsum("ii,ij->j", sp.from_numpy(sq), sp.from_numpy(b[:5, :5][:5]))
+  np.testing.assert_allclose(
+      np.asarray(e.glom()), np.einsum("ii,ij->j", sq, b[:5, :5][:5]),
+      rtol=1e-10)
+  e = sp.einsum("ij,jk->k", sp.from_numpy(a), sp.from_numpy(b))
+  assert not isinstance(e, (TensorDotExpr, TransposeExpr))
+  np.testing.assert_allclose(np.asarray(e.glom()),
+                             np.einsum("ij,jk->k", a, b), rtol=1e-10)
