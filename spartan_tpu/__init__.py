@@ -75,6 +75,7 @@ from spartan_tpu.backend.sparse import (SparseArray, sparse_diagonal,  # noqa: E
                                         sprandn)
 from spartan_tpu import linalg  # noqa: E402  (np.linalg-style surface)
 from spartan_tpu import fft  # noqa: E402  (np.fft-style surface)
+from spartan_tpu import random  # noqa: E402,A004  (np.random-style surface)
 
 __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "SpartanArray", "get_mesh", "make_mesh", "with_mesh", "Expr",
@@ -83,5 +84,5 @@ __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "shuffle", "smart_tile", "tiling_plan", "remat", "fori_loop", "make_fori",
            "while_loop", "scan_iters", "cond", "compile", "reduce",
            "grad", "value_and_grad", "jvp", "hessian", "hvp", "sgd_train",
-           "checkpoint", "from_file", "load", "save", "sparse", "linalg", "fft",
+           "checkpoint", "from_file", "load", "save", "sparse", "linalg", "fft", "random",
            "SparseArray", "sparse_diagonal", "sprandn"] + list(_builtin_all)

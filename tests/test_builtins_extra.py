@@ -523,3 +523,19 @@ def test_einsum_contraction_routing(rng, cluster):
   assert not isinstance(e, (TensorDotExpr, TransposeExpr))
   np.testing.assert_allclose(np.asarray(e.glom()),
                              np.einsum("ij,jk->k", a, b), rtol=1e-10)
+
+
+def test_random_namespace(cluster):
+  sp.random.seed(99)
+  u = np.asarray(sp.random.uniform(2.0, 5.0, (2000,)).glom())
+  assert 2.0 <= u.min() and u.max() < 5.0 and abs(u.mean() - 3.5) < 0.1
+  nrm = np.asarray(sp.random.normal(10.0, 0.5, (2000,)).glom())
+  assert abs(nrm.mean() - 10.0) < 0.1 and abs(nrm.std() - 0.5) < 0.05
+  r = np.asarray(sp.random.integers(3, 7, (500,)).glom())
+  assert r.min() >= 3 and r.max() < 7
+  b = np.asarray(sp.random.bernoulli(0.25, (4000,)).glom())
+  assert b.dtype == bool and abs(b.mean() - 0.25) < 0.05
+  p = np.asarray(sp.random.permutation(100).glom())
+  np.testing.assert_array_equal(np.sort(p), np.arange(100))
+  assert sp.random.random((3, 4)).shape == (3, 4)
+  assert sp.random.standard_normal(7).shape == (7,)
