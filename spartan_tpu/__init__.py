@@ -67,7 +67,7 @@ from spartan_tpu.expr.remat import remat  # noqa: E402
 from spartan_tpu.expr.loop import fori_loop, make_fori, while_loop, scan_iters, cond  # noqa: E402
 from spartan_tpu.autodiff import compile_fn as compile  # noqa: E402,A001
 from spartan_tpu.autodiff import (grad, value_and_grad, jvp, hessian, hvp,  # noqa: E402
-                                  sgd_train)
+                                  minimize, sgd_train)
 from spartan_tpu.expr.reduce import reduce  # noqa: E402,A001
 from spartan_tpu.expr.fio import checkpoint, from_file, load, save  # noqa: E402
 from spartan_tpu.backend import sparse  # noqa: E402
@@ -83,6 +83,6 @@ __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "evaluate", "force", "lazify", "map", "map_with_location",
            "shuffle", "smart_tile", "tiling_plan", "remat", "fori_loop", "make_fori",
            "while_loop", "scan_iters", "cond", "compile", "reduce",
-           "grad", "value_and_grad", "jvp", "hessian", "hvp", "sgd_train",
+           "grad", "value_and_grad", "jvp", "hessian", "hvp", "minimize", "sgd_train",
            "checkpoint", "from_file", "load", "save", "sparse", "linalg", "fft", "random",
            "SparseArray", "sparse_diagonal", "sprandn"] + list(_builtin_all)

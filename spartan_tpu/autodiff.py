@@ -11,10 +11,11 @@ capability the RPC-based original could never offer.
 
 from __future__ import annotations
 
-from typing import Callable, List, Sequence, Tuple
+from typing import Callable, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from spartan_tpu.core.array import SpartanArray
 from spartan_tpu.expr import optimize as opt_mod
@@ -170,6 +171,49 @@ def jvp(expr: Expr, wrt: Sequence[Expr], tangents):
   primal, tangent = jax.jvp(fn, tuple(args),
                             tuple(jax.numpy.asarray(t) for t in tangents))
   return SpartanArray(primal), SpartanArray(tangent)
+
+
+def minimize(loss_expr: Expr, wrt: Sequence[Expr], method: str = "bfgs",
+             tol: Optional[float] = None, options: Optional[dict] = None):
+  """Minimize a scalar lazy loss over its leaf parameters — the WHOLE
+  optimization (line searches included) compiles into one on-device
+  program via ``jax.scipy.optimize.minimize`` (BFGS).
+
+  Multi-leaf ``wrt`` is flattened into one parameter vector and split
+  back on return.  Returns ``(params, info)``: the optimized leaves as
+  SpartanArrays and an info namespace (``fun``, ``nit``, ``success``).
+  For stochastic/large-scale training use :func:`sgd_train`; for
+  matrix-free curvature, :func:`hvp`."""
+  import jax.numpy as jnp
+  from jax.scipy.optimize import minimize as _jmin
+
+  if method.lower() != "bfgs":
+    raise ValueError("method must be 'bfgs' (jax.scipy.optimize backend)")
+  fn, args = as_function(loss_expr, wrt, differentiable=True)
+  shapes = [tuple(np.shape(a)) for a in args]
+  sizes = [int(np.prod(s)) if s else 1 for s in shapes]
+  bounds = np.cumsum([0] + sizes)
+
+  def unflatten(x):
+    return tuple(x[bounds[i]:bounds[i + 1]].reshape(shapes[i])
+                 for i in range(len(shapes)))
+
+  def flat_fn(x):
+    return fn(*unflatten(x))
+
+  fdt = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+  x0 = jnp.concatenate([jnp.ravel(jnp.asarray(a, fdt)) for a in args])
+
+  @jax.jit
+  def run(x0):
+    return _jmin(flat_fn, x0, method="BFGS", tol=tol,
+                 options=options or {})
+
+  res = run(x0)
+  parts = unflatten(res.x)
+  return ([SpartanArray(jnp.asarray(p)) for p in parts],
+          {"fun": float(res.fun), "nit": int(res.nit),
+           "success": bool(res.success), "status": int(res.status)})
 
 
 def sgd_train(loss_expr: Expr, params: Sequence[Expr], lr: float,

@@ -153,3 +153,36 @@ def test_hvp_matches_full_hessian(rng):
   (got,) = sp.hvp(loss, [w], [sp.from_numpy(v)])
   want = 2.0 * X.T @ X @ v
   np.testing.assert_allclose(np.asarray(got.glom()), want, rtol=1e-9)
+
+
+def test_minimize_bfgs_logreg(rng):
+  """One-compile BFGS over a lazy logistic loss: converges to the same
+  optimum scipy finds on the identical numpy function."""
+  import scipy.optimize as sopt
+  X = rng.standard_normal((256, 5))
+  w_true = rng.standard_normal(5)
+  y = (X @ w_true + 0.3 * rng.standard_normal(256) > 0).astype(np.float64)
+  w = sp.from_numpy(np.zeros(5))
+  z = sp.dot(sp.from_numpy(X), w)
+  loss = sp.mean(sp.log1p(sp.exp(-z)) + (1.0 - sp.from_numpy(y)) * z) \
+      + 1e-3 * sp.sum(w * w)
+  (w_opt,), info = sp.minimize(loss, [w])
+  assert info["success"]
+
+  def np_loss(wv):
+    zz = X @ wv
+    return (np.log1p(np.exp(-zz)) + (1 - y) * zz).mean() + 1e-3 * (wv**2).sum()
+
+  ref = sopt.minimize(np_loss, np.zeros(5), method="BFGS")
+  np.testing.assert_allclose(np.asarray(w_opt.glom()), ref.x, atol=1e-4)
+  assert abs(info["fun"] - ref.fun) < 1e-8
+
+
+def test_minimize_multi_leaf(rng):
+  a = sp.from_numpy(np.array([3.0]))
+  b = sp.from_numpy(np.array([-2.0, 5.0]))
+  loss = sp.sum((a - 1.0) ** 2) + sp.sum((b - np.array([2.0, -4.0])) ** 2)
+  (ao, bo), info = sp.minimize(loss, [a, b])
+  np.testing.assert_allclose(np.asarray(ao.glom()), [1.0], atol=1e-6)
+  np.testing.assert_allclose(np.asarray(bo.glom()), [2.0, -4.0], atol=1e-6)
+  assert info["fun"] < 1e-10
