@@ -174,8 +174,9 @@ def test_minimize_bfgs_logreg(rng):
     return (np.log1p(np.exp(-zz)) + (1 - y) * zz).mean() + 1e-3 * (wv**2).sum()
 
   ref = sopt.minimize(np_loss, np.zeros(5), method="BFGS")
-  np.testing.assert_allclose(np.asarray(w_opt.glom()), ref.x, atol=1e-4)
-  assert abs(info["fun"] - ref.fun) < 1e-8
+  np.testing.assert_allclose(np.asarray(w_opt.glom()), ref.x, atol=5e-4)
+  # the Newton polish leaves us AT LEAST as optimal as scipy's stop point
+  assert info["fun"] <= ref.fun + 1e-10
 
 
 def test_minimize_multi_leaf(rng):
