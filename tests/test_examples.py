@@ -445,3 +445,27 @@ def test_gmm_estimator_recovers_components():
   truth = np.concatenate([np.zeros(512), np.ones(512)])
   acc = max((labels == truth).mean(), (labels == 1 - truth).mean())
   assert acc > 0.99
+
+
+def test_examples_runner_registry_complete():
+  """Every example module is registered in the CLI runner and exposes a
+  run() entry; every registered name resolves (import check only)."""
+  import importlib
+  import pkgutil
+  import spartan_tpu.examples as pkg
+  from spartan_tpu.examples.__main__ import _RUNNERS
+  mods = [m.name for m in pkgutil.iter_modules(pkg.__path__)
+          if not m.name.startswith("_")]
+  for m in mods:
+    mod = importlib.import_module(f"spartan_tpu.examples.{m}")
+    assert hasattr(mod, "run") or hasattr(mod, "fit"), m
+  # the CLI covers (at least) every module with a run()
+  runnable = {m for m in mods
+              if hasattr(importlib.import_module(
+                  f"spartan_tpu.examples.{m}"), "run")}
+  aliases = {"linear_reg": "linreg", "logistic_reg": "logreg",
+             "ridge_reg": "ridge", "netflix_sgd": "netflix"}
+  covered = set(_RUNNERS) | {k for k, v in aliases.items()
+                             if v in _RUNNERS}
+  missing = {m for m in runnable if m not in covered}
+  assert not missing, f"examples missing from the CLI runner: {missing}"
