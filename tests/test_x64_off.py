@@ -48,6 +48,20 @@ b = np.random.rand(64, 64).astype(np.float32)
 got = float((sp.ones((64, 64)) + sp.from_numpy(b) * 2.0).sum().glom())
 want = (1.0 + 2.0 * b.astype(np.float64)).sum()
 assert abs(got - want) / want < 1e-5, (got, want)
+# r3 surfaces under f32: minimize with Newton polish; custom scan
+rng = np.random.default_rng(0)
+Xm = rng.standard_normal((512, 8)).astype(np.float32)
+ym = (Xm @ rng.standard_normal(8)).astype(np.float32)
+wl = sp.from_numpy(np.zeros(8, np.float32))
+loss = sp.mean((sp.dot(sp.from_numpy(Xm), wl) - sp.from_numpy(ym)) ** 2)
+(wo,), info = sp.minimize(loss, [wl])
+wwant = np.linalg.lstsq(Xm.astype(np.float64), ym.astype(np.float64),
+                        rcond=None)[0]
+assert np.abs(np.asarray(wo.glom()) - wwant).max() < 1e-4, "minimize f32"
+import jax.numpy as jnp
+xs = rng.standard_normal(4096).astype(np.float32)
+gs = np.asarray(sp.scan(sp.from_numpy(xs), scan_fn=jnp.maximum).glom())
+assert (gs == np.maximum.accumulate(xs)).all(), "custom scan f32"
 print("X64-OFF SMOKE OK")
 """
 
