@@ -112,7 +112,9 @@ def _jl_solve2(a, b):
 def lstsq(X, y, reg: float = 0.0, method: str = "auto"):
   """Least-squares ``argmin_w |X w - y|² + reg |w|²`` via the normal
   equations: the (d, d) Gram matrix is a sharded ``X.T @ X``; the small
-  SPD system then solves with :func:`solve`."""
+  SPD system then solves with :func:`solve`.  Returns the solution only
+  (np.linalg.lstsq's (x, residuals, rank, s) extras are cheap to derive:
+  residuals = |Xw-y|², rank/s via :func:`svdvals`)."""
   X, y = sp.lazify(X), sp.lazify(y)
   d = X.shape[1]
   g = sp.dot(sp.transpose(X), X, precision="highest")
