@@ -232,7 +232,12 @@ def minimize(loss_expr: Expr, wrt: Sequence[Expr], method: str = "bfgs",
       if not np.isfinite(f_new) or f_new > fun + 1e-12:
         break
       x, fun = x_new, f_new
-      success = True
+    # success means CONVERGED, not merely improved: require the FINAL
+    # gradient norm below a scale-aware bar (BFGS-success stays success)
+    if not success:
+      gfin = float(jnp.linalg.norm(jax.grad(flat_fn)(x)))
+      success = np.isfinite(gfin) and gfin < (
+          tol if tol is not None else 1e-6 * (1.0 + abs(fun)))
   parts = unflatten(x)
   return ([SpartanArray(jnp.asarray(p)) for p in parts],
           {"fun": fun, "nit": int(res.nit),

@@ -383,10 +383,10 @@ class Expr:
       from spartan_tpu.expr import builtins as B
       fn = getattr(B, ufunc.__name__, None)
       if fn is not None and callable(fn):
-        try:
-          return fn(*inputs)
-        except Exception:
-          pass
+        # construction errors (shape mismatch etc.) propagate — numpy
+        # would raise the same; swallowing them here would silently
+        # gather the whole distributed array to the host first.
+        return fn(*inputs)
     mat = [np.asarray(x) if isinstance(x, Expr) else x for x in inputs]
     return getattr(ufunc, method)(*mat, **kwargs)
 
@@ -739,6 +739,25 @@ class _AtRef:
     if isinstance(idx, (Expr, np.ndarray, list)):
       # integer-array scatter: indices are DATA (an input), not a param
       return W.ScatterAssignExpr(self._e, idx, v, reducer)
+    if isinstance(idx, tuple) and any(
+        isinstance(i, (Expr, np.ndarray, list)) for i in idx):
+      # multi-dim advanced scatter (E.at[rows, cols].add(v)): linearize
+      # to a flat scatter so the index arrays stay DATA inputs (a static
+      # 'region' param would bake them into the compile cache key)
+      if not all(isinstance(i, (Expr, np.ndarray, list, int, np.integer))
+                 for i in idx):
+        raise NotImplementedError(
+            "mixed slice/array advanced .at indexing is not supported — "
+            "use sp.write for region updates or flat indices for scatter")
+      from spartan_tpu.expr import builtins as B
+      shape = tuple(self._e.shape)
+      strides = np.cumprod((1,) + shape[:0:-1])[::-1]
+      flat = None
+      for d, i in enumerate(idx):
+        term = lazify(i) * int(strides[d])
+        flat = term if flat is None else flat + term
+      out = W.ScatterAssignExpr(B.ravel(self._e), flat, v, reducer)
+      return B.reshape(out, shape)
     return W.WriteArrayExpr(self._e, idx, v, reducer)
 
   def set(self, v):

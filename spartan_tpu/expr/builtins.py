@@ -520,7 +520,7 @@ def einsum(subscripts: str, *operands) -> Expr:
 
 def _route_einsum_contraction(subscripts: str, operands):
   s = subscripts.replace(" ", "")
-  if "..." in s or s.count(",") != 1:
+  if "..." in s or s.count(",") != 1 or len(operands) != 2:
     return None
   if "->" in s:
     ins, out = s.split("->")
@@ -752,25 +752,34 @@ def bincount(v, minlength=None, weights=None) -> Expr:
 def histogram(v, bins: int = 10, range=None) -> Expr:
   """Fixed-bin histogram (static shape → traceable).  Returns counts;
   edges are ``linspace(range[0], range[1], bins+1)`` like numpy.  With
-  ``range=None`` the data min/max are evaluated eagerly first (two cheap
-  fused reductions) so the bin edges stay static, numpy-style."""
+  ``range=None`` the data min/max become TRACED endpoints (numpy-style
+  auto range; the edge VALUES are data-dependent but the shape is
+  static, so the histogram stays compilable — correct under
+  ``sp.compile`` with fresh batches and inside loop bodies)."""
   v = lazify(v)
-  if range is None:
-    mm = ListExpr([min(v), max(v)]).evaluate()
-    lo, hi = (float(np.asarray(m.glom() if hasattr(m, "glom") else m))
-              for m in mm)
-    if lo == hi:
-      lo, hi = lo - 0.5, hi + 0.5
-  else:
-    lo, hi = range
 
-  def _hist(x):
-    edges = jnp.linspace(lo, hi, bins + 1)
-    idx = jnp.clip(jnp.searchsorted(edges, x.ravel(), side="right") - 1,
-                   0, bins - 1)
-    valid = (x.ravel() >= lo) & (x.ravel() <= hi)
-    return jnp.bincount(jnp.where(valid, idx, bins),
-                        length=bins + 1)[:bins]
+  if range is None:
+    def _hist(x):
+      xf = x.ravel()
+      lo, hi = jnp.min(xf), jnp.max(xf)
+      lo, hi = jnp.where(lo == hi, lo - 0.5, lo), jnp.where(lo == hi,
+                                                            hi + 0.5, hi)
+      edges = jnp.linspace(lo, hi, bins + 1)
+      idx = jnp.clip(jnp.searchsorted(edges, xf, side="right") - 1,
+                     0, bins - 1)
+      valid = (xf >= lo) & (xf <= hi)
+      return jnp.bincount(jnp.where(valid, idx, bins),
+                          length=bins + 1)[:bins]
+  else:
+    lo_s, hi_s = range
+
+    def _hist(x):
+      edges = jnp.linspace(lo_s, hi_s, bins + 1)
+      idx = jnp.clip(jnp.searchsorted(edges, x.ravel(), side="right") - 1,
+                     0, bins - 1)
+      valid = (x.ravel() >= lo_s) & (x.ravel() <= hi_s)
+      return jnp.bincount(jnp.where(valid, idx, bins),
+                          length=bins + 1)[:bins]
 
   return map([v], _hist)
 
@@ -895,6 +904,8 @@ def choice(v, size, replace: bool = True) -> Expr:
   if isinstance(v, (int, np.integer)):
     v = arange(int(v))
   v = lazify(v)
+  if len(v.shape) != 1:
+    raise ValueError("a must be 1-dimensional")  # np.random.choice contract
   n = v.shape[0]
   size = int(size)
   if replace:

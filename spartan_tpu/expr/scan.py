@@ -71,7 +71,17 @@ class CustomScanExpr(Expr):
 def scan(v, op: str = "sum", axis: Optional[int] = None, scan_fn=None,
          reverse: bool = False):
   """Named-op prefix scan, or the extensible form via ``scan_fn(a, b)``
-  (binary associative combiner, e.g. log-sum-exp accumulation)."""
+  (binary associative combiner, e.g. log-sum-exp accumulation).
+  ``reverse=True`` gives the suffix scan (both forms)."""
   if scan_fn is not None:
     return CustomScanExpr(v, fn=scan_fn, axis=axis, reverse=reverse)
+  if reverse:
+    # suffix scan for named ops: flip → prefix scan → flip (keeps the
+    # f64-accumulation semantics of ScanExpr)
+    from spartan_tpu.expr.builtins import flip, ravel
+    src = lazify(v)
+    if axis is None:
+      src, axis = ravel(src), 0
+    return flip(ScanExpr(flip(src, axis=axis), op=op, axis=axis),
+                axis=axis)
   return ScanExpr(v, op=op, axis=axis)

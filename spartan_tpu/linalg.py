@@ -215,17 +215,21 @@ def eigh(A):
   return _lin_multi(A, "eigh", 2)
 
 
+def _eig_stacked(a):
+  w, v = np.linalg.eig(a)
+  return np.concatenate([w[None, :], v], axis=0)
+
+
 def eig(A):
   """General (non-symmetric) eigendecomposition ``(w, v)``.
 
   XLA:TPU has no nonsymmetric-eig kernel, so this is an eager host
   boundary (``np.linalg.eig``) — the same NotShapeable-style convention
-  the framework uses for data-dependent shapes.  Complex outputs."""
+  the framework uses for data-dependent shapes.  Complex outputs.  One
+  host factorization: w and v are slices of a single stacked result."""
   from spartan_tpu.expr.fio import HostExpr
-  A = sp.lazify(A)
-  w = HostExpr([A], lambda a: np.linalg.eig(a)[0])
-  v = HostExpr([A], lambda a: np.linalg.eig(a)[1])
-  return w, v
+  st = HostExpr([sp.lazify(A)], _eig_stacked)
+  return st[0], st[1:]
 
 
 def eigvals(A):

@@ -539,3 +539,46 @@ def test_random_namespace(cluster):
   np.testing.assert_array_equal(np.sort(p), np.arange(100))
   assert sp.random.random((3, 4)).shape == (3, 4)
   assert sp.random.standard_normal(7).shape == (7,)
+
+
+def test_review_fixes_r3s3(rng, cluster):
+  """Regression tests for the session-3 code-review findings."""
+  import jax.numpy as jnp
+  # 1. reverse= works for NAMED scan ops (was silently ignored)
+  x = rng.standard_normal(65)
+  got = np.asarray(sp.scan(sp.from_numpy(x), "sum", reverse=True).glom())
+  np.testing.assert_allclose(got, np.cumsum(x[::-1])[::-1], rtol=1e-12)
+  m = rng.standard_normal((4, 8))
+  got = np.asarray(sp.scan(sp.from_numpy(m), "max", axis=1,
+                           reverse=True).glom())
+  np.testing.assert_array_equal(got,
+                                np.maximum.accumulate(m[:, ::-1],
+                                                      axis=1)[:, ::-1])
+  # 2. histogram auto-range is TRACED: fresh batches through sp.compile
+  # get their own edges (was baked from the template batch)
+  leaf = sp.from_numpy(rng.standard_normal(500))
+  f = sp.compile(sp.histogram(leaf, bins=8), wrt=[leaf])
+  wide = rng.standard_normal(500) * 100.0
+  got = np.asarray(f(wide).glom())
+  np.testing.assert_array_equal(got, np.histogram(wide, bins=8)[0])
+  # 3. einsum operand/subscript arity mismatch raises (was silent drop)
+  a, b = rng.standard_normal((3, 4)), rng.standard_normal((4, 5))
+  with np.testing.assert_raises(Exception):
+    sp.einsum("ij,jk->ik", sp.from_numpy(a), sp.from_numpy(b),
+              sp.from_numpy(b)).glom()
+  # 6. multi-dim advanced .at scatter (rows, cols) with duplicates
+  base = rng.standard_normal((5, 7))
+  rows = np.array([0, 2, 2, 4])
+  cols = np.array([1, 3, 3, 6])
+  ups = np.array([1.0, 2.0, 3.0, 4.0])
+  got = np.asarray(sp.from_numpy(base).at[rows, cols].add(
+      sp.from_numpy(ups)).glom())
+  want = base.copy()
+  np.add.at(want, (rows, cols), ups)
+  np.testing.assert_allclose(got, want, rtol=1e-12)
+  # 7. choice on a 2-D population raises like np.random.choice
+  with np.testing.assert_raises(ValueError):
+    sp.choice(sp.from_numpy(base), 3)
+  # 8. ufunc dispatch propagates construction errors (no silent gather)
+  with np.testing.assert_raises(Exception):
+    np.add(np.ones((3, 5)), sp.from_numpy(base)).glom()
