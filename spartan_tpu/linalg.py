@@ -39,12 +39,23 @@ def cholesky(A, block: int = 128):
   return _chol.factor(A, block=block)
 
 
-def qr(X) -> Tuple[object, object]:
-  """Reduced QR of a tall-skinny matrix via CholeskyQR2 (two sharded
-  Gram+correction rounds).  Returns ``(Q, R)``: Q an (n, d) SpartanArray
-  with orthonormal columns, R a (d, d) SpartanArray, ``Q @ R == X``."""
+def qr(X, method: str = "auto") -> Tuple[object, object]:
+  """Reduced QR.  Tall-skinny matrices (n ≥ 4d) take CholeskyQR2 (two
+  sharded Gram+correction rounds — the distributed-scale path); square /
+  near-square or ill-conditioned-unfriendly shapes take XLA's on-device
+  Householder QR (``method='householder'``/'tsqr' to force).  Returns
+  ``(Q, R)`` with ``Q @ R == X``, Q's columns orthonormal."""
+  Xl = sp.lazify(X)
+  n, d = Xl.shape
+  if method == "auto":
+    method = "tsqr" if n >= 4 * d else "householder"
+  if method == "householder":
+    q, r = _lin_multi(Xl, "qr", 2)
+    return q, r
+  if method != "tsqr":
+    raise ValueError(f"unknown qr method {method!r}")
   from spartan_tpu.examples import qr as _qr
-  q, r = _qr.tsqr(X)
+  q, r = _qr.tsqr(Xl)
   return q, sp.from_numpy(np.ascontiguousarray(r)).evaluate()
 
 

@@ -165,3 +165,25 @@ def test_solve_general_lu(rng):
   B = rng.standard_normal((48, 3))           # matrix rhs
   X = np.asarray(sp.linalg.solve(sp.from_numpy(a), sp.from_numpy(B)).glom())
   np.testing.assert_allclose(X, np.linalg.solve(a, B), rtol=1e-8, atol=1e-9)
+
+
+def test_qr_square_householder(rng):
+  """Square / near-square matrices route to XLA's Householder QR (the
+  CholeskyQR2 path needs tall-skinny + decent conditioning)."""
+  a = rng.standard_normal((32, 32))
+  q, r = sp.linalg.qr(a)
+  qn, rn = np.asarray(sp.lazify(q).glom()), np.asarray(sp.lazify(r).glom())
+  np.testing.assert_allclose(qn @ rn, a, atol=1e-10)
+  np.testing.assert_allclose(qn.T @ qn, np.eye(32), atol=1e-10)
+  # ill-conditioned square: still exact via Householder
+  u = rng.standard_normal((16, 16))
+  s = np.logspace(0, -12, 16)
+  ill = (np.linalg.qr(u)[0] * s) @ np.linalg.qr(rng.standard_normal((16, 16)))[0]
+  q, r = sp.linalg.qr(ill)
+  qn, rn = np.asarray(sp.lazify(q).glom()), np.asarray(sp.lazify(r).glom())
+  np.testing.assert_allclose(qn @ rn, ill, atol=1e-12)
+  # tall-skinny still takes TSQR (returns evaluated SpartanArrays)
+  t = rng.standard_normal((512, 8))
+  q, r = sp.linalg.qr(t)
+  np.testing.assert_allclose(np.asarray(q.glom()) @ np.asarray(r.glom()),
+                             t, atol=1e-10)
