@@ -28,7 +28,8 @@ __all__ = ["cholesky", "qr", "solve", "solve_triangular", "lstsq",
            # full np.linalg surface (r3): XLA-native dense factorizations
            "inv", "pinv", "det", "slogdet", "eigh", "eigvalsh", "eig",
            "eigvals", "svd", "svdvals", "matrix_power", "matrix_rank",
-           "cond", "norm"]
+           "cond", "norm", "multi_dot", "tensorsolve", "tensorinv",
+           "matrix_transpose"]
 
 
 def cholesky(A, block: int = 128):
@@ -273,6 +274,39 @@ def matrix_rank(A, rtol=None):
 
 def cond(A, p=None):
   return _lin_map(A, "cond", **({} if p is None else {"p": p}))
+
+
+def multi_dot(arrays):
+  """Chained matmul with optimal parenthesization (np.linalg.multi_dot);
+  one fused region over all operands."""
+  import jax.numpy as jnp
+  return sp.map([sp.lazify(a) for a in arrays],
+                lambda *xs: jnp.linalg.multi_dot(list(xs)))
+
+
+def tensorsolve(A, b, axes=None):
+  return sp.map([sp.lazify(A), sp.lazify(b)],
+                _jl_tensorsolve if axes is None else
+                __import__("functools").partial(_jl_tensorsolve_ax,
+                                                tuple(axes)))
+
+
+def _jl_tensorsolve(a, b):
+  import jax.numpy as jnp
+  return jnp.linalg.tensorsolve(a, b)
+
+
+def _jl_tensorsolve_ax(axes, a, b):
+  import jax.numpy as jnp
+  return jnp.linalg.tensorsolve(a, b, axes=axes)
+
+
+def tensorinv(A, ind: int = 2):
+  return _lin_map(A, "tensorinv", ind=int(ind))
+
+
+def matrix_transpose(A):
+  return sp.swapaxes(sp.lazify(A), -1, -2)
 
 
 def norm(x, ord=None, axis=None, keepdims: bool = False):

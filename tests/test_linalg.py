@@ -187,3 +187,22 @@ def test_qr_square_householder(rng):
   q, r = sp.linalg.qr(t)
   np.testing.assert_allclose(np.asarray(q.glom()) @ np.asarray(r.glom()),
                              t, atol=1e-10)
+
+
+def test_multi_dot_tensor_ops(rng):
+  ms = [rng.standard_normal(s) for s in [(6, 50), (50, 4), (4, 30), (30, 3)]]
+  got = np.asarray(sp.linalg.multi_dot(ms).glom())
+  np.testing.assert_allclose(got, np.linalg.multi_dot(ms), rtol=1e-9)
+  a = rng.standard_normal((4, 3, 12))
+  b = rng.standard_normal(4 * 3)
+  a = a.reshape(4, 3, 4, 3)
+  b = b.reshape(4, 3)
+  np.testing.assert_allclose(
+      np.asarray(sp.linalg.tensorsolve(a, b).glom()),
+      np.linalg.tensorsolve(a, b), rtol=1e-8)
+  ti = np.asarray(sp.linalg.tensorinv(a).glom())
+  np.testing.assert_allclose(ti, np.linalg.tensorinv(a), rtol=1e-8)
+  m = rng.standard_normal((2, 3, 4))
+  np.testing.assert_array_equal(
+      np.asarray(sp.linalg.matrix_transpose(m).glom()),
+      np.swapaxes(m, -1, -2))
