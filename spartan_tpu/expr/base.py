@@ -551,8 +551,9 @@ class Expr:
   def __setitem__(self, idx, value):
     raise TypeError(
         "exprs are immutable; use the functional update instead:\n"
-        "  new = spartan_tpu.assign(arr, idx, value)        # set\n"
-        "  new = spartan_tpu.write(arr, idx, value, np.add) # merge")
+        "  new = arr.at[idx].set(value)                     # jax-style\n"
+        "  new = arr.at[idx].add(value)                     # merge\n"
+        "  new = spartan_tpu.write(arr, idx, value, np.add) # region form")
 
   def __repr__(self):
     try:
