@@ -147,8 +147,8 @@ def _convnet():
   rng = np.random.default_rng(0)
   images = rng.standard_normal((64, 1, 16, 16))
   labels = rng.integers(0, 10, 64)
-  _, losses = convnet.train(images, labels, epochs=3)
-  return {"losses": [round(l, 4) for l in losses]}
+  _, losses = convnet.fit_fused(images, labels, epochs=3)
+  return {"losses": [round(float(l), 4) for l in losses]}
 
 
 @_register("heat")

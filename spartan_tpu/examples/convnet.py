@@ -71,6 +71,33 @@ def train_step(images, labels_onehot, params, lr: float = 0.05):
   return out, loss
 
 
+def fit_fused(images, labels, n_classes: int = 10, epochs: int = 3,
+              lr: float = 0.05, seed: int = 0):
+  """The whole CNN training run in ONE compiled on-device loop.
+
+  ``train()`` below mirrors the reference's driver-loop shape (one
+  evaluate + host round trip per parameter per step); this path
+  differentiates the same lazy loss DAG and runs every SGD step inside a
+  single ``lax.scan`` via :func:`spartan_tpu.sgd_train` — zero per-step
+  host dispatch, which is seconds/step through a tunneled chip.
+  Returns ``(params dict, loss curve ndarray)``; the loss curve is
+  step-for-step identical to ``train()``'s (loss recorded at the
+  pre-update parameters).
+  """
+  images = np.asarray(images)
+  onehot = np.eye(n_classes)[np.asarray(labels)]
+  params = init_params(in_ch=images.shape[1], n_classes=n_classes,
+                       img=images.shape[2], seed=seed)
+  import spartan_tpu as sp_mod
+  leaves = {k: sp_mod.lazify(v) for k, v in params.items()}
+  loss = loss_expr(sp_mod.lazify(images), onehot, leaves)
+  names = list(leaves.keys())
+  out, losses = sp_mod.sgd_train(loss, [leaves[k] for k in names], lr,
+                                 epochs, collect_losses=True)
+  fitted = {k: np.asarray(p.glom()) for k, p in zip(names, out)}
+  return fitted, np.asarray(losses.glom())
+
+
 def train(images, labels, n_classes: int = 10, epochs: int = 3,
           lr: float = 0.05, seed: int = 0):
   images = np.asarray(images)

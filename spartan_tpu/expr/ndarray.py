@@ -68,6 +68,22 @@ class CreationExpr(Expr):
     if op == "bernoulli":
       key = jax.random.PRNGKey(p["seed"])
       return jax.random.bernoulli(key, p["p"], shape).astype(dt)
+    if op == "exponential":
+      key = jax.random.PRNGKey(p["seed"])
+      return jax.random.exponential(key, shape, dtype=dt) * p["scale"]
+    if op == "poisson":
+      key = jax.random.PRNGKey(p["seed"])
+      return jax.random.poisson(key, p["lam"], shape).astype(dt)
+    if op == "binomial":
+      key = jax.random.PRNGKey(p["seed"])
+      return jax.random.binomial(key, p["n"], p["p"], shape=shape).astype(dt)
+    if op == "beta":
+      key = jax.random.PRNGKey(p["seed"])
+      return jax.random.beta(key, p["a"], p["b"], shape, dtype=dt)
+    if op == "gamma":
+      key = jax.random.PRNGKey(p["seed"])
+      return jax.random.gamma(key, p["shape_param"], shape,
+                              dtype=dt) * p["scale"]
     raise ValueError(f"unknown creation op {op!r}")
 
 

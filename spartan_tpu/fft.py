@@ -23,20 +23,21 @@ import numpy as np
 import spartan_tpu as sp
 
 __all__ = ["fft", "ifft", "rfft", "irfft", "fft2", "ifft2", "fftn",
-           "ifftn", "rfft2", "irfft2", "fftshift", "ifftshift",
-           "fftfreq", "rfftfreq"]
+           "ifftn", "rfft2", "irfft2", "rfftn", "irfftn", "hfft", "ihfft",
+           "fftshift", "ifftshift", "fftfreq", "rfftfreq"]
 
 
 def _transform_axes(name, kw, ndim):
   """Which dims the transform runs over (normalized, non-negative)."""
   if name in ("fftshift", "ifftshift"):
     return ()  # a roll, not an FFT — no locality requirement
-  if name in ("fft", "ifft", "rfft", "irfft"):
+  if name in ("fft", "ifft", "rfft", "irfft", "hfft", "ihfft"):
     axes = (kw.get("axis", -1),)
-  else:  # fft2/ifft2/rfft2/irfft2/fftn/ifftn
+  else:  # fft2/ifft2/rfft2/irfft2/fftn/ifftn/rfftn/irfftn
     axes = kw.get("axes")
     if axes is None:
-      axes = tuple(range(ndim)) if name in ("fftn", "ifftn") else (-2, -1)
+      axes = (tuple(range(ndim))
+              if name in ("fftn", "ifftn", "rfftn", "irfftn") else (-2, -1))
   return tuple(a % ndim for a in axes)
 
 
@@ -105,6 +106,22 @@ def rfft2(v, axes=(-2, -1)):
 
 def irfft2(v, axes=(-2, -1)):
   return _fft_map(v, "irfft2", axes=tuple(axes))
+
+
+def rfftn(v, axes=None):
+  return _fft_map(v, "rfftn", axes=None if axes is None else tuple(axes))
+
+
+def irfftn(v, axes=None):
+  return _fft_map(v, "irfftn", axes=None if axes is None else tuple(axes))
+
+
+def hfft(v, n=None, axis=-1):
+  return _fft_map(v, "hfft", n=n, axis=axis)
+
+
+def ihfft(v, n=None, axis=-1):
+  return _fft_map(v, "ihfft", n=n, axis=axis)
 
 
 def fftshift(v, axes=None):

@@ -318,3 +318,50 @@ def norm(x, ord=None, axis=None, keepdims: bool = False):
   if axis is not None:
     kw["axis"] = axis
   return _lin_map(x, "norm", **kw)
+
+
+# -- numpy 2.0 array-API additions (third parity sweep) ---------------------
+# np.linalg grew aliases of the top-level products plus matrix_norm /
+# vector_norm / vecdot; delegate to the existing distributed ops.
+
+def matmul(a, b):
+  return sp.matmul(a, b)
+
+
+def tensordot(a, b, axes=2):
+  return sp.tensordot(a, b, axes=axes)
+
+
+def outer(a, b):
+  return sp.outer(a, b)
+
+
+def cross(a, b, axis=-1):
+  return sp.cross(a, b, axis=axis)
+
+
+def diagonal(A, offset=0):
+  return sp.diagonal(sp.lazify(A), offset=offset)
+
+
+def trace(A, offset=0):
+  return sp.trace(sp.lazify(A), offset=offset)
+
+
+def vecdot(a, b, axis=-1):
+  return sp.vecdot(a, b, axis=axis)
+
+
+def matrix_norm(A, ord="fro", keepdims: bool = False):
+  return norm(sp.lazify(A), ord=ord, axis=(-2, -1), keepdims=keepdims)
+
+
+def vector_norm(x, ord=2, axis=None, keepdims: bool = False):
+  v = sp.lazify(x)
+  if axis is None and v.ndim > 1:
+    v = sp.ravel(v)
+  return norm(v, ord=ord, axis=axis, keepdims=keepdims)
+
+
+__all__ += ["matmul", "tensordot", "outer", "cross", "diagonal", "trace",
+            "vecdot", "matrix_norm", "vector_norm"]

@@ -56,3 +56,44 @@ def _tup(size):
   if isinstance(size, (int, np.integer)):
     return (int(size),)
   return tuple(int(s) for s in size)
+
+
+# -- distributions (np.random parity, third sweep) --------------------------
+# Each is a lazy CreationExpr (per-call seed from the global stream) that
+# folds into fused regions and shards like any other creation.
+
+def _dist(op, size, dtype, **params):
+  from spartan_tpu.expr.ndarray import CreationExpr, _next_seed
+  return CreationExpr(op, _tup(size), dtype,
+                      {**params, "seed": _next_seed()}, None)
+
+
+def exponential(scale=1.0, size=()):
+  return _dist("exponential", size, np.float64, scale=float(scale))
+
+
+def poisson(lam=1.0, size=()):
+  return _dist("poisson", size, np.int64, lam=float(lam))
+
+
+def binomial(n, p, size=()):
+  return _dist("binomial", size, np.int64, n=float(n), p=float(p))
+
+
+def beta(a, b, size=()):
+  return _dist("beta", size, np.float64, a=float(a), b=float(b))
+
+
+def gamma(shape, scale=1.0, size=()):
+  return _dist("gamma", size, np.float64, shape_param=float(shape),
+               scale=float(scale))
+
+
+def shuffle(v):
+  """Shuffled COPY along axis 0 — lazy arrays are immutable, so this is
+  ``permutation(v)`` rather than numpy's in-place mutation (documented
+  deviation; the reference had no in-place shuffle either)."""
+  return _b.permutation(v)
+
+
+__all__ += ["exponential", "poisson", "binomial", "beta", "gamma", "shuffle"]

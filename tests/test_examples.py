@@ -136,6 +136,23 @@ def test_convnet_training_reduces_loss():
   assert np.isfinite(losses).all()
 
 
+def test_convnet_fit_fused_matches_eager_train():
+  """The one-compile lax.scan training loop must reproduce the eager
+  per-step driver loop's loss curve exactly (same init, same lr)."""
+  rng = np.random.default_rng(0)
+  images = rng.standard_normal((16, 1, 12, 12))
+  labels = rng.integers(0, 4, 16)
+  params_e, losses_e = convnet.train(images, labels, n_classes=4,
+                                     epochs=4, lr=0.1)
+  params_f, losses_f = convnet.fit_fused(images, labels, n_classes=4,
+                                         epochs=4, lr=0.1)
+  np.testing.assert_allclose(losses_f, losses_e, rtol=1e-8, atol=1e-10)
+  for k in params_e:
+    np.testing.assert_allclose(params_f[k], np.asarray(params_e[k]),
+                               rtol=1e-7, atol=1e-9)
+  assert losses_f[-1] < losses_f[0]
+
+
 def test_pagerank_sparse_single_compile(rng):
   """Sparse power iteration runs as one on-device loop and matches the
   dense path."""
