@@ -511,8 +511,12 @@ def einsum(subscripts: str, *operands) -> Expr:
   collective schedule from the operand shardings.  Two-operand pure
   contractions route to :class:`TensorDotExpr` so the smart-tiling cost
   model sees them as dots (contraction-aware leaf placement) instead of
-  an opaque map; batch/trace/diagonal forms take the generic map."""
+  an opaque map; N-operand einsums decompose into pairwise contractions
+  along numpy's ``einsum_path`` (each pair re-routing through this
+  function); batch/trace/diagonal forms take the generic map."""
   routed = _route_einsum_contraction(subscripts, operands)
+  if routed is None:
+    routed = _route_einsum_multi(subscripts, operands)
   if routed is not None:
     return routed
   return map([lazify(o) for o in operands],
@@ -549,6 +553,59 @@ def _route_einsum_contraction(subscripts: str, operands):
   if out != "".join(natural):
     td = transpose(td, tuple(natural.index(c) for c in out))
   return td
+
+
+def _route_einsum_multi(subscripts: str, operands):
+  """Decompose an N-operand (N≥3) einsum into pairwise steps along
+  numpy's shape-only ``einsum_path`` plan.  Each step re-enters
+  :func:`einsum`, so pure pairwise contractions become
+  :class:`TensorDotExpr` nodes the smart-tiling cost model can place —
+  instead of one opaque N-ary map that replicates every operand.
+  Returns None (generic-map fallback) for ellipses, per-operand
+  diagonals, or malformed subscripts."""
+  s = subscripts.replace(" ", "")
+  if "..." in s or len(operands) < 3:
+    return None
+  if "->" in s:
+    ins_str, out = s.split("->")
+  else:
+    ins_str = s
+    counts: dict = {}
+    for c in ins_str.replace(",", ""):
+      counts[c] = counts.get(c, 0) + 1
+    out = "".join(sorted(c for c in counts if counts[c] == 1))
+  terms = ins_str.split(",")
+  if len(terms) != len(operands):
+    return None                      # let jnp.einsum raise the arity error
+  if any(len(set(t)) != len(t) for t in terms):
+    return None                      # per-operand diagonal: generic map
+  ops = [lazify(o) for o in operands]
+  if any(len(t) != o.ndim for t, o in zip(terms, ops)):
+    return None
+  # Contraction order depends only on shapes: plan over zero-stride
+  # stand-ins (no allocation).
+  dummies = [np.broadcast_to(np.zeros(1), o.shape) for o in ops]
+  try:
+    path, _ = np.einsum_path(ins_str + "->" + out, *dummies,
+                             optimize="greedy")
+  except ValueError:
+    return None
+  work = list(zip(terms, ops))
+  for step in path[1:]:              # path[0] is the 'einsum_path' marker
+    popped = [work[i] for i in step]
+    for i in sorted(step, reverse=True):
+      work.pop(i)
+    sub_terms = [t for t, _ in popped]
+    keep = set("".join(t for t, _ in work)) | set(out)
+    sub_out = "".join(c for c in dict.fromkeys("".join(sub_terms))
+                      if c in keep)
+    inter = einsum(",".join(sub_terms) + "->" + sub_out,
+                   *[o for _, o in popped])
+    work.append((sub_out, inter))
+  (final_t, final_o), = work
+  if final_t != out:
+    final_o = transpose(final_o, tuple(final_t.index(c) for c in out))
+  return final_o
 
 
 def _einsum_call(subscripts, *xs):

@@ -324,6 +324,49 @@ def test_random_distributions(cluster):
   assert not np.array_equal(s, np.arange(50))
 
 
+def test_einsum_multi_operand_decomposition(rng, cluster):
+  """N-operand einsums decompose into pairwise TensorDotExpr
+  contractions along np.einsum_path (not one opaque N-ary map)."""
+  from spartan_tpu.expr.dot import TensorDotExpr
+  from spartan_tpu.expr.reshape import TransposeExpr
+  a = rng.standard_normal((4, 5))
+  b = rng.standard_normal((5, 6))
+  c = rng.standard_normal((6, 3))
+  d = rng.standard_normal((3, 7))
+  e = sp.einsum("ij,jk,kl->il", _f(a), _f(b), _f(c))
+  assert isinstance(e, (TensorDotExpr, TransposeExpr))
+  np.testing.assert_allclose(np.asarray(e.glom()),
+                             np.einsum("ij,jk,kl->il", a, b, c), rtol=1e-10)
+  e = sp.einsum("ij,jk,kl,lm->mi", _f(a), _f(b), _f(c), _f(d))
+  assert isinstance(e, (TensorDotExpr, TransposeExpr))
+  np.testing.assert_allclose(
+      np.asarray(e.glom()), np.einsum("ij,jk,kl,lm->mi", a, b, c, d),
+      rtol=1e-10)
+  # implicit output
+  e = sp.einsum("ij,jk,kl", _f(a), _f(b), _f(c))
+  np.testing.assert_allclose(np.asarray(e.glom()),
+                             np.einsum("ij,jk,kl", a, b, c), rtol=1e-10)
+  # batch pair + vector: pairwise steps, batch pair on the generic map
+  bt = rng.standard_normal((2, 4, 5))
+  bu = rng.standard_normal((2, 5, 3))
+  w = rng.standard_normal(3)
+  e = sp.einsum("bij,bjk,k->bi", _f(bt), _f(bu), _f(w))
+  np.testing.assert_allclose(np.asarray(e.glom()),
+                             np.einsum("bij,bjk,k->bi", bt, bu, w),
+                             rtol=1e-10)
+  # hyperedge index (i in three operands) and per-operand diagonal
+  v = rng.standard_normal(4)
+  x3 = rng.standard_normal((4, 2))
+  e = sp.einsum("ij,i,ik->jk", _f(a), _f(v), _f(x3))
+  np.testing.assert_allclose(np.asarray(e.glom()),
+                             np.einsum("ij,i,ik->jk", a, v, x3), rtol=1e-10)
+  sq = rng.standard_normal((5, 5))
+  x2 = rng.standard_normal((5, 5))
+  e = sp.einsum("ii,ij,jk->k", _f(sq), _f(x2), _f(b))
+  np.testing.assert_allclose(np.asarray(e.glom()),
+                             np.einsum("ii,ij,jk->k", sq, x2, b), rtol=1e-10)
+
+
 def test_parity_audit_is_clean(cluster):
   """The full-namespace audit must stay at zero in-scope missing names —
   new numpy releases or refactors that drop exports fail here, not in
