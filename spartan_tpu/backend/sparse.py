@@ -264,6 +264,117 @@ class SparseArray:
     from spartan_tpu.expr.dot import dot as _dot
     return _dot(a, self)
 
+  # -- scipy.sparse-style surface (the reference's sparse tiles WERE
+  # scipy matrices, so its users reach for these idioms).  Everything
+  # below runs on device over the ELL tiles; pad entries are (col 0,
+  # val 0), so any 0→0-preserving map over ``vals`` is safe. ----------------
+
+  def _like(self, vals, nnz=None) -> "SparseArray":
+    return SparseArray(self.cols, vals, self.shape,
+                       self.nnz if nnz is None else nnz)
+
+  def sum(self, axis=None):
+    """Dense-semantics sum (scipy contract): (n,)/(m,) jax array or a
+    scalar; axis=0 is one XLA scatter-add over the ELL tiles."""
+    if axis in (1, -1):
+      return jnp.sum(self.vals, axis=1)
+    if axis == 0:
+      return (jnp.zeros((self.shape[1],), self.vals.dtype)
+              .at[self.cols.ravel()].add(self.vals.ravel()))
+    if axis is None:
+      return jnp.sum(self.vals)
+    raise ValueError(f"axis {axis!r} out of range for 2-D sparse")
+
+  def mean(self, axis=None):
+    """scipy semantics: divide by the FULL dense extent, not nnz."""
+    n, m = self.shape
+    denom = {None: n * m, 0: n, 1: m, -1: m}[axis]
+    s = self.sum(axis)
+    return s / jnp.asarray(denom, jnp.result_type(s.dtype, jnp.float32))
+
+  def getnnz(self, axis=None):
+    """Stored-nonzero counts (explicit zeros were dropped at ingest)."""
+    if axis is None:
+      return self.nnz
+    present = (self.vals != 0)
+    if axis in (1, -1):
+      return jnp.sum(present, axis=1)
+    if axis == 0:
+      return (jnp.zeros((self.shape[1],), jnp.int32)
+              .at[self.cols.ravel()].add(present.ravel().astype(jnp.int32)))
+    raise ValueError(f"axis {axis!r} out of range for 2-D sparse")
+
+  count_nonzero = getnnz
+
+  def diagonal(self, k: int = 0):
+    """k-th diagonal as a dense jax array (scipy .diagonal contract)."""
+    n, m = self.shape
+    length = min(n + min(k, 0), m - max(k, 0))
+    if length <= 0:
+      return jnp.zeros((0,), self.vals.dtype)
+    rows = jnp.arange(length) - min(k, 0)
+    want_col = rows + k
+    hit = (self.cols[rows] == want_col[:, None]) & (self.vals[rows] != 0)
+    return jnp.sum(jnp.where(hit, self.vals[rows], 0), axis=1)
+
+  def multiply(self, other):
+    """Elementwise product.  Scalar/dense: on-device over the ELL tiles
+    (dense gathered at the stored coordinates); sparse×sparse: host
+    intersection via scipy (O(nnz))."""
+    if isinstance(other, SparseArray):
+      return from_scipy(self.to_scipy().multiply(other.to_scipy()).tocsr())
+    if np.ndim(other) == 0:
+      return self._like(self.vals * other)
+    o = jnp.asarray(other)
+    if o.shape == self.shape:
+      rows = jnp.broadcast_to(
+          jnp.arange(self.shape[0], dtype=jnp.int32)[:, None],
+          self.cols.shape)
+      return self._like(self.vals * o[rows, self.cols])
+    if o.shape == (1, self.shape[1]) or o.shape == (self.shape[1],):
+      return self._like(self.vals * o.reshape(-1)[self.cols])
+    if o.shape == (self.shape[0], 1):
+      return self._like(self.vals * o)
+    raise ValueError(f"inconsistent shapes {self.shape} vs {o.shape}")
+
+  def astype(self, dtype) -> "SparseArray":
+    return self._like(self.vals.astype(dtype))
+
+  def copy(self) -> "SparseArray":
+    return self._like(self.vals)  # buffers are immutable; fresh caches
+
+  def power(self, p) -> "SparseArray":
+    """Elementwise power over stored entries (scipy .power; p>0 keeps
+    the 0→0 pad invariant)."""
+    if p <= 0:
+      raise ValueError("power(p) needs p > 0 to stay sparse")
+    return self._like(jnp.where(self.vals != 0, self.vals, 0) ** p)
+
+  def sqrt(self) -> "SparseArray":
+    return self._like(jnp.sqrt(self.vals))
+
+  def __abs__(self) -> "SparseArray":
+    return self._like(jnp.abs(self.vals))
+
+  def __neg__(self) -> "SparseArray":
+    return self._like(-self.vals)
+
+  def __mul__(self, s):
+    return self.multiply(s)
+
+  __rmul__ = __mul__
+
+  def __truediv__(self, s):
+    if np.ndim(s) != 0:
+      raise TypeError("sparse division only supports scalars")
+    return self._like(self.vals / s)
+
+  def tocsr(self):
+    return self.to_scipy()
+
+  def tocoo(self):
+    return self.to_scipy().tocoo()
+
   def __repr__(self):
     return (f"SparseArray(shape={self.shape}, nnz={self.nnz}, "
             f"max_nnz/row={self.max_nnz_per_row}, dtype={self.dtype})")

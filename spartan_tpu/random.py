@@ -97,3 +97,95 @@ def shuffle(v):
 
 
 __all__ += ["exponential", "poisson", "binomial", "beta", "gamma", "shuffle"]
+
+
+class Generator:
+  """``np.random.Generator``-style object API (the modern numpy idiom:
+  ``rng = sp.random.default_rng(seed)``).  Each Generator owns an
+  independent deterministic key stream — two generators with the same
+  seed produce identical lazy creation exprs; the module-level fns keep
+  the legacy global stream."""
+
+  def __init__(self, seed: int = 0):
+    self._base = int(seed) * 1_000_003 + 0x9E3779B9
+    self._n = 0
+
+  def _next_seed(self) -> int:
+    self._n += 1
+    return (self._base + self._n * 2_654_435_761) % (1 << 63)
+
+  def _creation(self, op, size, dtype, **params):
+    from spartan_tpu.expr.ndarray import CreationExpr
+    return CreationExpr(op, _tup(size), dtype,
+                        {**params, "seed": self._next_seed()}, None)
+
+  def random(self, size=()):
+    return self._creation("rand", size, np.float64)
+
+  def uniform(self, low=0.0, high=1.0, size=()):
+    return self.random(size) * (high - low) + low
+
+  def standard_normal(self, size=()):
+    return self._creation("randn", size, np.float64)
+
+  def normal(self, loc=0.0, scale=1.0, size=()):
+    return self.standard_normal(size) * scale + loc
+
+  def integers(self, low, high=None, size=()):
+    if high is None:
+      low, high = 0, low
+    return self._creation("randint", size, np.int64,
+                          low=int(low), high=int(high))
+
+  def exponential(self, scale=1.0, size=()):
+    return self._creation("exponential", size, np.float64,
+                          scale=float(scale))
+
+  def poisson(self, lam=1.0, size=()):
+    return self._creation("poisson", size, np.int64, lam=float(lam))
+
+  def binomial(self, n, p, size=()):
+    return self._creation("binomial", size, np.int64, n=float(n),
+                          p=float(p))
+
+  def beta(self, a, b, size=()):
+    return self._creation("beta", size, np.float64, a=float(a), b=float(b))
+
+  def gamma(self, shape, scale=1.0, size=()):
+    return self._creation("gamma", size, np.float64,
+                          shape_param=float(shape), scale=float(scale))
+
+  def permutation(self, v):
+    # ride the distributed random-key argsort; key from THIS stream
+    from spartan_tpu.expr import builtins as _bb
+    if isinstance(v, (int, np.integer)):
+      v = _bb.arange(int(v))
+    v = _bb.lazify(v)
+    keys = self._creation("rand", (int(v.shape[0]),), np.float64)
+    return _bb.take(v, _bb.argsort(keys))
+
+  def shuffle(self, v):
+    return self.permutation(v)
+
+  def choice(self, a, size, replace: bool = True):
+    from spartan_tpu.expr import builtins as _bb
+    if isinstance(a, (int, np.integer)):
+      a = _bb.arange(int(a))
+    a = _bb.lazify(a)
+    if a.ndim != 1:
+      raise ValueError("a must be 1-dimensional")
+    n, k = int(a.shape[0]), int(size)
+    if replace:
+      return _bb.take(a, self.integers(0, n, (k,)))
+    if k > n:
+      raise ValueError("cannot take a larger sample than population when "
+                       "replace=False")
+    return _bb.take(a, self.permutation(n)[:k])
+
+
+def default_rng(seed: int = 0) -> Generator:
+  """np.random.default_rng parity: an independent seeded Generator."""
+  return Generator(seed)
+
+
+__all__ += ["Generator", "default_rng"]

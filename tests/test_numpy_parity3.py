@@ -367,6 +367,26 @@ def test_einsum_multi_operand_decomposition(rng, cluster):
                              np.einsum("ii,ij,jk->k", sq, x2, b), rtol=1e-10)
 
 
+def test_default_rng_generator(cluster):
+  """np.random.default_rng parity: independent deterministic streams."""
+  r1 = sp.random.default_rng(42)
+  r2 = sp.random.default_rng(42)
+  a = np.asarray(r1.standard_normal((64,)).glom())
+  np.testing.assert_array_equal(a, np.asarray(
+      r2.standard_normal((64,)).glom()))
+  assert not np.array_equal(a, np.asarray(r1.standard_normal((64,)).glom()))
+  p = np.asarray(r1.permutation(100).glom())
+  assert sorted(p.tolist()) == list(range(100))
+  ch = np.asarray(r1.choice(50, 10, replace=False).glom())
+  assert len(set(ch.tolist())) == 10
+  i = np.asarray(r1.integers(5, 15, (1000,)).glom())
+  assert i.min() >= 5 and i.max() < 15
+  u = np.asarray(r1.uniform(2.0, 3.0, (500,)).glom())
+  assert 2.0 <= u.min() and u.max() < 3.0
+  with pytest.raises(ValueError):
+    r1.choice(5, 10, replace=False)
+
+
 def test_parity_audit_is_clean(cluster):
   """The full-namespace audit must stay at zero in-scope missing names —
   new numpy releases or refactors that drop exports fail here, not in

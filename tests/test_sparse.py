@@ -979,3 +979,56 @@ def test_spmv_dense_route(rng, cluster):
     assert sps.spmv_expr(S64, sp.from_numpy(x)).fmt != "dense"
   finally:
     FLAGS.sparse_force_dense = old
+
+
+def test_scipy_style_surface(rng, cluster):
+  """scipy.sparse-idiom methods on SparseArray (the reference's sparse
+  tiles were scipy matrices): sums/means/diagonal/multiply/scalar
+  algebra all match scipy on the same matrix."""
+  import scipy.sparse as ss
+  from spartan_tpu.backend import sparse as sps
+  M = ss.random(37, 53, density=0.15, random_state=7, format="csr")
+  M.data += 0.5  # no accidental stored zeros
+  S = sps.from_scipy(M)
+  np.testing.assert_allclose(np.asarray(S.sum()), M.sum(), rtol=1e-6)
+  np.testing.assert_allclose(np.asarray(S.sum(axis=1)),
+                             np.asarray(M.sum(axis=1)).ravel(), rtol=1e-6)
+  np.testing.assert_allclose(np.asarray(S.sum(axis=0)),
+                             np.asarray(M.sum(axis=0)).ravel(), rtol=1e-6)
+  np.testing.assert_allclose(np.asarray(S.mean()), M.mean(), rtol=1e-6)
+  np.testing.assert_allclose(np.asarray(S.mean(axis=0)),
+                             np.asarray(M.mean(axis=0)).ravel(), rtol=1e-6)
+  assert S.getnnz() == M.nnz
+  np.testing.assert_array_equal(np.asarray(S.getnnz(axis=1)),
+                                np.diff(M.indptr))
+  np.testing.assert_array_equal(np.asarray(S.getnnz(axis=0)),
+                                M.getnnz(axis=0))
+  for k in (0, 3, -2):
+    np.testing.assert_allclose(np.asarray(S.diagonal(k)), M.diagonal(k),
+                               rtol=1e-6)
+  # multiply: scalar, dense, row/col vector, sparse
+  np.testing.assert_allclose((2.5 * S).todense(), 2.5 * M.toarray(),
+                             rtol=1e-6)
+  D = rng.standard_normal(M.shape)
+  np.testing.assert_allclose(S.multiply(D).todense(),
+                             M.multiply(D).toarray(), rtol=1e-5)
+  rvec = rng.standard_normal((1, M.shape[1]))
+  np.testing.assert_allclose(S.multiply(rvec).todense(),
+                             M.multiply(rvec).toarray(), rtol=1e-5)
+  cvec = rng.standard_normal((M.shape[0], 1))
+  np.testing.assert_allclose(S.multiply(cvec).todense(),
+                             M.multiply(cvec).toarray(), rtol=1e-5)
+  M2 = ss.random(37, 53, density=0.15, random_state=8, format="csr")
+  np.testing.assert_allclose(S.multiply(sps.from_scipy(M2)).todense(),
+                             M.multiply(M2).toarray(), rtol=1e-5)
+  # scalar algebra / unary
+  np.testing.assert_allclose((-S).todense(), -M.toarray(), rtol=1e-6)
+  np.testing.assert_allclose(abs(S).todense(), abs(M).toarray(), rtol=1e-6)
+  np.testing.assert_allclose((S / 4.0).todense(), (M / 4.0).toarray(),
+                             rtol=1e-6)
+  np.testing.assert_allclose(S.power(2).todense(), M.power(2).toarray(),
+                             rtol=1e-6)
+  assert S.astype(np.float64).dtype == np.float64
+  assert S.copy() is not S and S.copy().nnz == S.nnz
+  assert (S.tocsr() != M).nnz == 0
+  assert S.tocoo().shape == M.shape
