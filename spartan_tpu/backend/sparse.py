@@ -287,9 +287,9 @@ class SparseArray:
 
   def mean(self, axis=None):
     """scipy semantics: divide by the FULL dense extent, not nnz."""
+    s = self.sum(axis)  # validates axis (ValueError, like sum)
     n, m = self.shape
     denom = {None: n * m, 0: n, 1: m, -1: m}[axis]
-    s = self.sum(axis)
     return s / jnp.asarray(denom, jnp.result_type(s.dtype, jnp.float32))
 
   def getnnz(self, axis=None):
@@ -317,6 +317,11 @@ class SparseArray:
     hit = (self.cols[rows] == want_col[:, None]) & (self.vals[rows] != 0)
     return jnp.sum(jnp.where(hit, self.vals[rows], 0), axis=1)
 
+  def _masked(self, product):
+    """Re-zero pad entries: a pad (val 0) times a gathered NaN/Inf would
+    otherwise break the 0-pad invariant (0·inf = nan pollutes col 0)."""
+    return self._like(jnp.where(self.vals != 0, product, 0))
+
   def multiply(self, other):
     """Elementwise product.  Scalar/dense: on-device over the ELL tiles
     (dense gathered at the stored coordinates); sparse×sparse: host
@@ -324,17 +329,17 @@ class SparseArray:
     if isinstance(other, SparseArray):
       return from_scipy(self.to_scipy().multiply(other.to_scipy()).tocsr())
     if np.ndim(other) == 0:
-      return self._like(self.vals * other)
+      return self._masked(self.vals * other)
     o = jnp.asarray(other)
     if o.shape == self.shape:
       rows = jnp.broadcast_to(
           jnp.arange(self.shape[0], dtype=jnp.int32)[:, None],
           self.cols.shape)
-      return self._like(self.vals * o[rows, self.cols])
+      return self._masked(self.vals * o[rows, self.cols])
     if o.shape == (1, self.shape[1]) or o.shape == (self.shape[1],):
-      return self._like(self.vals * o.reshape(-1)[self.cols])
+      return self._masked(self.vals * o.reshape(-1)[self.cols])
     if o.shape == (self.shape[0], 1):
-      return self._like(self.vals * o)
+      return self._masked(self.vals * o)
     raise ValueError(f"inconsistent shapes {self.shape} vs {o.shape}")
 
   def astype(self, dtype) -> "SparseArray":
@@ -367,7 +372,7 @@ class SparseArray:
   def __truediv__(self, s):
     if np.ndim(s) != 0:
       raise TypeError("sparse division only supports scalars")
-    return self._like(self.vals / s)
+    return self._masked(self.vals / s)
 
   def tocsr(self):
     return self.to_scipy()

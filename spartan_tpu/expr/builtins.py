@@ -542,7 +542,7 @@ def _route_einsum_contraction(subscripts: str, operands):
   free1 = [c for c in t1 if c not in t2]
   free2 = [c for c in t2 if c not in t1]
   if (sorted(out) != sorted(free1 + free2)
-      or any(c in out for c in shared)):
+      or _py.any(c in out for c in shared)):
     return None                      # batch dims or summed-out free axes
   a, b = lazify(operands[0]), lazify(operands[1])
   if len(t1) != len(a.shape) or len(t2) != len(b.shape):
@@ -577,15 +577,16 @@ def _route_einsum_multi(subscripts: str, operands):
   terms = ins_str.split(",")
   if len(terms) != len(operands):
     return None                      # let jnp.einsum raise the arity error
-  if any(len(set(t)) != len(t) for t in terms):
+  if _py.any(len(set(t)) != len(t) for t in terms):
     return None                      # per-operand diagonal: generic map
   ops = [lazify(o) for o in operands]
-  if any(len(t) != o.ndim for t, o in zip(terms, ops)):
+  if _py.any(len(t) != o.ndim for t, o in zip(terms, ops)):
     return None
   # Contraction order depends only on shapes: plan over zero-stride
-  # stand-ins (no allocation).
-  dummies = [np.broadcast_to(np.zeros(1), o.shape) for o in ops]
+  # stand-ins (a 0-d base broadcasts to ANY shape, scalars included —
+  # no allocation).
   try:
+    dummies = [np.broadcast_to(np.zeros(()), o.shape) for o in ops]
     path, _ = np.einsum_path(ins_str + "->" + out, *dummies,
                              optimize="greedy")
   except ValueError:
@@ -599,8 +600,15 @@ def _route_einsum_multi(subscripts: str, operands):
     keep = set("".join(t for t, _ in work)) | set(out)
     sub_out = "".join(c for c in dict.fromkeys("".join(sub_terms))
                       if c in keep)
-    inter = einsum(",".join(sub_terms) + "->" + sub_out,
-                   *[o for _, o in popped])
+    sub_sub = ",".join(sub_terms) + "->" + sub_out
+    if len(popped) == 2:
+      inter = einsum(sub_sub, *[o for _, o in popped])
+    else:
+      # k≠2 step (numpy emits one all-operands step for outer products /
+      # pure-elementwise forms): recursing would re-enter this function
+      # with the identical problem — lower the step as one generic map.
+      inter = map([o for _, o in popped],
+                  functools.partial(_einsum_call, sub_sub))
     work.append((sub_out, inter))
   (final_t, final_o), = work
   if final_t != out:
@@ -1353,8 +1361,8 @@ def histogram_bin_edges(v, bins: int = 10, range=None) -> Expr:
     def _edges(x):
       xf = x.ravel()
       lo, hi = jnp.min(xf), jnp.max(xf)
-      lo = jnp.where(lo == hi, lo - 0.5, lo)
-      hi = jnp.where(lo == hi, hi + 0.5, hi)
+      lo, hi = (jnp.where(lo == hi, lo - 0.5, lo),
+                jnp.where(lo == hi, hi + 0.5, hi))
       return jnp.linspace(lo, hi, bins + 1)
     return map([v], _edges)
   lo_s, hi_s = range
@@ -1528,11 +1536,15 @@ def diag_indices_from(v):
 
 def tril_indices_from(v, k=0):
   v = lazify(v)
+  if v.ndim != 2:
+    raise ValueError("input array must be 2-d")
   return tril_indices(int(v.shape[0]), k, int(v.shape[1]))
 
 
 def triu_indices_from(v, k=0):
   v = lazify(v)
+  if v.ndim != 2:
+    raise ValueError("input array must be 2-d")
   return triu_indices(int(v.shape[0]), k, int(v.shape[1]))
 
 
@@ -1578,7 +1590,8 @@ def dsplit(v, indices_or_sections):
 def einsum_path(subscripts, *operands, optimize="greedy"):
   """Contraction-order metadata (driver-side; delegates to numpy over
   zero-filled shape stand-ins — the path depends only on shapes)."""
-  dummies = [np.zeros(lazify(o).shape) for o in operands]
+  dummies = [np.broadcast_to(np.zeros(()), lazify(o).shape)
+             for o in operands]
   return np.einsum_path(subscripts, *dummies, optimize=optimize)
 
 

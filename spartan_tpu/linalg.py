@@ -359,7 +359,10 @@ def matrix_norm(A, ord="fro", keepdims: bool = False):
 def vector_norm(x, ord=2, axis=None, keepdims: bool = False):
   v = sp.lazify(x)
   if axis is None and v.ndim > 1:
-    v = sp.ravel(v)
+    nd = v.ndim
+    out = norm(sp.ravel(v), ord=ord)
+    # numpy keepdims contract: all-singleton shape at the ORIGINAL rank
+    return sp.reshape(out, (1,) * nd) if keepdims else out
   return norm(v, ord=ord, axis=axis, keepdims=keepdims)
 
 

@@ -162,7 +162,7 @@ class Generator:
       v = _bb.arange(int(v))
     v = _bb.lazify(v)
     keys = self._creation("rand", (int(v.shape[0]),), np.float64)
-    return _bb.take(v, _bb.argsort(keys))
+    return _bb.take(v, _bb.argsort(keys), axis=0)
 
   def shuffle(self, v):
     return self.permutation(v)

@@ -387,6 +387,68 @@ def test_default_rng_generator(cluster):
     r1.choice(5, 10, replace=False)
 
 
+def test_review_regressions(rng, cluster):
+  """Regression pack for the r3-session-4 code-review findings."""
+  a = rng.standard_normal(3)
+  b = rng.standard_normal(4)
+  c = rng.standard_normal(5)
+  # 1: no-contraction N-operand einsums (outer product / elementwise)
+  # must not recurse forever
+  e = sp.einsum("i,j,k->ijk", _f(a), _f(b), _f(c))
+  np.testing.assert_allclose(np.asarray(e.glom()),
+                             np.einsum("i,j,k->ijk", a, b, c), rtol=1e-10)
+  m = rng.standard_normal((3, 4))
+  e = sp.einsum("ij,ij,ij->ij", _f(m), _f(m), _f(m))
+  np.testing.assert_allclose(np.asarray(e.glom()),
+                             np.einsum("ij,ij,ij->ij", m, m, m), rtol=1e-10)
+  # 3: scalar (0-d) operand in an N-operand einsum
+  A = rng.standard_normal((4, 5))
+  B = rng.standard_normal((5, 6))
+  e = sp.einsum("ij,jk,->ik", _f(A), _f(B), _f(np.float64(2.0)))
+  np.testing.assert_allclose(np.asarray(e.glom()),
+                             np.einsum("ij,jk,->ik", A, B, 2.0), rtol=1e-10)
+  # 4: constant-input auto-range edges match numpy (and histogram's bins)
+  const = np.full(10, 2.0)
+  np.testing.assert_allclose(
+      sp.histogram_bin_edges(_f(const), bins=4).glom(),
+      np.histogram_bin_edges(const, bins=4), rtol=1e-12)
+  # 6: vector_norm keepdims keeps the original rank
+  t = np.ones((3, 4))
+  assert sp.linalg.vector_norm(_f(t), keepdims=True).glom().shape == (1, 1)
+  # 9: *_indices_from reject non-2-D inputs
+  with pytest.raises(ValueError):
+    sp.tril_indices_from(_f(np.arange(5.0)))
+  with pytest.raises(ValueError):
+    sp.triu_indices_from(_f(np.zeros((2, 3, 4))))
+
+
+def test_sparse_review_regressions(rng, cluster):
+  """Findings 2/5/8: Generator.permutation rows, pad-invariant under
+  non-finite multipliers, mean axis validation."""
+  import scipy.sparse as ss
+  from spartan_tpu.backend import sparse as sps
+  # 2: Generator.permutation permutes ROWS of 2-D input
+  g = sp.random.default_rng(0)
+  m2 = np.arange(12.0).reshape(6, 2)
+  p = np.asarray(g.permutation(sp.from_numpy(m2)).glom())
+  assert p.shape == (6, 2)
+  np.testing.assert_allclose(np.sort(p[:, 0]), m2[:, 0])
+  np.testing.assert_array_equal(p[:, 1] - p[:, 0], np.ones(6))
+  # 5: multiply by non-finite dense values must not pollute pads
+  M = ss.csr_matrix(np.array([[1.0, 2.0], [0.0, 3.0]]))
+  S = sps.from_scipy(M)
+  D = np.array([[1.0, 1.0], [np.nan, 1.0]])
+  np.testing.assert_array_equal(S.multiply(D).todense(),
+                                M.multiply(D).toarray())
+  got_inf = (S * np.inf).todense()
+  assert not np.isnan(got_inf[1, 0])   # the pad cell stays clean
+  got_div = (S / 0.0).todense()
+  assert not np.isnan(got_div[1, 0])
+  # 8: mean validates axis with ValueError like sum
+  with pytest.raises(ValueError):
+    S.mean(axis=2)
+
+
 def test_parity_audit_is_clean(cluster):
   """The full-namespace audit must stay at zero in-scope missing names —
   new numpy releases or refactors that drop exports fail here, not in
