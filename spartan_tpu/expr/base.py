@@ -472,6 +472,114 @@ class Expr:
     from spartan_tpu.expr import builtins as B
     return B.outer(self, other)
 
+  # -- ndarray-method parity (delegations; np users call methods) -----------
+
+  def var(self, axis=None) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.var(self, axis=axis)
+
+  def cumsum(self, axis=None) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.cumsum(self, axis=axis)
+
+  def cumprod(self, axis=None) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.cumprod(self, axis=axis)
+
+  def clip(self, a_min=None, a_max=None) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.clip(self, a_min, a_max)
+
+  def round(self, decimals=0) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.round(self, decimals=decimals)
+
+  def conj(self) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.conj(self)
+
+  conjugate = conj
+
+  def copy(self) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.copy(self)
+
+  def flatten(self) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.ravel(self)
+
+  def squeeze(self, axis=None) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.squeeze(self, axis=axis)
+
+  def swapaxes(self, a, b) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.swapaxes(self, a, b)
+
+  def repeat(self, repeats, axis=None) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.repeat(self, repeats, axis=axis)
+
+  def take(self, indices, axis=None) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.take(self, indices, axis=axis)
+
+  def choose(self, choices) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.choose(self, choices)
+
+  def compress(self, cond, axis=None) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.compress(cond, self, axis=axis)
+
+  def diagonal(self, offset=0) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.diagonal(self, offset=offset)
+
+  def trace(self, offset=0) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.trace(self, offset=offset)
+
+  def sort(self, axis=-1) -> "Expr":
+    """Sorted COPY (exprs are immutable; np.ndarray.sort is in-place —
+    documented deviation, same as the reference's lazy arrays)."""
+    from spartan_tpu.expr import builtins as B
+    return B.sort(self, axis=axis)
+
+  def argsort(self, axis=-1) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.argsort(self, axis=axis)
+
+  def partition(self, kth, axis=-1) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.partition(self, kth, axis=axis)
+
+  def argpartition(self, kth, axis=-1) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.argpartition(self, kth, axis=axis)
+
+  def searchsorted(self, queries, side="left") -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.searchsorted(self, queries, side=side)
+
+  def nonzero(self) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    return B.nonzero(self)
+
+  def resize(self, *new_shape) -> "Expr":
+    from spartan_tpu.expr import builtins as B
+    if len(new_shape) == 1 and isinstance(new_shape[0], (tuple, list)):
+      new_shape = tuple(new_shape[0])
+    return B.resize(self, new_shape)
+
+  def item(self):
+    """Fetch the single element as a python scalar (materializes)."""
+    return np.asarray(self.glom()).item()
+
+  def tolist(self):
+    """Fetch to the driver as nested python lists (materializes)."""
+    return np.asarray(self.glom()).tolist()
+
   # -- operators ------------------------------------------------------------
 
   def _binop(self, other, ufunc, reverse=False):

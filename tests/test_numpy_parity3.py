@@ -465,3 +465,48 @@ def test_parity_audit_is_clean(cluster):
   assert missing == [], f"top-level np parity regressed: {missing}"
   for modname, (c, t, miss) in mod.submodule_parity().items():
     assert miss == [], f"np.{modname} parity regressed: {miss}"
+  _, _, mmiss = mod.method_parity()
+  assert mmiss == [], f"np.ndarray method parity regressed: {mmiss}"
+
+
+def test_expr_method_delegations(rng, cluster):
+  """ndarray-method parity: methods delegate to the module fns and match
+  numpy's method results."""
+  a = rng.standard_normal((6, 8))
+  x = _f(a)
+  np.testing.assert_allclose(np.asarray(x.var().glom()), a.var(),
+                             rtol=1e-12)
+  np.testing.assert_allclose(np.asarray(x.cumsum(axis=1).glom()),
+                             a.cumsum(axis=1), rtol=1e-12)
+  np.testing.assert_allclose(np.asarray(x.clip(-1, 1).glom()),
+                             a.clip(-1, 1))
+  np.testing.assert_allclose(np.asarray(x.round(2).glom()), a.round(2))
+  np.testing.assert_allclose(np.asarray(x.flatten().glom()), a.flatten())
+  np.testing.assert_allclose(np.asarray(x.swapaxes(0, 1).glom()),
+                             a.swapaxes(0, 1))
+  np.testing.assert_allclose(np.asarray(x.repeat(2, axis=0).glom()),
+                             a.repeat(2, axis=0))
+  np.testing.assert_allclose(
+      np.asarray(x.take(np.array([1, 3]), axis=1).glom()),
+      a.take([1, 3], axis=1))
+  np.testing.assert_allclose(np.asarray(x.diagonal().glom()), a.diagonal())
+  np.testing.assert_allclose(np.asarray(x.sort(axis=0).glom()),
+                             np.sort(a, axis=0))
+  np.testing.assert_allclose(np.asarray(x.argsort(axis=1).glom()),
+                             a.argsort(axis=1))
+  np.testing.assert_allclose(np.asarray(_f(a[:, :6]).trace().glom()),
+                             a[:, :6].trace(), rtol=1e-12)
+  assert _f(np.float64(3.5)).item() == 3.5
+  assert x.tolist() == a.tolist()
+  np.testing.assert_allclose(np.asarray(x.resize((4, 12)).glom()),
+                             np.resize(a, (4, 12)))
+  np.testing.assert_allclose(
+      np.asarray(x.partition(3, axis=1).glom())[:, 3],
+      np.partition(a, 3, axis=1)[:, 3])
+  np.testing.assert_allclose(np.asarray(x.cumprod(axis=0).glom()),
+                             a.cumprod(axis=0), rtol=1e-12)
+  np.testing.assert_allclose(np.asarray(x.squeeze().glom()), a.squeeze())
+  bins = np.sort(rng.standard_normal(5))
+  np.testing.assert_array_equal(
+      np.asarray(_f(bins).searchsorted(_f(a[0])).glom()),
+      bins.searchsorted(a[0]))

@@ -122,6 +122,27 @@ def submodule_parity():
   return out
 
 
+# np.ndarray METHODS that are out of scope on an immutable lazy expr:
+# memory-layout/view/IO machinery and in-place mutators (the functional
+# forms exist: fill→full_like, put→.at[].set, sort-in-place→.sort() copy).
+METHOD_EXCLUDED = {
+    "byteswap", "dump", "dumps", "fill", "getfield", "setfield",
+    "setflags", "put", "tobytes", "tofile", "tostring", "view",
+    "to_device", "itemset", "newbyteorder",
+}
+
+
+def method_parity():
+  """Coverage of np.ndarray's callable methods on the Expr class."""
+  from spartan_tpu.expr.base import Expr
+  nd = [n for n in dir(np.ndarray)
+        if not n.startswith("_") and callable(getattr(np.ndarray, n))]
+  in_scope = [n for n in nd if n not in METHOD_EXCLUDED]
+  have = set(dir(Expr))
+  missing = [n for n in in_scope if n not in have]
+  return len(in_scope) - len(missing), len(in_scope), missing
+
+
 def main(argv):
   np_names = collect_numpy()
   have = collect_spartan()
@@ -142,6 +163,9 @@ def main(argv):
     for mod, (c, t, miss) in subs.items():
       ms = " ".join(f"`{m}`" for m in miss) or "—"
       print(f"| `np.{mod}` | {c} | {t} | {ms} |")
+    mc, mt, mmiss = method_parity()
+    mms = " ".join(f"`{m}`" for m in mmiss) or "—"
+    print(f"| `np.ndarray` methods (on `Expr`) | {mc} | {mt} | {mms} |")
     print(f"\n{len(EXCLUDED)} numpy names are excluded as out of scope "
           "(printing/IO/dtype machinery/deprecated aliases/masked arrays) "
           "— the exclusion list with reasons is in the tool source.")
@@ -153,6 +177,9 @@ def main(argv):
     print(f"missing ({len(missing)}): {' '.join(missing)}")
     for mod, (c, t, miss) in subs.items():
       print(f"np.{mod}: {c}/{t} covered; missing: {' '.join(miss) or '—'}")
+    mc, mt, mmiss = method_parity()
+    print(f"np.ndarray methods: {mc}/{mt} covered; "
+          f"missing: {' '.join(mmiss) or '—'}")
   return 0
 
 
