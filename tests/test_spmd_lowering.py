@@ -270,3 +270,23 @@ def test_2d_row_sort_is_owner_computes(rng, cluster):
     assert _collectives(hlo0), "expected data movement for axis-0 sort"
   finally:
     FLAGS.opt_smart_tiling = True
+
+
+def test_multi_einsum_chain_stays_sharded(rng, cluster):
+  """A 3-operand einsum chain over a row-sharded lead operand decomposes
+  into pairwise contractions that keep the batch rows sharded: the
+  compiled program reduces over the small contracted dims (or is
+  collective-free), and the lead operand is NOT all-gathered."""
+  X = sp.from_numpy(rng.standard_normal((2048, 64)))
+  W1 = sp.from_numpy(rng.standard_normal((64, 32)))
+  W2 = sp.from_numpy(rng.standard_normal((32, 8)))
+  expr = sp.einsum("ij,jk,kl->il", X, W1, W2)
+  hlo = _hlo_for(expr, [X])
+  from spartan_tpu.expr.smart_tiling import _spec_util
+  assert _spec_util(X.value.tiling.spec, 2, cluster) > 1  # X stays sharded
+  # the (2048, k) intermediates must never be globally gathered: any
+  # all-gather in the program would carry the full row dim
+  assert "all-gather" not in _collectives(hlo), _collectives(hlo)
+  got = np.asarray(expr.glom())
+  want = np.asarray(X.glom()) @ np.asarray(W1.glom()) @ np.asarray(W2.glom())
+  np.testing.assert_allclose(got, want, rtol=1e-9)
