@@ -187,6 +187,12 @@ def _gmm():
   return {"gmm_mean_recovery_err": err, "weights": [round(float(p), 4) for p in pi]}
 
 
+@_register("knn")
+def _knn():
+  from spartan_tpu.examples import knn
+  return {"accuracy": knn.run()}
+
+
 def main(argv):
   rest = [a for a in argv if not a.startswith("--")]
   flags = [a for a in argv if a.startswith("--")]

@@ -7,12 +7,13 @@ SpartanArray / lazy-expr inputs.
 """
 
 from spartan_tpu.learn.estimators import (ALS, FuzzyKMeans, GaussianMixture,
-                                          KMeans, Lasso,
+                                          KMeans, KNeighborsClassifier, Lasso,
                                           LinearRegression,
                                           LogisticRegression, NaiveBayes,
                                           PCA, Ridge, SpectralClustering, SVC)
 
-__all__ = ["ALS", "FuzzyKMeans", "GaussianMixture", "KMeans", "Lasso",
+__all__ = ["ALS", "FuzzyKMeans", "GaussianMixture", "KMeans",
+           "KNeighborsClassifier", "Lasso",
            "LinearRegression",
            "LogisticRegression", "NaiveBayes", "PCA", "Ridge",
            "SpectralClustering", "SVC"]

@@ -282,3 +282,27 @@ class PCA:
 
   def fit_transform(self, X):
     return self.fit(X).transform(X)
+
+
+class KNeighborsClassifier:
+  """k-NN classification (examples/knn): pairwise distances as one MXU
+  matmul, argpartition selection, one-hot-matmul majority vote."""
+
+  def __init__(self, n_neighbors: int = 5):
+    self.n_neighbors = n_neighbors
+
+  def fit(self, X, y):
+    self._X = np.asarray(X)
+    self._y = np.asarray(y, dtype=np.int64)
+    self.classes_ = np.unique(self._y)
+    return self
+
+  def predict(self, X):
+    from spartan_tpu.examples import knn as knn_mod
+    return np.asarray(knn_mod.predict(
+        _lazy(X), _lazy(self._X), _lazy(self._y),
+        k=self.n_neighbors,
+        n_classes=int(self.classes_.max()) + 1).glom())
+
+  def score(self, X, y):
+    return float((self.predict(X) == np.asarray(y)).mean())

@@ -486,3 +486,26 @@ def test_examples_runner_registry_complete():
                              if v in _RUNNERS}
   missing = {m for m in runnable if m not in covered}
   assert not missing, f"examples missing from the CLI runner: {missing}"
+
+
+def test_knn_matches_numpy_oracle(rng):
+  """MXU-formulated k-NN ≡ a brute-force numpy k-NN on the same data."""
+  from spartan_tpu.examples import knn
+  X, y = knn.make_blobs(256, 4, seed=2)
+  Q, _ = knn.make_blobs(64, 4, seed=3)
+  pred = np.asarray(knn.predict(sp.from_numpy(Q), sp.from_numpy(X),
+                                sp.from_numpy(y), k=3,
+                                n_classes=4).glom())
+  d2 = ((Q[:, None, :] - X[None, :, :]) ** 2).sum(-1)
+  nn = np.argsort(d2, axis=1)[:, :3]
+  want = np.array([np.bincount(y[r], minlength=4).argmax() for r in nn])
+  np.testing.assert_array_equal(pred, want)
+  assert knn.run(n=1024, d=6) > 0.95
+
+
+def test_knn_estimator(rng):
+  from spartan_tpu import learn
+  from spartan_tpu.examples import knn
+  X, y = knn.make_blobs(1024, 6, seed=0)
+  est = learn.KNeighborsClassifier(5).fit(X[:900], y[:900])
+  assert est.score(X[900:], y[900:]) > 0.95
