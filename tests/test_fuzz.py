@@ -22,6 +22,15 @@ _UNARY = [
     ("transpose", lambda x: x.T, lambda x: x.T),
     ("nan_to_num", sp.nan_to_num, np.nan_to_num),
     ("copy", sp.copy, np.copy),
+    ("arcsinh", sp.arcsinh, np.arcsinh),
+    ("i0_clip", lambda x: sp.i0(sp.clip(x, -2, 2)),
+     lambda x: np.i0(np.clip(x, -2, 2))),
+    ("fliplr", sp.fliplr, np.fliplr),
+    ("flipud", sp.flipud, np.flipud),
+    ("cumsum_m", lambda x: x.cumsum(axis=1),
+     lambda x: np.cumsum(x, axis=1)),
+    ("unwrap", lambda x: sp.unwrap(x, axis=0),
+     lambda x: np.unwrap(x, axis=0)),
 ]
 _BINARY = [
     ("add", lambda a, b: a + b, np.add),
@@ -31,6 +40,11 @@ _BINARY = [
     ("min", sp.minimum, np.minimum),
     ("fmax", sp.fmax, np.fmax),
     ("logaddexp", sp.logaddexp, np.logaddexp),
+    ("logaddexp2", sp.logaddexp2, np.logaddexp2),
+    ("vecdot_bcast", lambda a, b: sp.broadcast_to(
+        sp.reshape(sp.vecdot(a, b), (int(a.shape[0]), 1)), a.shape),
+     lambda a, b: np.broadcast_to(
+        np.vecdot(a, b).reshape(-1, 1), a.shape)),
 ]
 _REDUCE = [
     ("sum0", lambda x: sp.sum(x, axis=0), lambda x: x.sum(axis=0)),
