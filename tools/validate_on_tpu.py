@@ -71,3 +71,41 @@ for _ in range(20):
 rel = np.abs(np.asarray(r2, np.float64) - rr).max() / np.abs(rr).max()
 print(f"6. windowed-SpMV pagerank n=65536 on TPU: relerr={rel:.2e} "
       f"({time.time()-t0:.1f}s, 20 iters)", flush=True)
+
+# 7. r3 session-4 surfaces live on chip: fused convnet training (conv +
+# autodiff + lax.scan through Mosaic/XLA:TPU), multi-operand einsum
+# chain, distribution creations, knn predict
+t0 = time.time()
+from spartan_tpu.examples import convnet
+rng7 = np.random.default_rng(0)
+imgs = rng7.standard_normal((32, 1, 12, 12)).astype(np.float32)
+labs = rng7.integers(0, 4, 32)
+_, losses7 = convnet.fit_fused(imgs, labs, n_classes=4, epochs=4, lr=0.1)
+ok7 = np.isfinite(losses7).all() and losses7[-1] < losses7[0]
+print(f"7. fused convnet training on TPU: losses {np.round(losses7, 4)} "
+      f"decreasing={bool(ok7)} ({time.time()-t0:.1f}s)", flush=True)
+
+t0 = time.time()
+ea = rng7.standard_normal((2048, 256)).astype(np.float32)
+eb = rng7.standard_normal((256, 128)).astype(np.float32)
+ec = rng7.standard_normal((128, 32)).astype(np.float32)
+chain = np.asarray(sp.einsum("ij,jk,kl->il", sp.from_numpy(ea),
+                             sp.from_numpy(eb), sp.from_numpy(ec)).glom())
+want = (ea.astype(np.float64) @ eb.astype(np.float64)
+        @ ec.astype(np.float64))
+rel = np.abs(chain - want).max() / np.abs(want).max()
+print(f"8. einsum chain on TPU: relerr={rel:.2e} ({time.time()-t0:.1f}s)",
+      flush=True)
+
+t0 = time.time()
+g = sp.random.default_rng(7)
+dm = float((g.gamma(2.0, 1.0, (1 << 16,))
+            + g.exponential(1.0, (1 << 16,))).mean().glom())
+print(f"9. distribution sampling on TPU: mean={dm:.3f} (expect ~3.0, "
+      f"{time.time()-t0:.1f}s)", flush=True)
+
+t0 = time.time()
+from spartan_tpu.examples import knn
+acc = knn.run(n=4096, d=8)
+print(f"10. knn on TPU: accuracy={acc:.3f} ({time.time()-t0:.1f}s)",
+      flush=True)
