@@ -95,6 +95,27 @@ def child(pid: int, workdir: str) -> None:
   mhu.sync_global_devices("evaluator_done")
   print("MULTIPROC_EVAL_OK", flush=True)
 
+  # --- distributed sample sort + exact rank selection across the two
+  # REAL processes: the splitter search runs psum rounds over the global
+  # mesh and the bucket exchange is a cross-process all_to_all ----------
+  from spartan_tpu.config import FLAGS
+  vn = rng.standard_normal(64)
+  old_method, old_thr = FLAGS.sort_method, FLAGS.sort_sample_threshold
+  FLAGS.sort_method, FLAGS.sort_sample_threshold = "sample", 0
+  try:
+    got_sorted = sp.sort(sp.from_numpy(vn)).evaluate()
+    want_sorted = np.sort(vn)
+    for sh in got_sorted.data.addressable_shards:
+      np.testing.assert_allclose(np.asarray(sh.data),
+                                 want_sorted[sh.index], atol=0)
+    med = float(np.asarray(sp.median(sp.from_numpy(vn)).glom()))
+    np.testing.assert_allclose(med, np.median(vn), atol=1e-12)
+  finally:
+    FLAGS.sort_method, FLAGS.sort_sample_threshold = old_method, old_thr
+
+  mhu.sync_global_devices("sort_done")
+  print("MULTIPROC_SORT_OK", flush=True)
+
 
 def parent() -> int:
   workdir = tempfile.mkdtemp(prefix="spt_mp_")
@@ -105,7 +126,8 @@ def parent() -> int:
   outs = [p.communicate(timeout=300)[0] for p in procs]
   ok = (all(p.returncode == 0 for p in procs)
         and all("MULTIPROC_CKPT_OK" in o for o in outs)
-        and all("MULTIPROC_EVAL_OK" in o for o in outs))
+        and all("MULTIPROC_EVAL_OK" in o for o in outs)
+        and all("MULTIPROC_SORT_OK" in o for o in outs))
   for i, o in enumerate(outs):
     print(f"--- process {i} ---\n{o[-2000:]}")
   print("RESULT:", "PASS" if ok else "FAIL")
