@@ -506,17 +506,22 @@ def remainder(a, b) -> Expr:
   return map([lazify(a), lazify(b)], jnp.remainder)
 
 
-def einsum(subscripts: str, *operands) -> Expr:
+def einsum(subscripts: str, *operands, optimize="greedy") -> Expr:
   """Lazy einsum — contractions lower onto the MXU; XLA chooses the
   collective schedule from the operand shardings.  Two-operand pure
   contractions route to :class:`TensorDotExpr` so the smart-tiling cost
   model sees them as dots (contraction-aware leaf placement) instead of
   an opaque map; N-operand einsums decompose into pairwise contractions
   along numpy's ``einsum_path`` (each pair re-routing through this
-  function); batch/trace/diagonal forms take the generic map."""
+  function); batch/trace/diagonal forms take the generic map.
+
+  ``optimize`` follows numpy: ``"greedy"`` (default) / ``"optimal"``
+  pick the pairwise contraction order; ``False`` disables the
+  decomposition (one fused jnp.einsum — the operands replicate on a
+  mesh, so only use it to pin an exact evaluation order)."""
   routed = _route_einsum_contraction(subscripts, operands)
-  if routed is None:
-    routed = _route_einsum_multi(subscripts, operands)
+  if routed is None and optimize is not False:
+    routed = _route_einsum_multi(subscripts, operands, optimize=optimize)
   if routed is not None:
     return routed
   return map([lazify(o) for o in operands],
@@ -555,7 +560,7 @@ def _route_einsum_contraction(subscripts: str, operands):
   return td
 
 
-def _route_einsum_multi(subscripts: str, operands):
+def _route_einsum_multi(subscripts: str, operands, optimize="greedy"):
   """Decompose an N-operand (N≥3) einsum into pairwise steps along
   numpy's shape-only ``einsum_path`` plan.  Each step re-enters
   :func:`einsum`, so pure pairwise contractions become
@@ -588,7 +593,7 @@ def _route_einsum_multi(subscripts: str, operands):
   try:
     dummies = [np.broadcast_to(np.zeros(()), o.shape) for o in ops]
     path, _ = np.einsum_path(ins_str + "->" + out, *dummies,
-                             optimize="greedy")
+                             optimize=optimize)
   except ValueError:
     return None
   work = list(zip(terms, ops))

@@ -365,6 +365,16 @@ def test_einsum_multi_operand_decomposition(rng, cluster):
   e = sp.einsum("ii,ij,jk->k", _f(sq), _f(x2), _f(b))
   np.testing.assert_allclose(np.asarray(e.glom()),
                              np.einsum("ii,ij,jk->k", sq, x2, b), rtol=1e-10)
+  # numpy's optimize kwarg: order choices give the same value; False
+  # pins the single fused jnp.einsum
+  from spartan_tpu.expr.map import MapExpr
+  for opt, kind in (("optimal", (TensorDotExpr, TransposeExpr)),
+                    (False, MapExpr)):
+    e = sp.einsum("ij,jk,kl->il", _f(a), _f(b), _f(c), optimize=opt)
+    assert isinstance(e, kind)
+    np.testing.assert_allclose(np.asarray(e.glom()),
+                               np.einsum("ij,jk,kl->il", a, b, c),
+                               rtol=1e-10)
 
 
 def test_default_rng_generator(cluster):
