@@ -188,6 +188,67 @@ class SpartanArray:
     return (f"SpartanArray(shape={self.shape}, dtype={self.dtype}, "
             f"spec={self.tiling.spec})")
 
+  # -- lazy re-entry ---------------------------------------------------------
+  # Arithmetic/indexing on an EVALUATED array re-enters the expression
+  # layer (reference semantics: DistArrays are valid lazy operands), so
+  # `y = (expr.evaluate() * 2)[0]` builds a new DAG over the sharded
+  # buffer instead of raising or silently gathering to the host.
+
+  def _lazy(self):
+    from spartan_tpu.expr.base import Val
+    return Val(self)
+
+  def __getitem__(self, idx):
+    return self._lazy()[idx]
+
+  def __neg__(self):
+    return -self._lazy()
+
+  def __abs__(self):
+    return self._lazy().__abs__()
+
+  def __getattr__(self, name):
+    # whitelisted expr-method delegation (SpartanArray has __slots__, so
+    # this only fires for genuinely missing attributes)
+    if name in _EXPR_DELEGATES:
+      return getattr(self._lazy(), name)
+    raise AttributeError(
+        f"'SpartanArray' object has no attribute {name!r}")
+
+
+_EXPR_DELEGATES = frozenset([
+    "T", "sum", "prod", "mean", "std", "var", "max", "min", "argmax",
+    "argmin", "all", "any", "dot", "outer", "reshape", "ravel", "flatten",
+    "transpose", "swapaxes", "squeeze", "clip", "round", "cumsum",
+    "cumprod", "take", "repeat", "diagonal", "trace", "sort", "argsort",
+    "partition", "argpartition", "searchsorted", "nonzero", "item",
+    "tolist", "conj", "conjugate", "at",
+])
+
+_BINOP_NAMES = [
+    "add", "radd", "sub", "rsub", "mul", "rmul", "truediv", "rtruediv",
+    "floordiv", "rfloordiv", "mod", "rmod", "pow", "rpow", "matmul",
+    "rmatmul", "lt", "le", "gt", "ge", "eq", "ne", "and", "rand", "or",
+    "ror", "xor", "rxor",
+]
+
+
+def _install_lazy_binops():
+  for short in _BINOP_NAMES:
+    dunder = f"__{short}__"
+
+    def op(self, other, _d=dunder):
+      expr_fn = getattr(self._lazy(), _d, None)
+      if expr_fn is None:
+        return NotImplemented
+      return expr_fn(other)
+
+    op.__name__ = dunder
+    setattr(SpartanArray, dunder, op)
+
+
+_install_lazy_binops()
+
 
 # ---------------------------------------------------------------------------
 # Construction

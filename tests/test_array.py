@@ -127,3 +127,25 @@ def test_host_fetch_noop_on_cpu(cluster):
   a = np.arange(1000, dtype=np.int32)
   d = jax.device_put(a)
   np.testing.assert_array_equal(host_fetch(d), a)
+
+
+def test_spartan_array_lazy_reentry(rng, cluster):
+  """Operators/indexing/methods on an EVALUATED array re-enter the lazy
+  layer (reference semantics: DistArrays are valid operands)."""
+  an = rng.standard_normal((16, 8))
+  a = sp.from_numpy(an).evaluate()
+  got = np.asarray(((a * 2 + 1)[0:4]).sum(axis=0).glom())
+  np.testing.assert_allclose(got, (an * 2 + 1)[0:4].sum(axis=0),
+                             rtol=1e-12)
+  np.testing.assert_allclose(np.asarray((2.0 * a).glom()), 2 * an)
+  np.testing.assert_allclose(np.asarray((a @ an.T).glom()), an @ an.T,
+                             rtol=1e-12)
+  np.testing.assert_array_equal(np.asarray((a > 0).glom()), an > 0)
+  np.testing.assert_allclose(np.asarray(a.T.glom()), an.T)
+  np.testing.assert_allclose(np.asarray(a.clip(-1, 1).cumsum(0).glom()),
+                             an.clip(-1, 1).cumsum(0), rtol=1e-12)
+  assert abs(a.mean().item() - an.mean()) < 1e-12
+  np.testing.assert_allclose(
+      np.asarray(a.at[0, :].set(0.0).glom())[0], np.zeros(8))
+  with pytest.raises(AttributeError):
+    a.no_such_method
