@@ -820,39 +820,43 @@ def bincount(v, minlength=None, weights=None) -> Expr:
                   np.bincount)
 
 
-def histogram(v, bins: int = 10, range=None) -> Expr:
+def histogram(v, bins: int = 10, range=None, weights=None,
+              density: bool = False) -> Expr:
   """Fixed-bin histogram (static shape → traceable).  Returns counts;
   edges are ``linspace(range[0], range[1], bins+1)`` like numpy.  With
   ``range=None`` the data min/max become TRACED endpoints (numpy-style
   auto range; the edge VALUES are data-dependent but the shape is
   static, so the histogram stays compilable — correct under
-  ``sp.compile`` with fresh batches and inside loop bodies)."""
+  ``sp.compile`` with fresh batches and inside loop bodies).
+  ``weights``/``density`` follow numpy."""
   v = lazify(v)
+  ins = [v] + ([lazify(weights)] if weights is not None else [])
 
-  if range is None:
-    def _hist(x):
-      xf = x.ravel()
+  def _hist(x, *rest):
+    xf = x.ravel()
+    if range is None:
       lo, hi = jnp.min(xf), jnp.max(xf)
-      lo, hi = jnp.where(lo == hi, lo - 0.5, lo), jnp.where(lo == hi,
-                                                            hi + 0.5, hi)
-      edges = jnp.linspace(lo, hi, bins + 1)
-      idx = jnp.clip(jnp.searchsorted(edges, xf, side="right") - 1,
-                     0, bins - 1)
-      valid = (xf >= lo) & (xf <= hi)
-      return jnp.bincount(jnp.where(valid, idx, bins),
-                          length=bins + 1)[:bins]
-  else:
-    lo_s, hi_s = range
+      lo, hi = (jnp.where(lo == hi, lo - 0.5, lo),
+                jnp.where(lo == hi, hi + 0.5, hi))
+    else:
+      lo, hi = range
+    edges = jnp.linspace(lo, hi, bins + 1)
+    idx = jnp.clip(jnp.searchsorted(edges, xf, side="right") - 1,
+                   0, bins - 1)
+    valid = (xf >= lo) & (xf <= hi)
+    slot = jnp.where(valid, idx, bins)
+    if rest:
+      w = rest[0].ravel()
+      counts = jnp.bincount(slot, weights=w, length=bins + 1)[:bins]
+    else:
+      counts = jnp.bincount(slot, length=bins + 1)[:bins]
+    if density:
+      width = (edges[1:] - edges[:-1])
+      total = jnp.sum(counts)
+      counts = counts / (width * total)
+    return counts
 
-    def _hist(x):
-      edges = jnp.linspace(lo_s, hi_s, bins + 1)
-      idx = jnp.clip(jnp.searchsorted(edges, x.ravel(), side="right") - 1,
-                     0, bins - 1)
-      valid = (x.ravel() >= lo_s) & (x.ravel() <= hi_s)
-      return jnp.bincount(jnp.where(valid, idx, bins),
-                          length=bins + 1)[:bins]
-
-  return map([v], _hist)
+  return map(ins, _hist)
 
 
 def take_along_axis(v, indices, axis) -> Expr:

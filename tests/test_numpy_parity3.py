@@ -520,3 +520,17 @@ def test_expr_method_delegations(rng, cluster):
   np.testing.assert_array_equal(
       np.asarray(_f(bins).searchsorted(_f(a[0])).glom()),
       bins.searchsorted(a[0]))
+
+
+def test_histogram_weights_density(rng, cluster):
+  x = rng.standard_normal(1000)
+  w = rng.uniform(0, 1, 1000)
+  for kw in [dict(), dict(range=(-2, 2)), dict(weights=w),
+             dict(density=True),
+             dict(weights=w, density=True, range=(-2, 2))]:
+    skw = dict(kw)
+    if "weights" in skw:
+      skw["weights"] = _f(w)
+    got = np.asarray(sp.histogram(_f(x), bins=7, **skw).glom())
+    want = np.histogram(x, bins=7, **kw)[0]
+    np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
