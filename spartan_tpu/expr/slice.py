@@ -142,12 +142,38 @@ def _tuple_has_bool(idx) -> bool:
   return False
 
 
+def _check_int_bounds(src, idx) -> None:
+  """numpy parity: STATIC integer indices out of range raise IndexError
+  at construction (jax would silently clamp at trace time)."""
+  try:
+    shape = lazify(src).shape
+  except NotShapeable:
+    return
+  parts = idx if isinstance(idx, tuple) else (idx,)
+  n_real = sum(1 for p in parts if p is not None and p is not Ellipsis)
+  dim = 0
+  for p in parts:
+    if p is None:
+      continue
+    if p is Ellipsis:
+      dim += len(shape) - n_real
+      continue
+    if isinstance(p, (int, np.integer)) and dim < len(shape):
+      d = shape[dim]
+      if not (-d <= int(p) < d):
+        raise IndexError(
+            f"index {int(p)} is out of bounds for axis {dim} with "
+            f"size {d}")
+    dim += 1
+
+
 def make_slice(src, idx) -> Expr:
   """Dispatch ``src[idx]`` to the right expr node (reference
   ``Expr.__getitem__``)."""
   if _is_bool_mask(idx):
     return BooleanMaskExpr(src, idx)
   if _is_basic(idx):
+    _check_int_bounds(src, idx)
     return SliceExpr(src, idx)
   if _tuple_has_array(idx):
     if _tuple_has_bool(idx):

@@ -99,3 +99,18 @@ def test_bool_in_tuple_goes_eager(a):
   mask = a[:, 0] > 0
   got = sa[sp.from_numpy(mask), 3].glom()
   np.testing.assert_allclose(got, a[mask, 3], atol=1e-12)
+
+
+def test_static_int_index_bounds_raise(rng, cluster):
+  """numpy parity: out-of-range STATIC integer indices raise IndexError
+  at construction (jax alone would silently clamp)."""
+  x = sp.from_numpy(rng.standard_normal((4, 5)))
+  for bad in (lambda: x[:, 99], lambda: x[4], lambda: x[-5],
+              lambda: x[..., 5], lambda: x[0, -6]):
+    with pytest.raises(IndexError, match="out of bounds"):
+      bad()
+  # in-range forms (negative, ellipsis, newaxis, clamping slices) fine
+  assert x[-4].glom().shape == (5,)
+  assert x[..., 4].glom().shape == (4,)
+  assert x[None, 2, :].glom().shape == (1, 5)
+  assert x[1:99].glom().shape == (3, 5)
