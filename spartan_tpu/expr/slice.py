@@ -167,6 +167,37 @@ def _check_int_bounds(src, idx) -> None:
     dim += 1
 
 
+def _check_concrete_gather_bounds(src, idx) -> None:
+  """numpy parity for CONCRETE (host numpy/list) integer-array indices:
+  out-of-range entries raise IndexError at construction.  Traced/Expr
+  indices keep jax's clamp semantics (no data-dependent errors under
+  jit)."""
+  try:
+    shape = lazify(src).shape
+  except NotShapeable:
+    return
+  parts = idx if isinstance(idx, tuple) else (idx,)
+  dim = 0
+  for p in parts:
+    if p is None:
+      continue
+    if p is Ellipsis:
+      n_real = sum(1 for q in parts if q is not None and q is not Ellipsis)
+      dim += len(shape) - n_real
+      continue
+    if isinstance(p, (np.ndarray, list)) and dim < len(shape):
+      arr = np.asarray(p)
+      if arr.dtype.kind in "iu" and arr.size:
+        d = shape[dim]
+        lo, hi = int(arr.min()), int(arr.max())
+        if lo < -d or hi >= d:
+          bad = lo if lo < -d else hi
+          raise IndexError(
+              f"index {bad} is out of bounds for axis {dim} with "
+              f"size {d}")
+    dim += 1
+
+
 def make_slice(src, idx) -> Expr:
   """Dispatch ``src[idx]`` to the right expr node (reference
   ``Expr.__getitem__``)."""
@@ -175,6 +206,7 @@ def make_slice(src, idx) -> Expr:
   if _is_basic(idx):
     _check_int_bounds(src, idx)
     return SliceExpr(src, idx)
+  _check_concrete_gather_bounds(src, idx)
   if _tuple_has_array(idx):
     if _tuple_has_bool(idx):
       # boolean inside a tuple: data-dependent shape → eager numpy

@@ -114,3 +114,17 @@ def test_static_int_index_bounds_raise(rng, cluster):
   assert x[..., 4].glom().shape == (4,)
   assert x[None, 2, :].glom().shape == (1, 5)
   assert x[1:99].glom().shape == (3, 5)
+
+
+def test_concrete_fancy_index_bounds_raise(rng, cluster):
+  """Concrete (host ndarray/list) gather indices out of range raise
+  IndexError at construction; Expr indices keep jax clamp semantics."""
+  x = sp.from_numpy(rng.standard_normal((4, 5)))
+  for bad in (lambda: x[np.array([0, 99])], lambda: x[[0, -9]],
+              lambda: x[np.array([1]), np.array([7])]):
+    with pytest.raises(IndexError, match="out of bounds"):
+      bad()
+  assert x[np.array([0, 3, -1])].glom().shape == (3, 5)
+  assert x[np.array([1, 2]), np.array([0, 4])].glom().shape == (2,)
+  # traced indices: no data-dependent errors under jit (documented)
+  assert x[sp.from_numpy(np.array([0, 1]))].glom().shape == (2, 5)
