@@ -37,6 +37,11 @@ def initialize(argv: Optional[List[str]] = None, mesh=None) -> None:
   global _initialized
   FLAGS.parse(argv)
   util.set_log_level(FLAGS.log_level)
+  if FLAGS.platform:
+    # config.update AFTER importing jax: plugin sitecustomize hooks
+    # (e.g. axon's TPU force-select) override the env var alone
+    import jax
+    jax.config.update("jax_platforms", FLAGS.platform)
   if FLAGS.multihost:
     import jax
     # multi-host SPMD: one controller per host, all devices in one mesh

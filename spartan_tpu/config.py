@@ -190,6 +190,10 @@ FLAGS.add(BoolFlag("float64_reductions", True,
                    "disable for TPU-speed f32 accumulation"))
 FLAGS.add(BoolFlag("profile_kernels", False, "time each compiled region"))
 FLAGS.add(IntFlag("log_level", 20, "python logging level (10=debug)"))
+FLAGS.add(StrFlag("platform", "",
+                  "force the jax backend (cpu/tpu/gpu) before mesh "
+                  "construction — wins over plugin sitecustomize hooks "
+                  "that ignore JAX_PLATFORMS; '' = ambient default"))
 FLAGS.add(BoolFlag("use_pallas", True,
                    "use Pallas kernels for hot ops on TPU backends"))
 FLAGS.add(IntFlag("max_expr_cache", 1024, "max cached compiled regions"))

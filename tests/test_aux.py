@@ -226,3 +226,10 @@ def test_bench_orchestrator_contract():
   assert rec.get("framework_verified") is True
   # the primary metric keys are always present (null when no c1 stage ran)
   assert set(rec) >= {"metric", "value", "unit", "vs_baseline"}
+
+
+def test_platform_flag_registered():
+  """--platform forces the jax backend in initialize (the plugin
+  sitecustomize override path); registration + default contract."""
+  from spartan_tpu.config import FLAGS
+  assert FLAGS.platform == "" or FLAGS.platform in ("cpu", "tpu", "gpu")
