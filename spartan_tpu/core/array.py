@@ -207,6 +207,22 @@ class SpartanArray:
   def __abs__(self):
     return self._lazy().__abs__()
 
+  def __invert__(self):
+    return self._lazy().__invert__()
+
+  def __array_ufunc__(self, ufunc, method, *inputs, **kwargs):
+    """numpy-left operands (``np_arr * arr``, ``np.sin(arr)``) dispatch
+    to the lazy layer like Expr does — without this, numpy would fall
+    back to ``__array__`` and silently gather the whole sharded array."""
+    from spartan_tpu.expr.base import Expr
+    mapped = tuple(i._lazy() if isinstance(i, SpartanArray) else i
+                   for i in inputs)
+    lead = next(i for i in mapped if isinstance(i, Expr))
+    return lead.__array_ufunc__(ufunc, method, *mapped, **kwargs)
+
+  # elementwise __eq__ (installed below) ⇒ unhashable, like np.ndarray/Expr
+  __hash__ = None
+
   def __getattr__(self, name):
     # whitelisted expr-method delegation (SpartanArray has __slots__, so
     # this only fires for genuinely missing attributes)
@@ -228,8 +244,8 @@ _EXPR_DELEGATES = frozenset([
 _BINOP_NAMES = [
     "add", "radd", "sub", "rsub", "mul", "rmul", "truediv", "rtruediv",
     "floordiv", "rfloordiv", "mod", "rmod", "pow", "rpow", "matmul",
-    "rmatmul", "lt", "le", "gt", "ge", "eq", "ne", "and", "rand", "or",
-    "ror", "xor", "rxor",
+    "lt", "le", "gt", "ge", "eq", "ne", "and", "rand", "or",
+    "ror", "xor", "rxor", "lshift", "rshift",
 ]
 
 

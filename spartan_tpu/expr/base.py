@@ -436,9 +436,9 @@ class Expr:
     from spartan_tpu.expr import builtins as B
     return B.mean(self, axis=axis, keepdims=keepdims)
 
-  def std(self, axis=None) -> "Expr":
+  def std(self, axis=None, ddof=0) -> "Expr":
     from spartan_tpu.expr import builtins as B
-    return B.std(self, axis=axis)
+    return B.std(self, axis=axis, ddof=ddof)
 
   def max(self, axis=None, keepdims=False) -> "Expr":
     from spartan_tpu.expr import builtins as B
@@ -474,9 +474,9 @@ class Expr:
 
   # -- ndarray-method parity (delegations; np users call methods) -----------
 
-  def var(self, axis=None) -> "Expr":
+  def var(self, axis=None, ddof=0) -> "Expr":
     from spartan_tpu.expr import builtins as B
-    return B.var(self, axis=axis)
+    return B.var(self, axis=axis, ddof=ddof)
 
   def cumsum(self, axis=None) -> "Expr":
     from spartan_tpu.expr import builtins as B

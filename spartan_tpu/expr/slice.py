@@ -142,60 +142,60 @@ def _tuple_has_bool(idx) -> bool:
   return False
 
 
-def _check_int_bounds(src, idx) -> None:
-  """numpy parity: STATIC integer indices out of range raise IndexError
-  at construction (jax would silently clamp at trace time)."""
+def _index_dims_consumed(p) -> int:
+  """How many axes of the source one index part consumes: bool scalars
+  and None add an axis (consume 0), a k-D boolean mask consumes k,
+  everything else consumes 1."""
+  if p is None or isinstance(p, (bool, np.bool_)):
+    return 0
+  if isinstance(p, (np.ndarray, list)):
+    arr = np.asarray(p)
+    if arr.dtype.kind == "b":
+      return arr.ndim
+  if isinstance(p, Expr):
+    try:
+      if np.dtype(p.dtype).kind == "b":
+        return p.ndim
+    except NotShapeable:
+      pass
+  return 1
+
+
+def _check_static_index_bounds(src, idx) -> None:
+  """numpy parity: STATIC (python int / host ndarray) integer indices
+  out of range raise IndexError at construction — jax alone silently
+  clamps at trace time.  Traced (Expr) indices keep clamp semantics (no
+  data-dependent errors under jit).  One walker covers basic and
+  advanced tuples so the two paths cannot drift (r3-s4 review)."""
   try:
     shape = lazify(src).shape
   except NotShapeable:
     return
   parts = idx if isinstance(idx, tuple) else (idx,)
-  n_real = sum(1 for p in parts if p is not None and p is not Ellipsis)
+  n_real = sum(_index_dims_consumed(p) for p in parts if p is not Ellipsis)
   dim = 0
   for p in parts:
-    if p is None:
-      continue
     if p is Ellipsis:
       dim += len(shape) - n_real
       continue
-    if isinstance(p, (int, np.integer)) and dim < len(shape):
+    consumed = _index_dims_consumed(p)
+    if consumed == 1 and dim < len(shape):
       d = shape[dim]
-      if not (-d <= int(p) < d):
-        raise IndexError(
-            f"index {int(p)} is out of bounds for axis {dim} with "
-            f"size {d}")
-    dim += 1
-
-
-def _check_concrete_gather_bounds(src, idx) -> None:
-  """numpy parity for CONCRETE (host numpy/list) integer-array indices:
-  out-of-range entries raise IndexError at construction.  Traced/Expr
-  indices keep jax's clamp semantics (no data-dependent errors under
-  jit)."""
-  try:
-    shape = lazify(src).shape
-  except NotShapeable:
-    return
-  parts = idx if isinstance(idx, tuple) else (idx,)
-  dim = 0
-  for p in parts:
-    if p is None:
-      continue
-    if p is Ellipsis:
-      n_real = sum(1 for q in parts if q is not None and q is not Ellipsis)
-      dim += len(shape) - n_real
-      continue
-    if isinstance(p, (np.ndarray, list)) and dim < len(shape):
-      arr = np.asarray(p)
-      if arr.dtype.kind in "iu" and arr.size:
-        d = shape[dim]
-        lo, hi = int(arr.min()), int(arr.max())
-        if lo < -d or hi >= d:
-          bad = lo if lo < -d else hi
+      if isinstance(p, (int, np.integer)):
+        if not (-d <= int(p) < d):
           raise IndexError(
-              f"index {bad} is out of bounds for axis {dim} with "
+              f"index {int(p)} is out of bounds for axis {dim} with "
               f"size {d}")
-    dim += 1
+      elif isinstance(p, (np.ndarray, list)):
+        arr = np.asarray(p)
+        if arr.dtype.kind in "iu" and arr.size:
+          lo, hi = int(arr.min()), int(arr.max())
+          if lo < -d or hi >= d:
+            bad = lo if lo < -d else hi
+            raise IndexError(
+                f"index {bad} is out of bounds for axis {dim} with "
+                f"size {d}")
+    dim += consumed
 
 
 def make_slice(src, idx) -> Expr:
@@ -203,10 +203,9 @@ def make_slice(src, idx) -> Expr:
   ``Expr.__getitem__``)."""
   if _is_bool_mask(idx):
     return BooleanMaskExpr(src, idx)
+  _check_static_index_bounds(src, idx)
   if _is_basic(idx):
-    _check_int_bounds(src, idx)
     return SliceExpr(src, idx)
-  _check_concrete_gather_bounds(src, idx)
   if _tuple_has_array(idx):
     if _tuple_has_bool(idx):
       # boolean inside a tuple: data-dependent shape → eager numpy

@@ -292,9 +292,12 @@ class KNeighborsClassifier:
     self.n_neighbors = n_neighbors
 
   def fit(self, X, y):
-    self._X = np.asarray(X)
-    self._y = np.asarray(y, dtype=np.int64)
-    self.classes_ = np.unique(self._y)
+    yn = np.asarray(y, dtype=np.int64)
+    self.classes_ = np.unique(yn)
+    # keep the train set device-resident: re-uploading the full matrix
+    # per predict() is seconds over a tunneled chip
+    self._X = _lazy(X).evaluate()
+    self._y = _lazy(yn).evaluate()
     return self
 
   def predict(self, X):

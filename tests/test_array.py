@@ -149,3 +149,24 @@ def test_spartan_array_lazy_reentry(rng, cluster):
       np.asarray(a.at[0, :].set(0.0).glom())[0], np.zeros(8))
   with pytest.raises(AttributeError):
     a.no_such_method
+
+
+def test_spartan_array_numpy_left_and_hash(rng, cluster):
+  """r3-s4 review: numpy-left operands dispatch lazily (no silent
+  full gather); elementwise eq ⇒ unhashable like np.ndarray/Expr;
+  shifts/invert re-enter the lazy layer; ddof flows through methods."""
+  an = rng.standard_normal((4, 5))
+  a = sp.from_numpy(an).evaluate()
+  r = np.ones((4, 5)) * a
+  assert not isinstance(r, np.ndarray)      # stayed lazy
+  np.testing.assert_allclose(np.asarray(np.sin(a).glom()), np.sin(an))
+  with pytest.raises(TypeError):
+    hash(a)
+  ia = sp.from_numpy(np.arange(4)).evaluate()
+  np.testing.assert_array_equal(np.asarray((ia << 2).glom()),
+                                np.arange(4) << 2)
+  np.testing.assert_array_equal(np.asarray((~ia).glom()), ~np.arange(4))
+  np.testing.assert_allclose(np.asarray(a.var(ddof=1).glom()),
+                             an.var(ddof=1), rtol=1e-12)
+  np.testing.assert_allclose(np.asarray(a.std(ddof=1).glom()),
+                             an.std(ddof=1), rtol=1e-12)

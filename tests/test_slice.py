@@ -128,3 +128,22 @@ def test_concrete_fancy_index_bounds_raise(rng, cluster):
   assert x[np.array([1, 2]), np.array([0, 4])].glom().shape == (2,)
   # traced indices: no data-dependent errors under jit (documented)
   assert x[sp.from_numpy(np.array([0, 1]))].glom().shape == (2, 5)
+
+
+def test_index_bounds_walker_regressions(rng, cluster):
+  """r3-s4 review: one walker covers scalar ints inside advanced
+  tuples, multi-dim bool masks consume their rank, bool scalars are
+  newaxis (never bounds-checked)."""
+  x = sp.from_numpy(np.arange(20.0).reshape(4, 5))
+  with pytest.raises(IndexError, match="out of bounds"):
+    x[np.array([1]), 7]
+  assert float(x[np.array([1]), 4].glom()) == 9.0
+  x3n = np.arange(120.0).reshape(4, 5, 6)
+  x3 = sp.from_numpy(x3n)
+  mask = np.zeros((4, 5), bool)
+  mask[0, 0] = mask[1, 2] = True
+  np.testing.assert_allclose(
+      np.asarray(x3[mask, np.array([5])].glom()),
+      x3n[mask, np.array([5])])
+  x1 = sp.from_numpy(np.arange(5.0).reshape(1, 5))
+  assert np.asarray(x1[True].glom()).shape == (1, 1, 5)
