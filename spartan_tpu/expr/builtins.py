@@ -222,7 +222,17 @@ def clip(v, a_min=None, a_max=None) -> Expr:
   return map([lazify(v)], jnp.clip, fn_kw={"min": a_min, "max": a_max})
 
 
-def where(cond, a, b) -> Expr:
+def where(cond, a=None, b=None) -> Expr:
+  if a is None and b is None:
+    # numpy 1-arg form: tuple of per-dim nonzero index arrays
+    # (data-dependent shape → host boundary, like nonzero)
+    from spartan_tpu.expr.fio import HostExpr
+    v = lazify(cond)
+    return tuple(HostExpr([v], functools.partial(
+        lambda i_, x: np.nonzero(x)[i_], i))
+        for i in _py.range(_py.max(v.ndim, 1)))
+  if a is None or b is None:
+    raise ValueError("either both or neither of x and y should be given")
   return map([lazify(cond), lazify(a), lazify(b)], jnp.where)
 
 
@@ -268,12 +278,12 @@ def min(v, axis=None, keepdims=False) -> Expr:
   return reduce_mod.reduce(v, "min", axis=axis, keepdims=keepdims)
 
 
-def argmax(v, axis=None) -> Expr:
-  return reduce_mod.reduce(v, "argmax", axis=axis)
+def argmax(v, axis=None, keepdims=False) -> Expr:
+  return reduce_mod.reduce(v, "argmax", axis=axis, keepdims=keepdims)
 
 
-def argmin(v, axis=None) -> Expr:
-  return reduce_mod.reduce(v, "argmin", axis=axis)
+def argmin(v, axis=None, keepdims=False) -> Expr:
+  return reduce_mod.reduce(v, "argmin", axis=axis, keepdims=keepdims)
 
 
 def all(v, axis=None) -> Expr:

@@ -207,9 +207,9 @@ class ReduceExpr(Expr):
     if op == "min":
       return jnp.min(x, axis=axis, keepdims=keepdims)
     if op == "argmax":
-      return jnp.argmax(x, axis=axis)
+      return jnp.argmax(x, axis=axis, keepdims=keepdims)
     if op == "argmin":
-      return jnp.argmin(x, axis=axis)
+      return jnp.argmin(x, axis=axis, keepdims=keepdims)
     if op == "all":
       return jnp.all(x, axis=axis, keepdims=keepdims)
     if op == "any":

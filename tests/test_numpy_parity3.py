@@ -534,3 +534,21 @@ def test_histogram_weights_density(rng, cluster):
     got = np.asarray(sp.histogram(_f(x), bins=7, **skw).glom())
     want = np.histogram(x, bins=7, **kw)[0]
     np.testing.assert_allclose(got, want, rtol=1e-10, atol=1e-12)
+
+
+def test_where_one_arg_and_arg_keepdims(rng, cluster):
+  a = rng.standard_normal((4, 6))
+  ri, ci = sp.where(_f(a) > 0.5)
+  nri, nci = np.where(a > 0.5)
+  np.testing.assert_array_equal(np.asarray(ri.glom()), nri)
+  np.testing.assert_array_equal(np.asarray(ci.glom()), nci)
+  (oi,) = sp.where(_f(a[0]) > 0)
+  np.testing.assert_array_equal(np.asarray(oi.glom()), np.where(a[0] > 0)[0])
+  with pytest.raises(ValueError):
+    sp.where(_f(a) > 0, 1.0)
+  np.testing.assert_array_equal(
+      np.asarray(sp.argmax(_f(a), axis=1, keepdims=True).glom()),
+      np.argmax(a, axis=1, keepdims=True))
+  np.testing.assert_array_equal(
+      np.asarray(sp.argmin(_f(a), axis=0, keepdims=True).glom()),
+      np.argmin(a, axis=0, keepdims=True))
