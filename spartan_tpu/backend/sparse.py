@@ -400,9 +400,13 @@ def from_scipy(mat, dtype=None) -> SparseArray:
   cols = np.zeros((n, max_nnz), dtype=np.int32)
   vals = np.zeros((n, max_nnz), dtype=dtype or csr.dtype)
   if csr.nnz:
-    # vectorized ELL fill (a python per-row loop is seconds at 1M rows)
-    row_idx = np.repeat(np.arange(n), counts)
-    pos_in_row = np.arange(csr.nnz) - np.repeat(csr.indptr[:-1], counts)
+    # vectorized ELL fill (a python per-row loop is seconds at 1M rows);
+    # int32 temporaries: ingest of a FRESH matrix is first-touch
+    # page-fault bound on microVM hosts, so temp bytes ≈ wall time
+    idt = np.int32 if csr.nnz < 2**31 and n < 2**31 else np.int64
+    row_idx = np.repeat(np.arange(n, dtype=idt), counts)
+    pos_in_row = (np.arange(csr.nnz, dtype=idt)
+                  - np.repeat(csr.indptr[:-1].astype(idt), counts))
     cols[row_idx, pos_in_row] = csr.indices
     vals[row_idx, pos_in_row] = csr.data
   return SparseArray(jnp.asarray(cols), jnp.asarray(vals), (n, m),
