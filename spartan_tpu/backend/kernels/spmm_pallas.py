@@ -69,10 +69,12 @@ class WindowedSpMM:
   """Host-packed chunks for :func:`windowed_spmm_traced` (one-time per
   matrix)."""
 
-  def __init__(self, rb, win, init, cols_lo, rows_lo, vals, shape, nnz):
+  def __init__(self, rb, win, init, cols_lo, rows_lo, vals, shape, nnz,
+               fill_override=None):
     self.rb, self.win, self.init = rb, win, init
     self.cols_lo, self.rows_lo, self.vals = cols_lo, rows_lo, vals
     self.shape, self.nnz = shape, nnz
+    self._fill_override = fill_override
     self._dev = None
 
   def device_arrays(self):
@@ -88,6 +90,8 @@ class WindowedSpMM:
 
   @property
   def fill(self):
+    if self._fill_override is not None:
+      return self._fill_override
     return self.nnz / max(self.n_steps * _STRIPS * _LANES, 1)
 
 
@@ -100,21 +104,31 @@ def pack_windowed_spmm(sp_csr) -> WindowedSpMM:
   per step), so a run's strip count is padded to a multiple of 8."""
   coo = sp_csr.tocoo()
   n, m = coo.shape
-  r = coo.row.astype(np.int64)
-  c = coo.col.astype(np.int64)
+  # int32 temps + one composite-key argsort: fresh-matrix packing is
+  # first-touch page-fault bound on microVM hosts (see pack_windowed)
+  idt = np.int32 if (coo.nnz < 2**31 and max(n, m) < 2**31) else np.int64
+  r = coo.row.astype(idt)
+  c = coo.col.astype(idt)
   v = coo.data.astype(np.float32)
   rb = r // _RB
   win = c // _WIN
-  order = np.lexsort((c, win, rb))
+  n_win_k = (int(win.max()) + 1) if len(win) else 1
+  n_rb_k = (int(rb.max()) + 1) if len(rb) else 1
+  if len(r) and float(n_rb_k) * n_win_k * m < 2**62:
+    order = np.argsort((rb.astype(np.int64) * n_win_k + win) * m + c,
+                       kind="stable")
+  else:
+    order = np.lexsort((c, win, rb))
   r, c, v, rb, win = r[order], c[order], v[order], rb[order], win[order]
 
   n_rb = max(-(-n // _RB), 1)
   if len(r):
-    key_g = rb * (max(int(win.max()), 0) + 2) + win
+    key_g = rb.astype(np.int64) * (max(int(win.max()), 0) + 2) + win
     new_g = np.concatenate([[True], np.diff(key_g) != 0])
-    g_starts = np.nonzero(new_g)[0]
-    g_sizes = np.diff(np.concatenate([g_starts, [len(r)]]))
-    pos = np.arange(len(r)) - np.repeat(g_starts, g_sizes)
+    g_starts = np.nonzero(new_g)[0].astype(idt)
+    g_sizes = np.diff(np.concatenate([g_starts,
+                                      np.asarray([len(r)], idt)]))
+    pos = np.arange(len(r), dtype=idt) - np.repeat(g_starts, g_sizes)
     # strips per (rb, win) run, padded to a multiple of _STRIPS so every
     # step holds strips of ONE run (one shared window per step)
     strips_per_run = -(-g_sizes // _LANES)
@@ -129,6 +143,18 @@ def pack_windowed_spmm(sp_csr) -> WindowedSpMM:
     run_win = np.zeros(0, np.int32)
 
   s_n = max(int(steps_per_run.sum()), 1)
+  fill_est = coo.nnz / (s_n * _STRIPS * _LANES)
+  if coo.nnz and fill_est < 0.02:
+    # ultra-sparse: nearly every (rb, win) run holds a handful of
+    # entries, so the padded strip layout would allocate ~nnz/fill
+    # stored slots (measured: minutes of first-touch page faults before
+    # the fill gate could even reject the pack).  Return a metadata-only
+    # pack; every caller gates on .fill and falls back to XLA.
+    z2 = np.zeros((_STRIPS, _LANES), np.int32)
+    return WindowedSpMM(np.zeros(1, np.int32), np.zeros(1, np.int32),
+                        np.ones(1, np.int32), z2, z2,
+                        np.zeros((_STRIPS, _LANES), np.float32),
+                        (n, m), int(coo.nnz), fill_override=fill_est)
   step_off_run = np.concatenate([[0], np.cumsum(steps_per_run)[:-1]])
   cols_lo = np.zeros((s_n * _STRIPS, _LANES), np.int32)
   rows_lo = np.zeros((s_n * _STRIPS, _LANES), np.int32)
@@ -272,11 +298,12 @@ class ShardedWindowedSpMM:
   """Per-shard stacked chunk arrays (leading dim = shard)."""
 
   def __init__(self, rb, win, init, cols_lo, rows_lo, vals, shape,
-               n_shards, rb_per, nnz):
+               n_shards, rb_per, nnz, fill_override=None):
     self.rb, self.win, self.init = rb, win, init
     self.cols_lo, self.rows_lo, self.vals = cols_lo, rows_lo, vals
     self.shape, self.n_shards, self.rb_per = shape, n_shards, rb_per
     self.nnz = nnz
+    self._fill_override = fill_override
     self._dev = None
 
   @property
@@ -285,6 +312,8 @@ class ShardedWindowedSpMM:
 
   @property
   def fill(self):
+    if self._fill_override is not None:
+      return self._fill_override
     return self.nnz / max(self.rb.shape[0] * self.steps_per_shard
                           * _STRIPS * _LANES, 1)
 
@@ -312,24 +341,39 @@ def pack_windowed_spmm_sharded(sp_csr, n_shards: int) -> ShardedWindowedSpMM:
     packs.append(pack_windowed_spmm(sub))
   s_max = max(p.n_steps for p in packs)
 
-  def pad_steps(p):
-    extra = s_max - p.n_steps
-    if extra == 0:
-      return p
-    rb = np.concatenate([p.rb, np.full(extra, rb_per - 1, np.int32)])
-    win = np.concatenate([p.win, np.zeros(extra, np.int32)])
-    init = np.concatenate([p.init, np.zeros(extra, np.int32)])
-    z = lambda a: np.concatenate(  # noqa: E731
-        [a, np.zeros((extra * _STRIPS, _LANES), a.dtype)])
-    return WindowedSpMM(rb, win, init, z(p.cols_lo), z(p.rows_lo),
-                        z(p.vals), p.shape, p.nnz)
+  sentinels = [p._fill_override for p in packs
+               if p._fill_override is not None]
+  if sentinels:
+    # some shard was ultra-sparse (metadata-only pack) — the whole
+    # sharded pack is ineligible; report an honest (gate-failing) fill
+    z3 = np.zeros((n_shards, _STRIPS, _LANES), np.int32)
+    return ShardedWindowedSpMM(
+        np.zeros((n_shards, 1), np.int32), np.zeros((n_shards, 1),
+                                                    np.int32),
+        np.ones((n_shards, 1), np.int32), z3, z3,
+        np.zeros((n_shards, _STRIPS, _LANES), np.float32),
+        (n, m), n_shards, rb_per, int(csr.nnz),
+        fill_override=min(sentinels))
 
-  packs = [pad_steps(p) for p in packs]
-  stack = lambda f: np.stack([f(p) for p in packs])  # noqa: E731
+  # write each shard's pack into a preallocated stack (the pad-concat +
+  # np.stack shape double-copied every array — first-touch page-fault
+  # bound; see pack_windowed_sharded)
+  rb_o = np.full((n_shards, s_max), rb_per - 1, np.int32)
+  win_o = np.zeros((n_shards, s_max), np.int32)
+  init_o = np.zeros((n_shards, s_max), np.int32)
+  cols_o = np.zeros((n_shards, s_max * _STRIPS, _LANES), np.int32)
+  rows_o = np.zeros((n_shards, s_max * _STRIPS, _LANES), np.int32)
+  vals_o = np.zeros((n_shards, s_max * _STRIPS, _LANES), np.float32)
+  for d, p in enumerate(packs):
+    k = p.n_steps
+    rb_o[d, :k] = p.rb
+    win_o[d, :k] = p.win
+    init_o[d, :k] = p.init
+    cols_o[d, :k * _STRIPS] = p.cols_lo
+    rows_o[d, :k * _STRIPS] = p.rows_lo
+    vals_o[d, :k * _STRIPS] = p.vals
   return ShardedWindowedSpMM(
-      stack(lambda p: p.rb), stack(lambda p: p.win),
-      stack(lambda p: p.init), stack(lambda p: p.cols_lo),
-      stack(lambda p: p.rows_lo), stack(lambda p: p.vals),
+      rb_o, win_o, init_o, cols_o, rows_o, vals_o,
       (n, m), n_shards, rb_per, int(csr.nnz))
 
 
