@@ -22,7 +22,7 @@ from spartan_tpu import util
 from spartan_tpu.core import (TileExtent, Tiling, SpartanArray, get_mesh,
                               make_mesh, set_default_mesh, with_mesh)
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 _initialized = False
 
