@@ -137,7 +137,7 @@ def test_index_bounds_walker_regressions(rng, cluster):
   x = sp.from_numpy(np.arange(20.0).reshape(4, 5))
   with pytest.raises(IndexError, match="out of bounds"):
     x[np.array([1]), 7]
-  assert float(x[np.array([1]), 4].glom()) == 9.0
+  assert float(np.asarray(x[np.array([1]), 4].glom()).item()) == 9.0
   x3n = np.arange(120.0).reshape(4, 5, 6)
   x3 = sp.from_numpy(x3n)
   mask = np.zeros((4, 5), bool)
