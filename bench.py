@@ -64,6 +64,24 @@ def _stamp(msg: str) -> None:
   print(f"[bench +{time.time() - _T0:7.1f}s] {msg}", file=sys.stderr)
 
 
+# Phase attribution (VERDICT r3 weak #1): a stalled capture used to show
+# "stage start at +0.0s, death at +440s" with nothing between — chip-claim
+# stalls, service-session stalls, and compile stalls were
+# indistinguishable.  The worker emits one JSON event per phase boundary;
+# the orchestrator folds them into ``bench_diag.phases`` so even a killed
+# worker leaves an attributable trail.
+_PHASE_MODE = [False]   # worker-only: emit JSON phase events on stdout
+_CUR_STAGE = [""]
+
+
+def _phase(name: str) -> None:
+  _stamp(f"phase: {name}")
+  if _PHASE_MODE[0]:
+    tag = f"{_CUR_STAGE[0]}:{name}" if _CUR_STAGE[0] else name
+    print(json.dumps({"event": "phase", "phase": tag,
+                      "t": round(time.time() - _T0, 1)}), flush=True)
+
+
 def _lookup(device, table, default) -> float:
   kind = getattr(device, "device_kind", "cpu").lower()
   for key, v in table.items():
@@ -84,8 +102,10 @@ def _ensure_init() -> None:
   global _INITIALIZED
   if not _INITIALIZED:
     import spartan_tpu as sp
-    sp.initialize(["--log_level=40"])
+    _phase("imports-done")
+    sp.initialize(["--log_level=40"])  # first backend use = chip claim
     _INITIALIZED = True
+    _phase("backend-init-done(chip-claimed)")
 
 
 def _slope_time(make_loop, k_lo: int = 8, k_hi: int = 40,
@@ -104,7 +124,7 @@ def _slope_time(make_loop, k_lo: int = 8, k_hi: int = 40,
   lo, hi = make_loop(k_lo), make_loop(k_hi)
   _sync(lo())
   _sync(hi())  # same compiled program, different k operand
-  _stamp("compiled + warm")
+  _phase("loop-compiled+warm")
   t_lo, t_hi = [], []
   for _ in range(reps):
     t0 = time.perf_counter()
@@ -114,6 +134,7 @@ def _slope_time(make_loop, k_lo: int = 8, k_hi: int = 40,
     _sync(hi())
     t_hi.append(time.perf_counter() - t0)
   slope = (min(t_hi) - min(t_lo)) / (k_hi - k_lo)
+  _phase("measured")
   return slope, min(t_lo), min(t_hi)
 
 
@@ -131,7 +152,7 @@ def bench_elementwise_reduce(n: int = 16384):
   b = jax.jit(lambda: jax.random.uniform(
       jax.random.key(0), (n, n), jnp.float32))()
   jax.block_until_ready(b)
-  _stamp(f"data on device ({n}^2)")
+  _phase(f"data-on-device({n}^2,first-service-request-done)")
 
   @jax.jit
   def loop(b, k):
@@ -254,6 +275,7 @@ def _fori_slope_ms(run_fn, sync_result, k_lo: int, k_hi: int,
   two iteration counts — same methodology as :func:`_slope_time`)."""
   sync_result(run_fn(k_lo))
   sync_result(run_fn(k_hi))
+  _phase("loop-compiled+warm")
   t_lo, t_hi = [], []
   for _ in range(reps):
     t0 = time.perf_counter()
@@ -262,6 +284,7 @@ def _fori_slope_ms(run_fn, sync_result, k_lo: int, k_hi: int,
     t0 = time.perf_counter()
     sync_result(run_fn(k_hi))
     t_hi.append(time.perf_counter() - t0)
+  _phase("measured")
   return max((min(t_hi) - min(t_lo)) / (k_hi - k_lo), 0.0) * 1e3
 
 
@@ -451,11 +474,14 @@ def worker_main(stage_names, timeouts) -> int:
     import jax
     jax.config.update("jax_platforms", "cpu")
   signal.signal(signal.SIGALRM, _on_alarm)
+  _PHASE_MODE[0] = True
+  _phase("worker-start")
   _enable_compile_cache()
   consecutive_stalls = 0
   for idx, (name, tmo) in enumerate(zip(stage_names, timeouts)):
     t0 = time.time()
     _stamp(f"stage '{name}' start (deadline {tmo}s)")
+    _CUR_STAGE[0] = name
     signal.alarm(max(int(tmo), 10))
     try:
       metrics = STAGES[name]()
@@ -547,6 +573,7 @@ def main():
   completed = {}      # stage -> metrics dict
   hard_failed = {}    # stage -> error string (exceptions: don't retry)
   stalled = []        # stages that hit a deadline (retry once)
+  phases = []         # worker phase events: [phase, worker_t, arrival_t]
   emitted = []
   proc_box = [None]
 
@@ -571,7 +598,13 @@ def main():
           f"{len(stalled)} stalled stage attempts; warm-cache runs "
           "complete in <60s/stage (see BASELINE.md)")
     diag = {"completed": list(completed), "stalled": stalled,
-            "failed": hard_failed, "elapsed_s": round(time.time() - _T0, 1)}
+            "failed": hard_failed, "elapsed_s": round(time.time() - _T0, 1),
+            # phase trail (VERDICT r3 weak #1): [name, worker+t, orch+t] —
+            # a stalled run shows exactly which boundary was never crossed
+            # (no worker-start → spawn problem; no backend-init → chip
+            # claim; no data-on-device → first service request/compile;
+            # no loop-compiled → stage compile; no measured → measurement)
+            "phases": phases[:80]}
     result["bench_diag"] = diag
     return result
 
@@ -654,6 +687,10 @@ def main():
         rec = json.loads(line)
       except ValueError:
         _stamp(f"unparseable worker line: {line[:120]}")
+        continue
+      if rec.get("event") == "phase":
+        phases.append([rec.get("phase"), rec.get("t"),
+                       round(time.time() - _T0, 1)])
         continue
       if "stage" not in rec:
         continue  # worker-exit event etc.

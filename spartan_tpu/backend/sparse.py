@@ -684,6 +684,7 @@ def spmv(A, x, use_pallas: Optional[bool] = None) -> jax.Array:
   from spartan_tpu.config import FLAGS
   on_cpu = jax.devices()[0].platform == "cpu"
   if (xj.dtype != jnp.float64
+      and use_pallas is not False  # explicit opt-out keeps the XLA gather
       and not (FLAGS.sparse_force_onehot or FLAGS.sparse_force_windowed)
       and _dense_routable(A, spmv=True)):
     # densified MXU route (r3): past ~8e-3 density the dense matvec's

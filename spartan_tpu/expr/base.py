@@ -105,6 +105,15 @@ def _pin_id(obj: Any) -> int:
       _id_pins.clear()
       _id_pin_bytes[0] = 0
       _aval_cache.clear()
+      # fn_key/plan caches can embed _safe_repr id-strings (via
+      # __defaults__/co_consts arrays) — flush them too, or a recycled id
+      # could alias two different kernels (ADVICE r3)
+      _fn_key_cache.clear()
+      try:
+        from spartan_tpu.expr.optimize import SmartTiling as _ST
+        _ST._plan_cache.clear()
+      except Exception:
+        pass
       try:
         from spartan_tpu.backend import evaluator as _ev
         _ev.clear_cache()
@@ -842,10 +851,44 @@ class _AtRef:
   def __init__(self, e: "Expr", idx):
     self._e, self._idx = e, idx
 
+  @staticmethod
+  def _is_bool_index(i) -> bool:
+    if isinstance(i, (Expr, np.ndarray)):
+      return np.dtype(getattr(i, "dtype", None)) == np.bool_
+    if isinstance(i, list):
+      return bool(i) and all(isinstance(x, (bool, np.bool_)) for x in i)
+    return False
+
+  def _bool_mask_update(self, mask, v, reducer):
+    """``E.at[mask].<op>(v)`` via ``where`` (scalar/broadcastable v only;
+    jax rejects traced boolean advanced indices in scatters)."""
+    from spartan_tpu.expr import builtins as B
+    dst = self._e
+    mask = lazify(mask)
+    if mask.ndim > dst.ndim:
+      raise IndexError(
+          f".at boolean mask has {mask.ndim} dims; array has {dst.ndim}")
+    if mask.ndim < dst.ndim:
+      # numpy semantics: the mask consumes LEADING axes
+      mask = B.reshape(mask, tuple(mask.shape) + (1,) * (dst.ndim - mask.ndim))
+    v = lazify(v)
+    if reducer is None or reducer == "set":
+      return B.where(mask, v, dst)
+    ops = {np.add: lambda d, s: d + s, np.multiply: lambda d, s: d * s,
+           np.maximum: B.maximum, np.minimum: B.minimum}
+    for k, f in ops.items():
+      if reducer is k or reducer == getattr(k, "__name__", None):
+        return B.where(mask, f(dst, v), dst)
+    raise NotImplementedError(f".at[bool_mask] with reducer {reducer!r}")
+
   def _go(self, v, reducer):
     from spartan_tpu.expr import write as W
     idx = self._idx
     if isinstance(idx, (Expr, np.ndarray, list)):
+      if self._is_bool_index(idx):
+        # boolean-mask update: jax scatters reject traced bool indices,
+        # so lower to a where() (ADVICE r3 — used to fail opaquely at eval)
+        return self._bool_mask_update(idx, v, reducer)
       # integer-array scatter: indices are DATA (an input), not a param
       return W.ScatterAssignExpr(self._e, idx, v, reducer)
     if isinstance(idx, tuple) and any(
@@ -858,14 +901,35 @@ class _AtRef:
         raise NotImplementedError(
             "mixed slice/array advanced .at indexing is not supported — "
             "use sp.write for region updates or flat indices for scatter")
+      if any(self._is_bool_index(i) for i in idx):
+        raise NotImplementedError(
+            "boolean masks inside multi-axis .at indexing are not "
+            "supported — use a single full-shape mask or integer indices")
       from spartan_tpu.expr import builtins as B
       shape = tuple(self._e.shape)
-      strides = np.cumprod((1,) + shape[:0:-1])[::-1]
+      k = len(idx)
+      if k > self._e.ndim:
+        raise IndexError(
+            f".at received {k} indices for a {self._e.ndim}-d array")
+      # partial advanced indexing (k < ndim) scatters whole trailing
+      # slices: linearize the k LEADING axes only and scatter rows of the
+      # (prod(leading), *trailing) view (ADVICE r3 — used to silently
+      # write single elements)
+      lead, trail = shape[:k], shape[k:]
+      strides = np.cumprod((1,) + lead[:0:-1])[::-1]
       flat = None
       for d, i in enumerate(idx):
-        term = lazify(i) * int(strides[d])
-        flat = term if flat is None else flat + term
-      out = W.ScatterAssignExpr(B.ravel(self._e), flat, v, reducer)
+        # normalize negative indices per-axis BEFORE linearizing (numpy
+        # semantics; ADVICE r3 — raw idx*stride sums mapped (1,-1)→(0,3))
+        if isinstance(i, (int, np.integer)):
+          norm = lazify(int(i) % lead[d])
+        else:
+          norm = lazify(i) % lead[d]
+        flat = norm * int(strides[d]) if flat is None else (
+            flat + norm * int(strides[d]))
+      dst = (B.ravel(self._e) if not trail
+             else B.reshape(self._e, (int(np.prod(lead)),) + trail))
+      out = W.ScatterAssignExpr(dst, flat, v, reducer)
       return B.reshape(out, shape)
     return W.WriteArrayExpr(self._e, idx, v, reducer)
 

@@ -233,3 +233,22 @@ def test_platform_flag_registered():
   sitecustomize override path); registration + default contract."""
   from spartan_tpu.config import FLAGS
   assert FLAGS.platform == "" or FLAGS.platform in ("cpu", "tpu", "gpu")
+
+
+def test_pin_flush_clears_fn_key_cache():
+  """ADVICE r3: the _pin_id overflow flush must clear _fn_key_cache and
+  the SmartTiling plan cache too — retained entries can embed recycled
+  id-strings and alias two different kernels."""
+  from spartan_tpu.expr import base as B
+  from spartan_tpu.expr.optimize import SmartTiling
+
+  B.fn_key(lambda x: x + 1)
+  assert B._fn_key_cache
+  SmartTiling._plan_cache["__probe__"] = None
+
+  class Big:
+    nbytes = B._ID_PIN_BYTE_LIMIT + 1
+
+  B._pin_id(Big())
+  assert not B._fn_key_cache
+  assert "__probe__" not in SmartTiling._plan_cache

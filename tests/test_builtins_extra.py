@@ -582,3 +582,60 @@ def test_review_fixes_r3s3(rng, cluster):
   # 8. ufunc dispatch propagates construction errors (no silent gather)
   with np.testing.assert_raises(Exception):
     np.add(np.ones((3, 5)), sp.from_numpy(base)).glom()
+
+
+def test_at_advanced_indexing_numpy_parity(rng, cluster):
+  """ADVICE r3: negative indices, partial indexing, bool masks in .at[]."""
+  # 1. negative indices in multi-axis scatter normalize per axis
+  base = rng.standard_normal((2, 4))
+  got = np.asarray(sp.from_numpy(base).at[
+      np.array([1]), np.array([-1])].set(9.0).glom())
+  want = base.copy()
+  want[1, -1] = 9.0
+  np.testing.assert_allclose(got, want, rtol=1e-12)
+  # 2. partial advanced indexing scatters whole trailing slices
+  base3 = rng.standard_normal((2, 3, 4))
+  got = np.asarray(sp.from_numpy(base3).at[
+      np.array([0]), np.array([1])].set(7.0).glom())
+  want = base3.copy()
+  want[np.array([0]), np.array([1])] = 7.0
+  np.testing.assert_allclose(got, want, rtol=1e-12)
+  # ...with add + duplicates (scatter-add over rows)
+  rows = np.array([0, 1, 0])
+  ups = rng.standard_normal((3, 3, 4))
+  got = np.asarray(sp.from_numpy(base3).at[rows].add(
+      sp.from_numpy(ups)).glom())
+  want = base3.copy()
+  np.add.at(want, rows, ups)
+  np.testing.assert_allclose(got, want, rtol=1e-12)
+  # ...mixed int + negative array index
+  base = rng.standard_normal((3, 5))
+  got = np.asarray(sp.from_numpy(base).at[-1, np.array([0, -2])].add(
+      2.0).glom())
+  want = base.copy()
+  np.add.at(want, (-1, np.array([0, -2])), 2.0)
+  np.testing.assert_allclose(got, want, rtol=1e-12)
+  # 3. too many indices raise IndexError at construction
+  with np.testing.assert_raises(IndexError):
+    sp.from_numpy(base).at[np.array([0]), np.array([0]), np.array([0])].set(1)
+  # 4. boolean-mask .at updates (full mask, scalar + broadcast values)
+  mask = base > 0
+  got = np.asarray(sp.from_numpy(base).at[mask].set(0.0).glom())
+  want = base.copy()
+  want[mask] = 0.0
+  np.testing.assert_allclose(got, want, rtol=1e-12)
+  got = np.asarray(sp.from_numpy(base).at[mask].add(1.5).glom())
+  want = base.copy()
+  want[mask] += 1.5
+  np.testing.assert_allclose(got, want, rtol=1e-12)
+  # ...leading-axes (partial) bool mask selects whole rows
+  rmask = np.array([True, False, True])
+  got = np.asarray(sp.from_numpy(base).at[rmask].mul(3.0).glom())
+  want = base.copy()
+  want[rmask] *= 3.0
+  np.testing.assert_allclose(got, want, rtol=1e-12)
+  # ...max/min reducers
+  got = np.asarray(sp.from_numpy(base).at[mask].max(0.5).glom())
+  want = base.copy()
+  np.maximum.at(want, mask, 0.5)
+  np.testing.assert_allclose(got, want, rtol=1e-12)

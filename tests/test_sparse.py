@@ -1032,3 +1032,34 @@ def test_scipy_style_surface(rng, cluster):
   assert S.copy() is not S and S.copy().nnz == S.nnz
   assert (S.tocsr() != M).nnz == 0
   assert S.tocoo().shape == M.shape
+
+
+def test_spmv_use_pallas_false_skips_dense_route(rng):
+  """ADVICE r3: an explicit use_pallas=False must keep the XLA-faithful
+  gather formulation — not silently take the densified MXU route."""
+  from spartan_tpu.config import FLAGS
+
+  A = ss.random(300, 300, density=0.05,
+                random_state=np.random.RandomState(7), format="csr",
+                dtype=np.float32)
+  S = sps.from_scipy(A, dtype=np.float32)
+  x = rng.standard_normal(300).astype(np.float32)
+  want = A @ x
+
+  old = FLAGS.sparse_force_dense
+  FLAGS.sparse_force_dense = True
+  try:
+    calls = []
+    orig = type(S).to_densified
+    type(S).to_densified = lambda self: calls.append(1) or orig(self)
+    try:
+      got = np.asarray(sps.spmv(S, x, use_pallas=False))
+      assert not calls, "use_pallas=False took the densified route"
+      got_dense = np.asarray(sps.spmv(S, x))
+      assert calls, "default route should densify under sparse_force_dense"
+    finally:
+      type(S).to_densified = orig
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=1e-5)
+    np.testing.assert_allclose(got_dense, want, rtol=2e-5, atol=1e-5)
+  finally:
+    FLAGS.sparse_force_dense = old
