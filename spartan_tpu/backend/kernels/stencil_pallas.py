@@ -106,3 +106,171 @@ def stencil3x3(x: jax.Array, coeffs: Sequence[float],
       ],
       interpret=interpret,
   )(xp)
+
+
+# ---------------------------------------------------------------------------
+# Pre-padded STORAGE stencil (VERDICT r3 next #3).
+#
+# The one-shot kernel above pays a full extra HBM pass for its per-call
+# ``jnp.pad`` (measured: pad-pass caps it at ~293-303 GB/s vs the 592-660
+# GB/s r+w streaming roofline — BASELINE.md stencil campaign).  Iterative
+# stencil workloads (heat / Jacobi / poisson) apply the SAME stencil many
+# times, so the fix is to keep the state IN padded space between steps:
+#
+#   layout: (8 + n + 8, 128 + m + 128), interior at [8:8+n, 128:128+m],
+#   pad ring all zeros (zero/Dirichlet boundary).  8/128 top/left pads
+#   make every DMA offset land on Mosaic's (8,128) tile grid.
+#
+# Each application is then ONE streaming pass: row-slab in-DMA (slab+halo
+# rows, full padded width), nine shifted FMAs on the VPU, interior-only
+# out-DMA.  The output buffer is ALIASED to a caller-provided scratch
+# buffer whose pad ring is already zero (``input_output_aliases``), so
+# the pads are never rewritten and the boundary stays exact.  Read
+# amplification is (bm+16)/bm rows x (m+256)/m cols ~ 1.1x; no pad pass.
+#
+# The iteration loop stays whole-program (unrolled k inside one jit,
+# ping-ponging the two buffers) — a big-array fori_loop carry feeding a
+# pallas_call input hard-stalls this toolchain (CLAUDE.md parked item).
+# ---------------------------------------------------------------------------
+
+PAD_R, PAD_C = 8, 128
+
+
+def _kernel_padded(coeffs, bm, n, m, x_ref, ob_ref, o_ref,
+                   in_scr, out_scr, in_sems, out_sems):
+  del ob_ref  # the aliased scratch buffer is written via o_ref only
+  i = pl.program_id(0)
+  nsteps = pl.num_programs(0)
+  slot = i % 2
+  nxt = (i + 1) % 2
+
+  def in_dma(s, bi):
+    # slab = output rows [8+bi*bm, 8+bi*bm+bm) plus 1 halo row each side,
+    # aligned down/up to the 8-row tile: rows [bi*bm, bi*bm+bm+16), full
+    # padded width (the 128-col pads carry the lane halo for free)
+    return pltpu.make_async_copy(
+        x_ref.at[pl.ds(bi * bm, bm + 2 * PAD_R)], in_scr.at[s],
+        in_sems.at[s])
+
+  def out_dma(s, bi):
+    return pltpu.make_async_copy(
+        out_scr.at[s],
+        o_ref.at[pl.ds(PAD_R + bi * bm, bm), pl.ds(PAD_C, m)],
+        out_sems.at[s])
+
+  @pl.when(i == 0)
+  def _():
+    in_dma(slot, i).start()
+
+  @pl.when(i + 1 < nsteps)
+  def _():
+    in_dma(nxt, i + 1).start()
+
+  in_dma(slot, i).wait()
+
+  # this slot's out-DMA from two steps ago must land before we overwrite
+  @pl.when(i >= 2)
+  def _():
+    out_dma(slot, i - 2).wait()
+
+  # output element (r,c) of this slab is global (8+i*bm+r, 128+c); slab
+  # starts at global row i*bm, so its stencil taps are slab rows 7+di+r,
+  # cols 127+dj+c (static strided slices — Mosaic-safe)
+  acc = jnp.zeros((bm, m), x_ref.dtype)
+  for di in range(3):
+    for dj in range(3):
+      c = coeffs[di * 3 + dj]
+      if c == 0.0:
+        continue
+      acc = acc + c * in_scr[slot, PAD_R - 1 + di:PAD_R - 1 + di + bm,
+                             PAD_C - 1 + dj:PAD_C - 1 + dj + m]
+  out_scr[slot] = acc
+  out_dma(slot, i).start()
+
+  @pl.when(i == nsteps - 1)
+  def _():
+    out_dma(slot, i).wait()
+
+  @pl.when((i == nsteps - 1) & (nsteps > 1))
+  def _():
+    out_dma(nxt, i - 1).wait()
+
+
+def padded_shape(n: int, m: int):
+  return (n + 2 * PAD_R, m + 2 * PAD_C)
+
+
+def to_padded(x: jax.Array) -> jax.Array:
+  """Lift (n, m) into the padded-storage layout (one-time cost)."""
+  return jnp.pad(x, ((PAD_R, PAD_R), (PAD_C, PAD_C)))
+
+
+def from_padded(xp: jax.Array) -> jax.Array:
+  return xp[PAD_R:xp.shape[0] - PAD_R, PAD_C:xp.shape[1] - PAD_C]
+
+
+def _pick_bm_padded(n: int, m: int, itemsize: int,
+                    budget: int = 11 << 20) -> int:
+  """Largest 8-aligned divisor of n whose double-buffered slabs + out
+  blocks fit the VMEM budget."""
+  mp = m + 2 * PAD_C
+  bm = min(n, 512)
+  bm -= bm % 8
+  while bm > 8 and (n % bm
+                    or 2 * ((bm + 2 * PAD_R) * mp + bm * m) * itemsize
+                    > budget):
+    bm -= 8
+  if bm < 8 or n % bm:
+    return 0
+  return bm
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("coeffs", "steps", "interpret"))
+def stencil3x3_padded(xp: jax.Array, buf: jax.Array,
+                      coeffs: Sequence[float], steps: int = 1,
+                      interpret: bool = False):
+  """``steps`` applications of a 'SAME' zero-boundary 3x3 stencil over
+  padded-storage state.  ``xp`` holds the current state, ``buf`` is a
+  second buffer with a ZERO pad ring (interior contents irrelevant);
+  both in :func:`padded_shape` layout.  Returns ``(new_state, new_buf)``
+  — ping-ponged, both still in padded layout.  Caller keeps iterating by
+  passing them straight back in."""
+  coeffs = tuple(float(c) for c in coeffs)
+  assert len(coeffs) == 9
+  R, C = xp.shape
+  n, m = R - 2 * PAD_R, C - 2 * PAD_C
+  bm = _pick_bm_padded(n, m, xp.dtype.itemsize)
+  if not bm or m % 128:
+    # ragged fallback: shifted adds in plain XLA over the padded layout
+    for _ in range(steps):
+      acc = jnp.zeros((n, m), xp.dtype)
+      for di in range(3):
+        for dj in range(3):
+          if coeffs[di * 3 + dj] == 0.0:
+            continue
+          acc = acc + coeffs[di * 3 + dj] * jax.lax.dynamic_slice(
+              xp, (PAD_R - 1 + di, PAD_C - 1 + dj), (n, m))
+      new = jax.lax.dynamic_update_slice(buf, acc, (PAD_R, PAD_C))
+      xp, buf = new, xp
+    return xp, buf
+  call = pl.pallas_call(
+      functools.partial(_kernel_padded, coeffs, bm, n, m),
+      grid=(n // bm,),
+      in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY)],
+      out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+      out_shape=jax.ShapeDtypeStruct((R, C), xp.dtype),
+      scratch_shapes=[
+          pltpu.VMEM((2, bm + 2 * PAD_R, C), xp.dtype),
+          pltpu.VMEM((2, bm, m), xp.dtype),
+          pltpu.SemaphoreType.DMA((2,)),
+          pltpu.SemaphoreType.DMA((2,)),
+      ],
+      input_output_aliases={1: 0},
+      interpret=interpret,
+  )
+  for _ in range(steps):
+    new = call(xp, buf)
+    xp, buf = new, xp
+  return xp, buf

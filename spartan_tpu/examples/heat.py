@@ -34,6 +34,35 @@ def simulate(u0, iters: int = 100, alpha: float = 0.1):
   return run(iters)
 
 
+def simulate_padded(u0, iters: int = 100, alpha: float = 0.1,
+                    unroll: int = 8, interpret: bool = False):
+  """Diffusion steps over PRE-PADDED storage (VERDICT r3 next #3).
+
+  The whole explicit-Euler step ``u + alpha*lap(u)`` is ONE 3x3 stencil
+  with coefficients ``[[0,a,0],[a,1-4a,a],[0,a,0]]``, so each step is a
+  single streaming pass of the padded-state Pallas kernel
+  (``backend/kernels/stencil_pallas.stencil3x3_padded``) — no per-step
+  ``jnp.pad`` pass, pad ring maintained at zero by buffer aliasing.
+  ``unroll`` steps run inside one jitted program (a big-array fori carry
+  feeding a pallas_call stalls the toolchain — CLAUDE.md), with a host
+  loop over chunks.  Returns the final field as a numpy array."""
+  import jax.numpy as jnp
+
+  from spartan_tpu.backend.kernels import stencil_pallas as _stp
+
+  a = float(alpha)
+  coeffs = (0.0, a, 0.0, a, 1.0 - 4.0 * a, a, 0.0, a, 0.0)
+  xp = _stp.to_padded(jnp.asarray(np.asarray(u0), dtype=jnp.float32))
+  buf = jnp.zeros_like(xp)
+  done = 0
+  while done < iters:
+    k = min(unroll, iters - done)
+    xp, buf = _stp.stencil3x3_padded(xp, buf, coeffs, steps=k,
+                                     interpret=interpret)
+    done += k
+  return np.asarray(_stp.from_padded(xp))
+
+
 def simulate_numpy(u0, iters: int = 100, alpha: float = 0.1):
   u = np.asarray(u0, dtype=np.float64).copy()
   for _ in range(iters):

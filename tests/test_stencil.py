@@ -108,3 +108,59 @@ def test_single_channel_shifted_grad(rng):
   jgx, jgw = jax.grad(jf, argnums=(0, 1))(jnp.asarray(xe), jnp.asarray(we))
   np.testing.assert_allclose(gx, np.asarray(jgx), rtol=1e-10, atol=1e-10)
   np.testing.assert_allclose(gw, np.asarray(jgw), rtol=1e-10, atol=1e-10)
+
+
+def test_padded_storage_stencil_matches_oracle(rng):
+  """VERDICT r3 next #3: the pre-padded-storage kernel (interpret mode on
+  the CPU mesh) ≡ the one-shot stencil ≡ numpy, over multiple steps, and
+  the zero pad ring survives iteration (buffer aliasing keeps boundaries
+  exact)."""
+  import jax.numpy as jnp
+
+  from spartan_tpu.backend.kernels import stencil_pallas as stp
+
+  n, m = 64, 256
+  x = rng.standard_normal((n, m)).astype(np.float32)
+  coeffs = (0.0, 0.1, 0.0, 0.1, 0.6, 0.1, 0.0, 0.1, 0.0)
+  xp = stp.to_padded(jnp.asarray(x))
+  buf = jnp.zeros_like(xp)
+  out, nbuf = stp.stencil3x3_padded(xp, buf, coeffs, steps=4,
+                                    interpret=True)
+  got = np.asarray(stp.from_padded(out))
+  u = x.astype(np.float64)
+  k = np.asarray(coeffs).reshape(3, 3)
+  for _ in range(4):
+    up = np.pad(u, 1)
+    u = sum(k[di, dj] * up[di:di + n, dj:dj + m]
+            for di in range(3) for dj in range(3))
+  np.testing.assert_allclose(got, u, atol=1e-4)
+  padded = np.asarray(out)
+  assert np.all(padded[:stp.PAD_R] == 0) and np.all(padded[-stp.PAD_R:] == 0)
+  assert np.all(padded[:, :stp.PAD_C] == 0)
+  # ragged width (m % 128 != 0) takes the XLA fallback — same contract
+  x2 = rng.standard_normal((16, 40)).astype(np.float32)
+  xp2 = stp.to_padded(jnp.asarray(x2))
+  out2, _ = stp.stencil3x3_padded(xp2, jnp.zeros_like(xp2), coeffs,
+                                  steps=2, interpret=True)
+  u2 = x2.astype(np.float64)
+  for _ in range(2):
+    up = np.pad(u2, 1)
+    u2 = sum(k[di, dj] * up[di:di + 16, dj:dj + 40]
+             for di in range(3) for dj in range(3))
+  np.testing.assert_allclose(np.asarray(stp.from_padded(out2)), u2,
+                             atol=1e-4)
+
+
+def test_heat_simulate_padded_matches_numpy():
+  """heat.simulate_padded (padded-storage kernel, chunked host loop) ≡
+  the f64 numpy reference to f32 tolerance."""
+  from spartan_tpu.examples import heat
+  rng = np.random.default_rng(0)
+  u0 = np.zeros((64, 256), np.float32)
+  for _ in range(6):
+    i, j = rng.integers(8, 56), rng.integers(8, 248)
+    u0[i, j] = 100.0
+  got = heat.simulate_padded(u0, iters=25, alpha=0.1, unroll=7,
+                             interpret=True)
+  want = heat.simulate_numpy(u0, iters=25, alpha=0.1)
+  np.testing.assert_allclose(got, want, atol=2e-3)
