@@ -265,15 +265,24 @@ def _pick_exchange(mesh: Mesh, exchange: str) -> str:
 
 
 def sample_sort_traced(x, mesh: Optional[Mesh] = None, kind: str = "sort",
-                       exchange: str = "auto"):
+                       exchange: str = "auto", force: bool = False):
   """Distributed sort (or stable argsort) of a 1-D array; call inside a
   traced region or eagerly.  Output is sharded evenly over all mesh axes
-  (PartitionSpec((*axis_names,)))."""
+  (PartitionSpec((*axis_names,))).
+
+  ``force=True`` skips the ``routable`` gate (still requires even shards
+  and an encodable dtype) — used by hardware validation to execute the
+  ragged-exchange path on a 1-device mesh, where production routing
+  would send the sort down the local path instead."""
   mesh = mesh or get_mesh()
   axes, ax_arg, p, spec = _mesh_geom(mesh)
   if x.ndim != 1:
     raise ValueError(f"sample_sort is 1-D; got shape {x.shape}")
-  if not routable(x.shape, x.dtype, mesh):
+  if force:
+    if (x.size % p != 0) or not supported_dtype(x.dtype):
+      raise ValueError(
+          f"not forceable: shape={x.shape} dtype={x.dtype} devices={p}")
+  elif not routable(x.shape, x.dtype, mesh):
     raise ValueError(
         f"not routable: shape={x.shape} dtype={x.dtype} devices={p}")
   codec = _codec(x.dtype)
