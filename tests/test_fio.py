@@ -57,10 +57,13 @@ def test_from_file(rng, tmp_path):
   Assert.all_eq(sp.expr.from_file(p), a)
 
 
-def test_multiprocess_checkpoint_roundtrip():
-  """Two real jax.distributed CPU processes write their addressable
-  shards and SPMD-reload (TODO #4 / SURVEY §5 multi-host checkpoint).
-  Runs the tools/multiproc_ckpt_test.py harness as subprocesses."""
+@pytest.mark.parametrize("nproc,port", [(2, 17771), (4, 17781)])
+def test_multiprocess_checkpoint_roundtrip(nproc, port):
+  """Real jax.distributed CPU processes (2 and 4 — VERDICT r3 next #6)
+  write their addressable shards, SPMD-reload, and run the evaluator /
+  cross-process sample sort / sharded dot stages (SURVEY §5 multi-host
+  checkpoint + §2.4 comm backend). Runs tools/multiproc_ckpt_test.py as
+  subprocesses."""
   import subprocess, sys, os
   env = dict(os.environ)
   env.pop("XLA_FLAGS", None)
@@ -68,7 +71,8 @@ def test_multiprocess_checkpoint_roundtrip():
   env["PYTHONPATH"] = os.pathsep.join(
       p for p in (env.get("PYTHONPATH", ""), os.getcwd()) if p)
   out = subprocess.run(
-      [sys.executable, "tools/multiproc_ckpt_test.py"],
+      [sys.executable, "tools/multiproc_ckpt_test.py",
+       "--np", str(nproc), "--port", str(port)],
       capture_output=True, text=True, timeout=280, env=env,
       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
   assert "RESULT: PASS" in out.stdout, out.stdout[-2000:] + out.stderr[-500:]

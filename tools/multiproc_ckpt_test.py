@@ -1,12 +1,12 @@
-"""Two-process jax.distributed checkpoint round-trip (TODO #4 validation).
+"""N-process jax.distributed checkpoint round-trip (TODO #4 validation;
+VERDICT r3 next #6 scales it to 4 processes + a sharded dot).
 
-Each process owns 2 virtual CPU devices (global mesh = 4). Process 0 and
-process 1 each write their ADDRESSABLE shards of one sharded array via
-``sp.save``; after a barrier, process 0 reloads with ``sp.load`` and
-checks the full array. Run::
+Each process owns 2 virtual CPU devices (global mesh = 2N). Every process
+writes its ADDRESSABLE shards of one sharded array via ``sp.save``; after
+a barrier, all SPMD-reload and verify. Run::
 
-    python tools/multiproc_ckpt_test.py            # parent: spawns both
-    python tools/multiproc_ckpt_test.py <pid> <dir>  # child (internal)
+    python tools/multiproc_ckpt_test.py [--np N]       # parent (default 2)
+    python tools/multiproc_ckpt_test.py <pid> <dir> <np> <port>  # child
 """
 
 import os
@@ -19,15 +19,15 @@ import numpy as np
 PORT = 17771
 
 
-def child(pid: int, workdir: str) -> None:
+def child(pid: int, workdir: str, nproc: int = 2, port: int = PORT) -> None:
   os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
   import jax
   jax.config.update("jax_platforms", "cpu")
-  jax.distributed.initialize(coordinator_address=f"localhost:{PORT}",
-                             num_processes=2, process_id=pid)
+  jax.distributed.initialize(coordinator_address=f"localhost:{port}",
+                             num_processes=nproc, process_id=pid)
   jax.config.update("jax_enable_x64", True)
-  assert jax.process_count() == 2, jax.process_count()
-  assert len(jax.devices()) == 4, len(jax.devices())
+  assert jax.process_count() == nproc, jax.process_count()
+  assert len(jax.devices()) == 2 * nproc, len(jax.devices())
 
   import spartan_tpu as sp
   sp.initialize(["--log_level=30"])
@@ -116,18 +116,31 @@ def child(pid: int, workdir: str) -> None:
   mhu.sync_global_devices("sort_done")
   print("MULTIPROC_SORT_OK", flush=True)
 
+  # --- sharded dot across the real processes (VERDICT r3 next #6): the
+  # contraction's collectives (psum/reduce-scatter per the planner) run
+  # over the cross-process global mesh; oracle-checked per shard --------
+  An = rng.standard_normal((32, 16))
+  Bn = rng.standard_normal((16, 8))
+  got = sp.dot(sp.from_numpy(An), sp.from_numpy(Bn)).evaluate()
+  want = An @ Bn
+  for sh in got.data.addressable_shards:
+    np.testing.assert_allclose(np.asarray(sh.data), want[sh.index],
+                               atol=1e-10)
+  mhu.sync_global_devices("dot_done")
+  print("MULTIPROC_DOT_OK", flush=True)
 
-def parent() -> int:
+
+def parent(nproc: int = 2, port: int = PORT) -> int:
   workdir = tempfile.mkdtemp(prefix="spt_mp_")
   procs = [subprocess.Popen(
-      [sys.executable, __file__, str(pid), workdir],
+      [sys.executable, __file__, str(pid), workdir, str(nproc), str(port)],
       stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-      for pid in (0, 1)]
+      for pid in range(nproc)]
   outs = [p.communicate(timeout=300)[0] for p in procs]
+  marks = ("MULTIPROC_CKPT_OK", "MULTIPROC_EVAL_OK", "MULTIPROC_SORT_OK",
+           "MULTIPROC_DOT_OK")
   ok = (all(p.returncode == 0 for p in procs)
-        and all("MULTIPROC_CKPT_OK" in o for o in outs)
-        and all("MULTIPROC_EVAL_OK" in o for o in outs)
-        and all("MULTIPROC_SORT_OK" in o for o in outs))
+        and all(m in o for m in marks for o in outs))
   for i, o in enumerate(outs):
     print(f"--- process {i} ---\n{o[-2000:]}")
   print("RESULT:", "PASS" if ok else "FAIL")
@@ -135,7 +148,15 @@ def parent() -> int:
 
 
 if __name__ == "__main__":
-  if len(sys.argv) == 3:
-    child(int(sys.argv[1]), sys.argv[2])
+  if len(sys.argv) >= 3 and sys.argv[1].isdigit():
+    child(int(sys.argv[1]), sys.argv[2],
+          int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+          int(sys.argv[4]) if len(sys.argv) > 4 else PORT)
   else:
-    raise SystemExit(parent())
+    np_arg = 2
+    port = PORT
+    if "--np" in sys.argv:
+      np_arg = int(sys.argv[sys.argv.index("--np") + 1])
+    if "--port" in sys.argv:
+      port = int(sys.argv[sys.argv.index("--port") + 1])
+    raise SystemExit(parent(np_arg, port))
