@@ -266,3 +266,13 @@ FLAGS.add(IntFlag("max_fused_kernel_ops", 128,
 FLAGS.add(IntFlag("chunk_eval_size", 256,
                   "segment size (interior ops) for chunked evaluation"))
 FLAGS.add(BoolFlag("eager", False, "evaluate every expr immediately (debug)"))
+FLAGS.add(IntFlag("linalg_replicate_warn_bytes", 64 << 20,
+                  "warn when a dense np.linalg factorization (inv/svd/"
+                  "eigh/... — lowered as one whole-operand map) receives "
+                  "an operand above this size on a >1-device mesh: XLA "
+                  "silently gathers/replicates it per device; the warning "
+                  "names the distributed-scale alternative"))
+FLAGS.add(IntFlag("linalg_replicate_max_bytes", 0,
+                  "if >0, ERROR (instead of warn) when a dense np.linalg "
+                  "factorization operand exceeds this size on a "
+                  ">1-device mesh — guard for the truly huge case"))
