@@ -34,7 +34,10 @@ Fill factor is the routing criterion: a (128, 1024) block holds ~131·d·
 1024 nonzeros at density ``d``, so the pack is tight for d ≳ 3e-3 (ALS /
 recommender matrices) and collapses for ultra-sparse graphs — ``spmm``
 auto-routes by measured fill (``pack.fill``), keeping the XLA path
-otherwise.  k ≤ 128 (padded); larger k falls back to XLA for now.
+otherwise.  k ≤ 128 runs one launch; larger k is tiled into 128-column
+strips over the SAME pack (one launch per strip, window DMAs re-amortize
+per strip; route gate k ≤ 512 — past that the strip count erodes the
+win and the densified/XLA paths take over).
 
 Reference parity: spartan/sparse C++ SpMM kernels (SURVEY.md §2.2).
 """

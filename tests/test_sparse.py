@@ -1063,3 +1063,49 @@ def test_spmv_use_pallas_false_skips_dense_route(rng):
     np.testing.assert_allclose(got_dense, want, rtol=2e-5, atol=1e-5)
   finally:
     FLAGS.sparse_force_dense = old
+
+
+def test_spmm_windowed_k_tiling(rng):
+  """VERDICT r3 next #4: k>128 right-hand sides run the windowed kernel
+  as 128-column strips over the SAME pack — eager, expr (winmm/winmmsh),
+  and grad all match scipy at k=256; the route gate stops at k>512."""
+  from spartan_tpu.config import FLAGS
+
+  old = FLAGS.sparse_force_winmm
+  FLAGS.sparse_force_winmm = True
+  try:
+    A = ss.random(600, 800, density=0.02,
+                  random_state=np.random.RandomState(21), format="csr",
+                  dtype=np.float32)
+    S = sps.from_scipy(A, dtype=np.float32)
+    B = rng.standard_normal((800, 256)).astype(np.float32)
+    want = A @ B
+    tol = np.abs(want).max() * 2e-5
+
+    got = np.asarray(sps.spmm(S, B))
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < tol
+
+    e = sps.spmm_expr(S, sp.from_numpy(B))
+    assert e.fmt in ("winmm", "winmmsh"), e.fmt
+    assert np.abs(np.asarray(e.evaluate().glom()) - want).max() < tol
+
+    # pack is SHARED across strips (memoized once on the SparseArray)
+    assert S.to_windowed_spmm() is S.to_windowed_spmm()
+
+    # grad flows through the k-tiled route (COO-decode lowering)
+    Bl = sp.from_numpy(B)
+    (g,) = sp.grad(sp.sum(sps.spmm_expr(S, Bl) ** 2), wrt=[Bl])
+    want_g = 2 * A.T @ want
+    assert (np.abs(np.asarray(g.glom()) - want_g).max()
+            < np.abs(want_g).max() * 1e-4)
+
+    # k=512 still routed; k=513 exceeds the gate → ell/dense
+    e512 = sps.spmm_expr(S, sp.from_numpy(
+        rng.standard_normal((800, 512)).astype(np.float32)))
+    assert e512.fmt in ("winmm", "winmmsh"), e512.fmt
+    e513 = sps.spmm_expr(S, sp.from_numpy(
+        rng.standard_normal((800, 513)).astype(np.float32)))
+    assert e513.fmt not in ("winmm", "winmmsh"), e513.fmt
+  finally:
+    FLAGS.sparse_force_winmm = old

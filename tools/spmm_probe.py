@@ -42,8 +42,14 @@ def slope_ms(fn, B, k_lo=4, k_hi=20, reps=4):
   return max((min(t_hi) - min(t_lo)) / (k_hi - k_lo), 1e-9) * 1e3
 
 
+# k=256/512 rows measure the r3 k-tiling (VERDICT r3 next #4: target
+# >= the k=128 Gnnz/s — the strips reuse ONE pack, so per-nonzero window
+# DMA cost amortizes further as k grows)
 for (n, m, k, d) in [(8192, 8192, 64, 0.01), (16384, 16384, 64, 0.005),
-                     (16384, 16384, 128, 0.005), (65536, 65536, 64, 0.001)]:
+                     (16384, 16384, 128, 0.005),
+                     (16384, 16384, 256, 0.005),
+                     (16384, 16384, 512, 0.005),
+                     (65536, 65536, 64, 0.001)]:
   rng = np.random.default_rng(n + k)
   A = ss.random(n, m, density=d, random_state=np.random.RandomState(7),
                 format="csr", dtype=np.float32)
