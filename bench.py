@@ -403,6 +403,47 @@ def bench_spmm_dense(n: int = 16384, k: int = 64,
   return {"spmm_dense_gnnz_per_s": round(S.nnz / slope / 1e9, 3)}
 
 
+def bench_stencil_padded(n: int = 8192) -> dict:
+  """--all extra: the r4 pre-padded-storage stencil (heat/Jacobi step as
+  ONE streaming pass — no per-step pad pass).  Effective GB/s counts
+  useful traffic (read n² + write n² f32); roofline for r+w streaming is
+  ~592-660 GB/s on v5e (BASELINE.md stencil campaign)."""
+  import jax
+  import jax.numpy as jnp
+  from spartan_tpu.backend.kernels import stencil_pallas as stp
+  _ensure_init()
+
+  coeffs = (0.0, 0.1, 0.0, 0.1, 0.6, 0.1, 0.0, 0.1, 0.0)
+  x = jax.jit(lambda: jax.random.uniform(
+      jax.random.key(0), (n, n), jnp.float32))()
+  xp = stp.to_padded(x)
+  buf = jnp.zeros_like(xp)
+  jax.block_until_ready((xp, buf))
+  _phase("padded state on device")
+  interpret = jax.devices()[0].platform == "cpu"
+
+  def run_k(k):
+    out = stp.stencil3x3_padded(xp, buf, coeffs, steps=k,
+                                interpret=interpret)
+    jax.block_until_ready(out)
+
+  k_lo, k_hi = 4, 12
+  run_k(k_lo)
+  run_k(k_hi)
+  _phase("loop-compiled+warm")
+  t_lo, t_hi = [], []
+  for _ in range(4):
+    t0 = time.perf_counter(); run_k(k_lo)
+    t_lo.append(time.perf_counter() - t0)
+    t0 = time.perf_counter(); run_k(k_hi)
+    t_hi.append(time.perf_counter() - t0)
+  per_app = (min(t_hi) - min(t_lo)) / (k_hi - k_lo)
+  gbps = 2 * n * n * 4 / max(per_app, 1e-9) / 1e9
+  _phase("measured")
+  return {"stencil_padded_gbps": round(gbps, 1),
+          "stencil_padded_ms_per_app": round(per_app * 1e3, 3)}
+
+
 def _enable_compile_cache():
   """Persistent XLA compile cache in-repo: compiles through the tunnel's
   remote compile service can cost minutes cold; priming the cache once
@@ -439,6 +480,7 @@ STAGES = {
     "verify": bench_verify,
     "nonaffine": bench_nonaffine_pallas,   # --all only
     "spmm_dense": bench_spmm_dense,        # --all only
+    "stencil": bench_stencil_padded,       # --all only
 }
 # c1_full FIRST: the per-session first-program service cost (minutes on
 # bad days, cache hit or not — measured 456 s for a cached executable)
@@ -632,7 +674,7 @@ def main():
   plan_env = os.environ.get("SPARTAN_BENCH_STAGES")
   plan = plan_env.split(",") if plan_env else list(DEFAULT_PLAN)
   if "--all" in sys.argv:
-    for extra in ("nonaffine", "spmm_dense"):
+    for extra in ("nonaffine", "spmm_dense", "stencil"):
       if extra not in plan:
         plan.append(extra)
 
