@@ -136,8 +136,12 @@ def stencil3x3(x: jax.Array, coeffs: Sequence[float],
 PAD_R, PAD_C = 8, 128
 
 
-def _kernel_padded(coeffs, bm, n, m, x_ref, ob_ref, o_ref,
-                   in_scr, out_scr, in_sems, out_sems):
+def _kernel_padded(coeffs, bm, n, m, has_add, *refs):
+  if has_add:
+    (x_ref, g_ref, ob_ref, o_ref, in_scr, g_scr, out_scr,
+     in_sems, g_sems, out_sems) = refs
+  else:
+    x_ref, ob_ref, o_ref, in_scr, out_scr, in_sems, out_sems = refs
   del ob_ref  # the aliased scratch buffer is written via o_ref only
   i = pl.program_id(0)
   nsteps = pl.num_programs(0)
@@ -152,6 +156,12 @@ def _kernel_padded(coeffs, bm, n, m, x_ref, ob_ref, o_ref,
         x_ref.at[pl.ds(bi * bm, bm + 2 * PAD_R)], in_scr.at[s],
         in_sems.at[s])
 
+  def g_dma(s, bi):
+    # the additive field needs no halo: interior rows only, aligned
+    return pltpu.make_async_copy(
+        g_ref.at[pl.ds(PAD_R + bi * bm, bm), pl.ds(PAD_C, m)],
+        g_scr.at[s], g_sems.at[s])
+
   def out_dma(s, bi):
     return pltpu.make_async_copy(
         out_scr.at[s],
@@ -161,12 +171,18 @@ def _kernel_padded(coeffs, bm, n, m, x_ref, ob_ref, o_ref,
   @pl.when(i == 0)
   def _():
     in_dma(slot, i).start()
+    if has_add:
+      g_dma(slot, i).start()
 
   @pl.when(i + 1 < nsteps)
   def _():
     in_dma(nxt, i + 1).start()
+    if has_add:
+      g_dma(nxt, i + 1).start()
 
   in_dma(slot, i).wait()
+  if has_add:
+    g_dma(slot, i).wait()
 
   # this slot's out-DMA from two steps ago must land before we overwrite
   @pl.when(i >= 2)
@@ -176,7 +192,8 @@ def _kernel_padded(coeffs, bm, n, m, x_ref, ob_ref, o_ref,
   # output element (r,c) of this slab is global (8+i*bm+r, 128+c); slab
   # starts at global row i*bm, so its stencil taps are slab rows 7+di+r,
   # cols 127+dj+c (static strided slices — Mosaic-safe)
-  acc = jnp.zeros((bm, m), x_ref.dtype)
+  acc = (g_scr[slot] if has_add
+         else jnp.zeros((bm, m), x_ref.dtype))
   for di in range(3):
     for dj in range(3):
       c = coeffs[di * 3 + dj]
@@ -229,17 +246,23 @@ def _pick_bm_padded(n: int, m: int, itemsize: int,
                    static_argnames=("coeffs", "steps", "interpret"))
 def stencil3x3_padded(xp: jax.Array, buf: jax.Array,
                       coeffs: Sequence[float], steps: int = 1,
-                      interpret: bool = False):
+                      interpret: bool = False, add: jax.Array = None):
   """``steps`` applications of a 'SAME' zero-boundary 3x3 stencil over
   padded-storage state.  ``xp`` holds the current state, ``buf`` is a
   second buffer with a ZERO pad ring (interior contents irrelevant);
   both in :func:`padded_shape` layout.  Returns ``(new_state, new_buf)``
   — ping-ponged, both still in padded layout.  Caller keeps iterating by
-  passing them straight back in."""
+  passing them straight back in.
+
+  ``add`` (optional, same padded layout) is a constant field added to
+  every application — ``u' = stencil(u) + add`` — which makes weighted
+  Jacobi / Richardson solvers (``u' = S·u - h²f/4``) a single streaming
+  pass per iteration (the field costs one extra halo-free slab read)."""
   coeffs = tuple(float(c) for c in coeffs)
   assert len(coeffs) == 9
   R, C = xp.shape
   n, m = R - 2 * PAD_R, C - 2 * PAD_C
+  has_add = add is not None
   bm = _pick_bm_padded(n, m, xp.dtype.itemsize)
   if not bm or m % 128:
     # ragged fallback: shifted adds in plain XLA over the padded layout
@@ -251,26 +274,31 @@ def stencil3x3_padded(xp: jax.Array, buf: jax.Array,
             continue
           acc = acc + coeffs[di * 3 + dj] * jax.lax.dynamic_slice(
               xp, (PAD_R - 1 + di, PAD_C - 1 + dj), (n, m))
+      if has_add:
+        acc = acc + jax.lax.dynamic_slice(add, (PAD_R, PAD_C), (n, m))
       new = jax.lax.dynamic_update_slice(buf, acc, (PAD_R, PAD_C))
       xp, buf = new, xp
     return xp, buf
+  scratch = [pltpu.VMEM((2, bm + 2 * PAD_R, C), xp.dtype)]
+  if has_add:
+    scratch.append(pltpu.VMEM((2, bm, m), xp.dtype))
+  scratch.append(pltpu.VMEM((2, bm, m), xp.dtype))
+  scratch.append(pltpu.SemaphoreType.DMA((2,)))
+  if has_add:
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+  scratch.append(pltpu.SemaphoreType.DMA((2,)))
+  n_in = 3 if has_add else 2
   call = pl.pallas_call(
-      functools.partial(_kernel_padded, coeffs, bm, n, m),
+      functools.partial(_kernel_padded, coeffs, bm, n, m, has_add),
       grid=(n // bm,),
-      in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
-                pl.BlockSpec(memory_space=pltpu.ANY)],
+      in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
       out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
       out_shape=jax.ShapeDtypeStruct((R, C), xp.dtype),
-      scratch_shapes=[
-          pltpu.VMEM((2, bm + 2 * PAD_R, C), xp.dtype),
-          pltpu.VMEM((2, bm, m), xp.dtype),
-          pltpu.SemaphoreType.DMA((2,)),
-          pltpu.SemaphoreType.DMA((2,)),
-      ],
-      input_output_aliases={1: 0},
+      scratch_shapes=scratch,
+      input_output_aliases={n_in - 1: 0},
       interpret=interpret,
   )
   for _ in range(steps):
-    new = call(xp, buf)
+    new = call(xp, add, buf) if has_add else call(xp, buf)
     xp, buf = new, xp
   return xp, buf

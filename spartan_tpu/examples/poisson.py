@@ -43,6 +43,41 @@ def laplacian(u, h: float = 1.0):
           - 4.0 * u) / h**2
 
 
+def solve_jacobi(f, iters: int = 200, h: float = 1.0, unroll: int = 8,
+                 interpret: bool = False):
+  """Solve ``∇²u = f`` with ZERO (Dirichlet) boundary by weighted-Jacobi
+  iteration on PRE-PADDED storage (r4): each sweep
+  ``u' = (u_N+u_S+u_E+u_W)/4 - h²f/4`` is ONE streaming pass of the
+  padded stencil kernel with the constant field fused in (``add=``).
+  Complements :func:`solve` (spectral, periodic).  Returns numpy."""
+  import jax.numpy as jnp
+
+  from spartan_tpu.backend.kernels import stencil_pallas as _stp
+
+  fj = jnp.asarray(np.asarray(f), dtype=jnp.float32)
+  coeffs = (0.0, 0.25, 0.0, 0.25, 0.0, 0.25, 0.0, 0.25, 0.0)
+  g = _stp.to_padded(-(h * h / 4.0) * fj)
+  xp = _stp.to_padded(jnp.zeros_like(fj))
+  buf = jnp.zeros_like(xp)
+  done = 0
+  while done < iters:
+    k = min(unroll, iters - done)
+    xp, buf = _stp.stencil3x3_padded(xp, buf, coeffs, steps=k,
+                                     interpret=interpret, add=g)
+    done += k
+  return np.asarray(_stp.from_padded(xp))
+
+
+def solve_jacobi_numpy(f, iters: int = 200, h: float = 1.0):
+  f = np.asarray(f, np.float64)
+  u = np.zeros_like(f)
+  for _ in range(iters):
+    up = np.pad(u, 1)
+    u = (up[:-2, 1:-1] + up[2:, 1:-1] + up[1:-1, :-2] + up[1:-1, 2:]
+         ) / 4.0 - (h * h / 4.0) * f
+  return u
+
+
 def run(n: int = 256, seed: int = 0):
   rng = np.random.default_rng(seed)
   f = rng.standard_normal((n, n))

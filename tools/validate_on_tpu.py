@@ -144,3 +144,12 @@ for _ in range(3):
 e12 = np.abs(got12 - u12).max()
 print(f"12. padded-storage stencil on TPU: err={e12:.2e} "
       f"({time.time()-t0:.1f}s)", flush=True)
+
+# 12b. additive-field variant (Jacobi sweep: extra halo-free slab DMA)
+t0 = time.time()
+from spartan_tpu.examples import poisson as _poi
+f12 = np.random.default_rng(13).standard_normal((256, 512)).astype(np.float32)
+gj = _poi.solve_jacobi(f12, iters=6, unroll=3)
+wj = _poi.solve_jacobi_numpy(f12, iters=6)
+print(f"12b. Jacobi padded sweep on TPU: err={np.abs(gj - wj).max():.2e} "
+      f"({time.time()-t0:.1f}s)", flush=True)
