@@ -17,6 +17,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -136,12 +137,19 @@ def stencil3x3(x: jax.Array, coeffs: Sequence[float],
 PAD_R, PAD_C = 8, 128
 
 
-def _kernel_padded(coeffs, bm, n, m, has_add, *refs):
-  if has_add:
-    (x_ref, g_ref, ob_ref, o_ref, in_scr, g_scr, out_scr,
-     in_sems, g_sems, out_sems) = refs
-  else:
-    x_ref, ob_ref, o_ref, in_scr, out_scr, in_sems, out_sems = refs
+def _kernel_padded(coeffs, bm, n, m, has_add, has_halo, *refs):
+  refs = list(refs)
+  x_ref = refs.pop(0)
+  g_ref = refs.pop(0) if has_add else None
+  if has_halo:
+    top_ref = refs.pop(0)   # (8, C) VMEM; row 7 = the row ABOVE interior
+    bot_ref = refs.pop(0)   # (8, C) VMEM; row 0 = the row BELOW interior
+  ob_ref, o_ref = refs.pop(0), refs.pop(0)
+  in_scr = refs.pop(0)
+  g_scr = refs.pop(0) if has_add else None
+  out_scr, in_sems = refs.pop(0), refs.pop(0)
+  g_sems = refs.pop(0) if has_add else None
+  out_sems = refs.pop(0)
   del ob_ref  # the aliased scratch buffer is written via o_ref only
   i = pl.program_id(0)
   nsteps = pl.num_programs(0)
@@ -201,6 +209,28 @@ def _kernel_padded(coeffs, bm, n, m, has_add, *refs):
         continue
       acc = acc + c * in_scr[slot, PAD_R - 1 + di:PAD_R - 1 + di + bm,
                              PAD_C - 1 + dj:PAD_C - 1 + dj + m]
+  if has_halo:
+    # sharded form: the rows above/below THIS shard's interior live on
+    # neighbor devices, exchanged via ppermute into (8, C) operands (the
+    # local pad ring is zero, so the main loop contributed nothing
+    # there).  Only interior row 0 (first grid block) and row bm-1
+    # (last block) see them; traced-scalar masks keep it branch-free.
+    rows_iota = jax.lax.broadcasted_iota(jnp.int32, (bm, m), 0)
+    top_c = jnp.zeros((1, m), x_ref.dtype)
+    bot_c = jnp.zeros((1, m), x_ref.dtype)
+    for dj in range(3):
+      if coeffs[dj] != 0.0:
+        top_c = top_c + coeffs[dj] * top_ref[7:8,
+                                             PAD_C - 1 + dj:
+                                             PAD_C - 1 + dj + m]
+      if coeffs[6 + dj] != 0.0:
+        bot_c = bot_c + coeffs[6 + dj] * bot_ref[0:1,
+                                                 PAD_C - 1 + dj:
+                                                 PAD_C - 1 + dj + m]
+    is_first = (i == 0).astype(x_ref.dtype)
+    is_last = (i == nsteps - 1).astype(x_ref.dtype)
+    acc = acc + jnp.where(rows_iota == 0, top_c * is_first, 0.0)
+    acc = acc + jnp.where(rows_iota == bm - 1, bot_c * is_last, 0.0)
   out_scr[slot] = acc
   out_dma(slot, i).start()
 
@@ -242,11 +272,27 @@ def _pick_bm_padded(n: int, m: int, itemsize: int,
   return bm
 
 
+def _halo_pair(xp, mesh_axes):
+  """Exchange interior edge rows with mesh neighbors: returns (top, bot)
+  (8, C) blocks — top row 7 = the row above my interior (zeros at the
+  global boundary, jax ppermute semantics), bot row 0 = the row below."""
+  from jax import lax
+  R = xp.shape[0]
+  nb = R - 2 * PAD_R
+  p = lax.axis_size(mesh_axes)
+  last8 = lax.slice_in_dim(xp, PAD_R + nb - 8, PAD_R + nb, axis=0)
+  first8 = lax.slice_in_dim(xp, PAD_R, PAD_R + 8, axis=0)
+  top = lax.ppermute(last8, mesh_axes, [(d, d + 1) for d in range(p - 1)])
+  bot = lax.ppermute(first8, mesh_axes, [(d + 1, d) for d in range(p - 1)])
+  return top, bot
+
+
 @functools.partial(jax.jit,
                    static_argnames=("coeffs", "steps", "interpret"))
 def stencil3x3_padded(xp: jax.Array, buf: jax.Array,
                       coeffs: Sequence[float], steps: int = 1,
-                      interpret: bool = False, add: jax.Array = None):
+                      interpret: bool = False, add: jax.Array = None,
+                      top: jax.Array = None, bot: jax.Array = None):
   """``steps`` applications of a 'SAME' zero-boundary 3x3 stencil over
   padded-storage state.  ``xp`` holds the current state, ``buf`` is a
   second buffer with a ZERO pad ring (interior contents irrelevant);
@@ -257,9 +303,16 @@ def stencil3x3_padded(xp: jax.Array, buf: jax.Array,
   ``add`` (optional, same padded layout) is a constant field added to
   every application — ``u' = stencil(u) + add`` — which makes weighted
   Jacobi / Richardson solvers (``u' = S·u - h²f/4``) a single streaming
-  pass per iteration (the field costs one extra halo-free slab read)."""
+  pass per iteration (the field costs one extra halo-free slab read).
+
+  ``top``/``bot`` (optional, (8, C); row 7 / row 0 = the rows
+  above/below this interior) carry cross-shard halo rows for the
+  sharded form — they are valid for ONE application, so ``steps`` must
+  be 1 when given (use :func:`stencil3x3_padded_sharded`)."""
   coeffs = tuple(float(c) for c in coeffs)
   assert len(coeffs) == 9
+  has_halo = top is not None
+  assert not has_halo or (steps == 1 and bot is not None)
   R, C = xp.shape
   n, m = R - 2 * PAD_R, C - 2 * PAD_C
   has_add = add is not None
@@ -276,6 +329,15 @@ def stencil3x3_padded(xp: jax.Array, buf: jax.Array,
               xp, (PAD_R - 1 + di, PAD_C - 1 + dj), (n, m))
       if has_add:
         acc = acc + jax.lax.dynamic_slice(add, (PAD_R, PAD_C), (n, m))
+      if has_halo:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (n, m), 0)
+        tc = sum(coeffs[dj] * top[7:8, PAD_C - 1 + dj:PAD_C - 1 + dj + m]
+                 for dj in range(3))
+        bc = sum(coeffs[6 + dj]
+                 * bot[0:1, PAD_C - 1 + dj:PAD_C - 1 + dj + m]
+                 for dj in range(3))
+        acc = acc + jnp.where(iota == 0, tc, 0.0)
+        acc = acc + jnp.where(iota == n - 1, bc, 0.0)
       new = jax.lax.dynamic_update_slice(buf, acc, (PAD_R, PAD_C))
       xp, buf = new, xp
     return xp, buf
@@ -287,11 +349,22 @@ def stencil3x3_padded(xp: jax.Array, buf: jax.Array,
   if has_add:
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
   scratch.append(pltpu.SemaphoreType.DMA((2,)))
-  n_in = 3 if has_add else 2
+  in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+  operands = [xp]
+  if has_add:
+    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    operands.append(add)
+  if has_halo:
+    in_specs += [pl.BlockSpec((8, C), lambda i: (0, 0),
+                              memory_space=pltpu.VMEM)] * 2
+    operands += [top, bot]
+  in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # aliased buf
+  n_in = len(in_specs)
   call = pl.pallas_call(
-      functools.partial(_kernel_padded, coeffs, bm, n, m, has_add),
+      functools.partial(_kernel_padded, coeffs, bm, n, m, has_add,
+                        has_halo),
       grid=(n // bm,),
-      in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * n_in,
+      in_specs=in_specs,
       out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
       out_shape=jax.ShapeDtypeStruct((R, C), xp.dtype),
       scratch_shapes=scratch,
@@ -299,6 +372,70 @@ def stencil3x3_padded(xp: jax.Array, buf: jax.Array,
       interpret=interpret,
   )
   for _ in range(steps):
-    new = call(xp, add, buf) if has_add else call(xp, buf)
+    new = call(*operands, buf)
     xp, buf = new, xp
+    operands[0] = xp
   return xp, buf
+
+
+def stencil3x3_padded_sharded(x: jax.Array, coeffs: Sequence[float],
+                              steps: int = 1, mesh=None,
+                              interpret: bool = False,
+                              add: jax.Array = None) -> jax.Array:
+  """Multi-device iterative stencil: row-band sharding with per-device
+  PRE-PADDED local state and ppermute halo exchange (SURVEY §2.3 CP row
+  at padded-kernel speed — the XLA shifted-add SPMD path re-pads every
+  step).
+
+  ``x`` is the (n, m) GLOBAL field (host or device).  Each device keeps
+  its (nb+16, m+256) padded band; per application it ppermutes its edge
+  interior rows to neighbors ((8, C) blocks, zeros at the global
+  boundary — jax ppermute semantics give the Dirichlet ring for free)
+  and runs the local padded kernel with the halos as VMEM operands, so
+  there is never a re-pad or gather of the global array.  Requires
+  n % (8·p) == 0 and m % 128 == 0; returns the (n, m) result."""
+  from jax.sharding import NamedSharding, PartitionSpec
+
+  from spartan_tpu.core.mesh import get_mesh
+
+  mesh = mesh or get_mesh()
+  axes = tuple(mesh.axis_names)
+  p = int(np.prod([mesh.shape[a] for a in axes]))
+  coeffs = tuple(float(c) for c in coeffs)
+  xg = jnp.asarray(x)
+  n, m = xg.shape
+  if p == 1:
+    xp = to_padded(xg)
+    out, _ = stencil3x3_padded(xp, jnp.zeros_like(xp), coeffs,
+                               steps=steps, interpret=interpret,
+                               add=None if add is None else to_padded(add))
+    return from_padded(out)
+  if n % (8 * p) or m % 128:
+    raise ValueError(f"sharded padded stencil needs n % {8 * p} == 0 and "
+                     f"m % 128 == 0; got {(n, m)}")
+  nb = n // p
+  ax_arg = axes if len(axes) > 1 else axes[0]
+
+  def body(xl, gl):
+    # xl: (nb, m) local band → local padded state once, then iterate
+    xp = to_padded(xl[0])
+    buf = jnp.zeros_like(xp)
+    gp = to_padded(gl[0]) if add is not None else None
+    for _ in range(steps):
+      top, bot = _halo_pair(xp, ax_arg)
+      xp, buf = stencil3x3_padded(xp, buf, coeffs, steps=1,
+                                  interpret=interpret, add=gp,
+                                  top=top, bot=bot)
+    return from_padded(xp)[None]
+
+  spec = PartitionSpec(ax_arg)
+  xg = jax.device_put(xg.reshape(p, nb, m),
+                      NamedSharding(mesh, spec))
+  gl_in = (jnp.zeros((p, 1, 1), xg.dtype) if add is None
+           else jax.device_put(jnp.asarray(add).reshape(p, nb, m),
+                               NamedSharding(mesh, spec)))
+  fn = jax.jit(jax.shard_map(body, mesh=mesh,
+                             in_specs=(spec, spec),
+                             out_specs=spec, check_vma=False))
+  out = fn(xg, gl_in)
+  return out.reshape(n, m)

@@ -181,3 +181,39 @@ def test_poisson_jacobi_padded_matches_numpy():
   up = np.pad(want, 1)
   lap = up[:-2, 1:-1] + up[2:, 1:-1] + up[1:-1, :-2] + up[1:-1, 2:] - 4 * want
   assert np.linalg.norm(lap - f) < 0.9 * np.linalg.norm(f)
+
+
+def test_padded_stencil_sharded_halo_exchange(rng, cluster):
+  """r4 multi-device padded stencil: row bands per device, edge rows
+  ppermuted into kernel halo operands — exact vs numpy for a full
+  asymmetric 3x3 over several steps (8-dev mesh, interpret mode), with
+  and without the fused additive field."""
+  from spartan_tpu.backend.kernels import stencil_pallas as stp
+
+  n, m = 128, 256
+  x = rng.standard_normal((n, m)).astype(np.float32)
+  coeffs = (0.05, 0.1, 0.02, 0.1, 0.4, 0.1, 0.0, 0.1, 0.03)
+  k = np.asarray(coeffs).reshape(3, 3)
+
+  got = np.asarray(stp.stencil3x3_padded_sharded(x, coeffs, steps=4,
+                                                 interpret=True))
+  u = x.astype(np.float64)
+  for _ in range(4):
+    up = np.pad(u, 1)
+    u = sum(k[di, dj] * up[di:di + n, dj:dj + m]
+            for di in range(3) for dj in range(3))
+  np.testing.assert_allclose(got, u, atol=1e-4)
+
+  g = rng.standard_normal((n, m)).astype(np.float32)
+  got = np.asarray(stp.stencil3x3_padded_sharded(x, coeffs, steps=3,
+                                                 interpret=True, add=g))
+  u = x.astype(np.float64)
+  for _ in range(3):
+    up = np.pad(u, 1)
+    u = sum(k[di, dj] * up[di:di + n, dj:dj + m]
+            for di in range(3) for dj in range(3)) + g
+  np.testing.assert_allclose(got, u, atol=1e-4)
+
+  # shape constraint is a loud error, not silence
+  with np.testing.assert_raises(ValueError):
+    stp.stencil3x3_padded_sharded(x[:100], coeffs, interpret=True)
