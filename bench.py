@@ -427,6 +427,10 @@ def bench_stencil_padded(n: int = 8192) -> dict:
                                 interpret=interpret)
     jax.block_until_ready(out)
 
+  # NOT _slope_time: its _sync device_gets the result (fine for the
+  # scalar fori outputs; here the result is a full padded array — a
+  # ~270 MB tunnel fetch per reap).  Same two-K/min-over-reps method,
+  # block_until_ready only; slope floored at 0 like _fori_slope_ms.
   k_lo, k_hi = 4, 12
   run_k(k_lo)
   run_k(k_hi)
@@ -437,8 +441,8 @@ def bench_stencil_padded(n: int = 8192) -> dict:
     t_lo.append(time.perf_counter() - t0)
     t0 = time.perf_counter(); run_k(k_hi)
     t_hi.append(time.perf_counter() - t0)
-  per_app = (min(t_hi) - min(t_lo)) / (k_hi - k_lo)
-  gbps = 2 * n * n * 4 / max(per_app, 1e-9) / 1e9
+  per_app = max((min(t_hi) - min(t_lo)) / (k_hi - k_lo), 1e-9)
+  gbps = 2 * n * n * 4 / per_app / 1e9
   _phase("measured")
   return {"stencil_padded_gbps": round(gbps, 1),
           "stencil_padded_ms_per_app": round(per_app * 1e3, 3)}

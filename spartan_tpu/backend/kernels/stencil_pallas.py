@@ -97,7 +97,7 @@ def stencil3x3(x: jax.Array, coeffs: Sequence[float],
   return pl.pallas_call(
       functools.partial(_kernel, coeffs, bm, bc),
       grid=(n // bm, m // bc),
-      in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+      in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
       out_specs=pl.BlockSpec((bm, bc), lambda i, j: (i, j),
                              memory_space=pltpu.VMEM),
       out_shape=jax.ShapeDtypeStruct((n, m), x.dtype),
@@ -256,18 +256,24 @@ def from_padded(xp: jax.Array) -> jax.Array:
   return xp[PAD_R:xp.shape[0] - PAD_R, PAD_C:xp.shape[1] - PAD_C]
 
 
-def _pick_bm_padded(n: int, m: int, itemsize: int,
+def _pick_bm_padded(n: int, m: int, itemsize: int, has_add: bool = False,
                     budget: int = 11 << 20) -> int:
   """Largest 8-aligned divisor of n whose double-buffered slabs + out
-  blocks fit the VMEM budget."""
+  blocks (+ the additive-field scratch when ``has_add``) fit the VMEM
+  budget; 0 when even bm=8 cannot fit (callers take the XLA fallback —
+  code-review r4: returning 8 over budget compiled guaranteed-OOM
+  kernels for very wide arrays)."""
   mp = m + 2 * PAD_C
+
+  def cost(bm):
+    blocks = (2 if has_add else 1) * bm * m  # out_scr (+ g_scr)
+    return 2 * ((bm + 2 * PAD_R) * mp + blocks) * itemsize
+
   bm = min(n, 512)
   bm -= bm % 8
-  while bm > 8 and (n % bm
-                    or 2 * ((bm + 2 * PAD_R) * mp + bm * m) * itemsize
-                    > budget):
+  while bm > 8 and (n % bm or cost(bm) > budget):
     bm -= 8
-  if bm < 8 or n % bm:
+  if bm < 8 or n % bm or cost(bm) > budget:
     return 0
   return bm
 
@@ -316,7 +322,7 @@ def stencil3x3_padded(xp: jax.Array, buf: jax.Array,
   R, C = xp.shape
   n, m = R - 2 * PAD_R, C - 2 * PAD_C
   has_add = add is not None
-  bm = _pick_bm_padded(n, m, xp.dtype.itemsize)
+  bm = _pick_bm_padded(n, m, xp.dtype.itemsize, has_add=has_add)
   if not bm or m % 128:
     # ragged fallback: shifted adds in plain XLA over the padded layout
     for _ in range(steps):
@@ -349,23 +355,23 @@ def stencil3x3_padded(xp: jax.Array, buf: jax.Array,
   if has_add:
     scratch.append(pltpu.SemaphoreType.DMA((2,)))
   scratch.append(pltpu.SemaphoreType.DMA((2,)))
-  in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)]
+  in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
   operands = [xp]
   if has_add:
-    in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))
+    in_specs.append(pl.BlockSpec(memory_space=pl.ANY))
     operands.append(add)
   if has_halo:
     in_specs += [pl.BlockSpec((8, C), lambda i: (0, 0),
                               memory_space=pltpu.VMEM)] * 2
     operands += [top, bot]
-  in_specs.append(pl.BlockSpec(memory_space=pltpu.ANY))  # aliased buf
+  in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # aliased buf
   n_in = len(in_specs)
   call = pl.pallas_call(
       functools.partial(_kernel_padded, coeffs, bm, n, m, has_add,
                         has_halo),
       grid=(n // bm,),
       in_specs=in_specs,
-      out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+      out_specs=pl.BlockSpec(memory_space=pl.ANY),
       out_shape=jax.ShapeDtypeStruct((R, C), xp.dtype),
       scratch_shapes=scratch,
       input_output_aliases={n_in - 1: 0},

@@ -673,9 +673,11 @@ def spmv(A, x, use_pallas: Optional[bool] = None) -> jax.Array:
     # jnp.take clamps out-of-bounds gathers silently — fail loudly instead
     raise ValueError(f"spmv dim mismatch: A is {A.shape}, x has "
                      f"{xj.shape[0]} rows")
-  if jax.devices()[0].platform != "cpu":
+  if jax.devices()[0].platform != "cpu" and use_pallas is not False:
     # unstructured gathers are the TPU sparse bottleneck (~0.1 Gnnz/s);
-    # auto-detect block structure and take the MXU path when it exists
+    # auto-detect block structure and take the MXU path when it exists.
+    # An explicit use_pallas=False opt-out skips this too — the caller
+    # asked for the XLA-faithful gather formulation (code-review r4)
     routed = A.auto_route()
     if routed is not None:
       xp = xj if xj.shape[0] == routed.shape[1] else jnp.pad(

@@ -860,25 +860,40 @@ class _AtRef:
     return False
 
   def _bool_mask_update(self, mask, v, reducer):
-    """``E.at[mask].<op>(v)`` via ``where`` (scalar/broadcastable v only;
-    jax rejects traced boolean advanced indices in scatters)."""
+    """``E.at[mask].<op>(v)`` via ``where`` — SCALAR (size-1) values
+    only.  jax rejects traced boolean advanced indices in scatters, and
+    numpy's compressed assignment (``v`` of length ``mask.sum()``) is
+    data-dependent-shaped, so a non-scalar ``v`` under where() broadcast
+    would SILENTLY diverge from numpy (code-review r4) — reject it."""
     from spartan_tpu.expr import builtins as B
     dst = self._e
     mask = lazify(mask)
     if mask.ndim > dst.ndim:
       raise IndexError(
           f".at boolean mask has {mask.ndim} dims; array has {dst.ndim}")
+    if tuple(mask.shape) != tuple(dst.shape[:mask.ndim]):
+      # numpy requires the mask to match the consumed axes exactly
+      raise IndexError(
+          f".at boolean mask shape {tuple(mask.shape)} does not match "
+          f"array leading dims {tuple(dst.shape[:mask.ndim])}")
     if mask.ndim < dst.ndim:
       # numpy semantics: the mask consumes LEADING axes
       mask = B.reshape(mask, tuple(mask.shape) + (1,) * (dst.ndim - mask.ndim))
     v = lazify(v)
+    if int(np.prod(v.shape)) != 1:
+      raise NotImplementedError(
+          ".at[bool_mask] supports scalar values only — numpy's "
+          "compressed per-cell assignment (len(v) == mask.sum()) has a "
+          "data-dependent shape; use integer indices (np.nonzero(mask)) "
+          "for per-cell scatters")
+    dt = dst.aval().dtype
     if reducer is None or reducer == "set":
-      return B.where(mask, v, dst)
+      return B.where(mask, v, dst).astype(dt)
     ops = {np.add: lambda d, s: d + s, np.multiply: lambda d, s: d * s,
            np.maximum: B.maximum, np.minimum: B.minimum}
     for k, f in ops.items():
       if reducer is k or reducer == getattr(k, "__name__", None):
-        return B.where(mask, f(dst, v), dst)
+        return B.where(mask, f(dst, v), dst).astype(dt)
     raise NotImplementedError(f".at[bool_mask] with reducer {reducer!r}")
 
   def _go(self, v, reducer):
@@ -920,9 +935,25 @@ class _AtRef:
       flat = None
       for d, i in enumerate(idx):
         # normalize negative indices per-axis BEFORE linearizing (numpy
-        # semantics; ADVICE r3 — raw idx*stride sums mapped (1,-1)→(0,3))
+        # semantics; ADVICE r3 — raw idx*stride sums mapped (1,-1)→(0,3)).
+        # CONCRETE indices are bounds-checked first: bare % would make a
+        # user's out-of-bounds index silently wrap onto a different
+        # element (code-review r4) where numpy raises.  Lazy Expr
+        # indices can't be checked at construction; they wrap like mod.
         if isinstance(i, (int, np.integer)):
+          if not -lead[d] <= int(i) < lead[d]:
+            raise IndexError(
+                f".at index {int(i)} is out of bounds for axis {d} with "
+                f"size {lead[d]}")
           norm = lazify(int(i) % lead[d])
+        elif isinstance(i, (np.ndarray, list)):
+          ia = np.asarray(i)
+          if ia.size and (int(ia.min()) < -lead[d]
+                          or int(ia.max()) >= lead[d]):
+            raise IndexError(
+                f".at index array for axis {d} has entries outside "
+                f"[-{lead[d]}, {lead[d]})")
+          norm = lazify(ia % lead[d])
         else:
           norm = lazify(i) % lead[d]
         flat = norm * int(strides[d]) if flat is None else (

@@ -639,3 +639,30 @@ def test_at_advanced_indexing_numpy_parity(rng, cluster):
   want = base.copy()
   np.maximum.at(want, mask, 0.5)
   np.testing.assert_allclose(got, want, rtol=1e-12)
+
+
+def test_at_bool_mask_and_oob_guards(rng, cluster):
+  """code-review r4: bool-mask .at[] rejects compressed-assignment forms
+  (silent divergence from numpy) and wrong-shape masks; preserves the
+  destination dtype; concrete OOB indices in multi-axis .at raise
+  instead of wrapping."""
+  base = rng.standard_normal((3, 5))
+  mask = base > 0
+  # compressed per-cell assignment would silently diverge → loud error
+  with np.testing.assert_raises(NotImplementedError):
+    sp.from_numpy(base).at[mask].set(np.arange(int(mask.sum()), dtype=float))
+  # wrong-shape mask (numpy raises IndexError too)
+  with np.testing.assert_raises(IndexError):
+    sp.from_numpy(base).at[np.array([True])].set(0.0)
+  # dtype preserved (numpy truncates on int dst; old path promoted)
+  ib = np.arange(15, dtype=np.int64).reshape(3, 5)
+  got = sp.from_numpy(ib).at[ib > 7].set(0.5)
+  assert np.dtype(got.aval().dtype) == np.int64
+  want = ib.copy()
+  want[ib > 7] = 0  # int truncation of 0.5
+  np.testing.assert_array_equal(np.asarray(got.glom()), want)
+  # concrete OOB index raises (used to wrap via % onto a wrong element)
+  with np.testing.assert_raises(IndexError):
+    sp.from_numpy(base).at[np.array([1]), np.array([7])].set(-1.0)
+  with np.testing.assert_raises(IndexError):
+    sp.from_numpy(base).at[1, np.array([-6])].set(-1.0)

@@ -60,14 +60,8 @@ def main():
   print(f"padded-storage stencil: {per_app*1e3:.3f} ms/app = "
         f"{gbps:.1f} GB/s effective (useful r+w) at {N}^2 f32", flush=True)
 
-  # comparison: the one-shot kernel (pays the jnp.pad pass per call)
-  @jax.jit
-  def oneshot_k(x, k):
-    for _ in range(int(k)):
-      x = stp.stencil3x3(x, COEFFS)
-    return x
-
-  # k is python-int static per program; two programs like above
+  # comparison: the one-shot kernel (pays the jnp.pad pass per call);
+  # k is a python-int static per program — two programs like above
   def time_oneshot(k, reps=5):
     f = jax.jit(lambda x: _apply(x, k))
     sync(f(x))
