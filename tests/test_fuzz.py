@@ -180,3 +180,68 @@ def test_fuzz_grad_finite_difference(seed):
     num[idx] = (f(hi) - f(lo)) / (2 * eps)
   np.testing.assert_allclose(np.asarray(g.glom()), num, rtol=1e-4,
                              atol=1e-6, err_msg=f"seed={seed}")
+
+
+def test_fuzz_at_updates_vs_numpy(cluster):
+  """Differential fuzz of the r4 .at[] surface: random shapes, index
+  forms (flat arrays, multi-axis with negatives, partial, int scalars,
+  bool masks), reducers — vs the numpy oracle."""
+  rng = np.random.default_rng(7)
+  reducers = [("set", None), ("add", np.add), ("multiply", np.multiply),
+              ("max", np.maximum), ("min", np.minimum)]
+  for case in range(60):
+    ndim = int(rng.integers(1, 4))
+    shape = tuple(int(rng.integers(2, 6)) for _ in range(ndim))
+    base = rng.standard_normal(shape)
+    mname, ufunc = reducers[case % len(reducers)]
+    form = case % 4
+    E = sp.from_numpy(base)
+    want = base.copy()
+    if form == 0:        # flat integer scatter along axis 0 (with dups)
+      k = int(rng.integers(1, 5))
+      idx = rng.integers(-shape[0], shape[0], k)
+      v = rng.standard_normal((k,) + shape[1:])
+      got = getattr(E.at[idx], mname)(v)
+      if mname == "set":
+        want[idx] = v
+      else:
+        ufunc.at(want, idx, v)
+    elif form == 1:      # multi-axis advanced (full or partial)
+      naxes = int(rng.integers(1, ndim + 1))
+      k = int(rng.integers(1, 5))
+      idxs = tuple(rng.integers(-shape[d], shape[d], k)
+                   for d in range(naxes))
+      v = rng.standard_normal((k,) + shape[naxes:])
+      got = getattr(E.at[idxs], mname)(v)
+      if mname == "set":
+        want[idxs] = v
+      else:
+        ufunc.at(want, idxs, v)
+    elif form == 2:      # bool mask (any leading-dims rank), scalar v
+      mrank = int(rng.integers(1, ndim + 1))
+      mask = rng.standard_normal(shape[:mrank]) > 0
+      v = float(rng.standard_normal())
+      got = getattr(E.at[mask], mname)(v)
+      if mname == "set":
+        want[mask] = v
+      else:
+        ufunc.at(want, mask, v)
+    else:                # int scalar leading index (region write)
+      i0 = int(rng.integers(-shape[0], shape[0]))
+      v = rng.standard_normal(shape[1:])
+      got = getattr(E.at[i0], mname)(v)
+      if mname == "set":
+        want[i0] = v
+      else:
+        ufunc.at(want, i0, v)
+    if mname == "set" and form in (0, 1):
+      # duplicate indices: jax scatter-set takes an arbitrary dup, numpy
+      # takes the last — only compare when indices are unique
+      flat = (idx if form == 0 else
+              np.ravel_multi_index(tuple(i % shape[d] for d, i in
+                                         enumerate(idxs)),
+                                   shape[:len(idxs)]))
+      if len(np.unique(flat)) != len(np.ravel(flat)):
+        continue
+    np.testing.assert_allclose(np.asarray(got.glom()), want, atol=1e-12,
+                               err_msg=f"case {case} form {form} {mname}")
