@@ -556,9 +556,23 @@ def worker_main(stage_names, timeouts) -> int:
         return 3
     except Exception as e:
       signal.alarm(0)
+      msg = repr(e)
+      if ("UNAVAILABLE" in msg or "Unable to initialize backend" in msg
+          or "DEADLINE_EXCEEDED" in msg):
+        # chip-claim / service weather, not a code bug: report it like a
+        # stall (retryable) and exit — this process's backend is dead,
+        # a fresh process re-rolls the claim (r4: a failed ~25-min claim
+        # used to hard-fail every remaining stage in seconds)
+        print(json.dumps({"stage": name, "ok": False, "timeout": True,
+                          "error": ("backend unavailable: " + msg)[:300]}),
+              flush=True)
+        print(json.dumps({"event": "worker-exit",
+                          "reason": "backend unavailable"}), flush=True)
+        _stamp(f"stage '{name}' BACKEND UNAVAILABLE — exiting worker")
+        return 3
       consecutive_stalls = 0
       print(json.dumps({"stage": name, "ok": False,
-                        "error": repr(e)[:300]}), flush=True)
+                        "error": msg[:300]}), flush=True)
       _stamp(f"stage '{name}' FAILED: {e!r:.200}")
   return 0
 
