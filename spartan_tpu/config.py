@@ -276,3 +276,11 @@ FLAGS.add(IntFlag("linalg_replicate_max_bytes", 0,
                   "if >0, ERROR (instead of warn) when a dense np.linalg "
                   "factorization operand exceeds this size on a "
                   ">1-device mesh — guard for the truly huge case"))
+FLAGS.add(BoolFlag("fft_pencil", True,
+                   "distribute complex multi-axis FFTs (fft2/ifft2/fftn/"
+                   "ifftn) by pencil decomposition on >1-device meshes: "
+                   "local FFT over trailing axes, all-to-all reshard, "
+                   "local FFT over the leading axis — O(n/p) memory/"
+                   "compute per device vs the replicated fallback's O(n). "
+                   "Needs both pencil axes divisible by the mesh size; "
+                   "falls back otherwise"))

@@ -151,7 +151,8 @@ def semantic_flags_fingerprint() -> Tuple:
           FLAGS.sort_method, FLAGS.sort_sample_threshold,
           FLAGS.dot_precision, FLAGS.use_pallas,
           FLAGS.sparse_force_onehot, FLAGS.sparse_force_winmm,
-          FLAGS.sparse_dense_route, FLAGS.sparse_force_dense)
+          FLAGS.sparse_dense_route, FLAGS.sparse_force_dense,
+          FLAGS.fft_pencil)
 
 
 class Expr:

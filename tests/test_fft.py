@@ -1,6 +1,7 @@
 """sp.fft — numpy.fft-style spectral surface (no reference equivalent;
 widening for the NumPy-user surface, SURVEY.md §2.1 builtins row)."""
 
+import jax
 import numpy as np
 
 import spartan_tpu as sp
@@ -63,3 +64,71 @@ def test_fft_sharded_transform_axis(rng, cluster):
   # batched 1-D fft keeps the row sharding on the batch dim
   got1 = np.asarray(sp.abs(sp.fft.fft(U)).glom())
   np.testing.assert_allclose(got1, np.abs(np.fft.fft(u)), atol=1e-9)
+
+
+def test_pencil_fft_parity_and_grad(rng, cluster):
+  """r4 pencil-decomposed distributed FFT (fft2/ifft2/fftn/ifftn on
+  >1-device meshes with divisible pencil axes): one local FFT per stage
+  + ONE tiled all_to_all transpose — O(n/p) memory/compute per device.
+  Must be bit-identical to the replicated fallback and differentiable."""
+  from spartan_tpu.config import FLAGS
+  assert FLAGS.fft_pencil  # default-on
+
+  for shape, axes in [((64, 128), (0, 1)), ((16, 32, 128), (1, 2)),
+                      ((16, 32, 128), (0, 2)), ((8, 16, 32, 128), (2, 3)),
+                      ((16, 32, 128), (0, 1, 2))]:
+    z = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    got = np.asarray(sp.fft.fftn(sp.from_numpy(z), axes=axes).glom())
+    np.testing.assert_allclose(got, np.fft.fftn(z, axes=axes),
+                               rtol=1e-9, atol=1e-9)
+
+  # round-trip through fft2 -> filter -> ifft2, and its gradient,
+  # pencil vs fallback
+  x = rng.standard_normal((64, 128))
+  mask = (np.abs(np.fft.fftfreq(128)) < 0.2).astype(np.complex128)
+
+  def build():
+    X = sp.from_numpy(x)
+    loss = sp.sum(sp.real(sp.fft.ifft2(sp.fft.fft2(X)
+                                       * sp.from_numpy(mask))))
+    return X, loss
+
+  X, loss = build()
+  g_pencil = np.asarray(sp.grad(loss, [X])[0].glom())
+  FLAGS.fft_pencil = False
+  try:
+    X, loss = build()
+    g_fallback = np.asarray(sp.grad(loss, [X])[0].glom())
+  finally:
+    FLAGS.fft_pencil = True
+  np.testing.assert_allclose(g_pencil, g_fallback, rtol=1e-12, atol=1e-12)
+
+  # non-divisible pencil axes (15 % 8 != 0) take the fallback — still
+  # correct
+  z = rng.standard_normal((15, 128)) + 1j * rng.standard_normal((15, 128))
+  got = np.asarray(sp.fft.fft2(sp.from_numpy(z)).glom())
+  np.testing.assert_allclose(got, np.fft.fft2(z), rtol=1e-9, atol=1e-9)
+
+
+def test_pencil_fft_lowers_to_one_all_to_all(rng, cluster):
+  """The pencil path's resharding transpose is an explicit all_to_all in
+  the compiled HLO; with the flag off the replicated fallback emits
+  none.  (SURVEY §2.4 collective mapping — retile = all-to-all.)"""
+  import re
+
+  from spartan_tpu import autodiff
+  from spartan_tpu.config import FLAGS
+
+  def hlo():
+    z = rng.standard_normal((64, 128)) + 1j * rng.standard_normal((64, 128))
+    Z = sp.from_numpy(z)
+    expr = sp.fft.fft2(Z)
+    fn, args = autodiff.as_function(expr, [Z])
+    return jax.jit(fn).lower(*args).compile().as_text()
+
+  assert "all-to-all" in hlo()
+  FLAGS.fft_pencil = False
+  try:
+    assert "all-to-all" not in hlo()
+  finally:
+    FLAGS.fft_pencil = True
