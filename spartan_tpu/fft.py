@@ -7,15 +7,18 @@ lowering (TPU executes FFTs on-device); complex avals flow through the
 DAG like any other dtype (map/reduce/slicing are dtype-agnostic).
 ``fftfreq``/``rfftfreq`` are tiny host-built leaves.
 
-Multi-axis complex transforms (``fft2``/``ifft2``/``fftn``/``ifftn``)
-DISTRIBUTE on >1-device meshes by pencil decomposition
-(``--fft_pencil``, default on): local FFT over the trailing transform
-axes while the leading one is sharded, ONE tiled ``all_to_all``
-transpose over ICI, local FFT over the leading axis — O(n/p) memory and
-compute per device.  Needs both pencil axes divisible by the mesh size;
-other transforms (and the r-variants, whose last-axis length changes)
-constrain their transform axes local instead, which replicates the
-transform's compute but keeps batch dims sharded.
+Multi-axis transforms (``fft2``/``ifft2``/``fftn``/``ifftn`` and the
+real variants ``rfft2``/``rfftn``/``irfft2``/``irfftn``) DISTRIBUTE on
+>1-device meshes by pencil decomposition (``--fft_pencil``, default
+on): local FFT over all transform axes but one while that one is
+sharded, ONE tiled ``all_to_all`` transpose over ICI, local FFT over
+the remaining axis — O(n/p) memory and compute per device.  The
+transpose-target axis is zero-padded to a mesh-size multiple when
+needed (the r-variants' n//2+1 rarely divides) and sliced back, so the
+only requirement is one non-real transform axis divisible by the mesh
+size; ineligible transforms (and the single-axis ones) constrain their
+transform axes local instead, which replicates the transform's compute
+but keeps batch dims sharded.
 
 Backend note: the axon dev-tunnel runtime has no complex *buffer*
 support (complex leaves/outputs/fetches abort UNIMPLEMENTED) — complex
@@ -51,40 +54,102 @@ def _transform_axes(name, kw, ndim):
   return tuple(a % ndim for a in axes)
 
 
-# Complex multi-axis transforms that decompose into per-axis 1-D FFTs
-# with no shape change — eligible for the pencil (transpose) algorithm.
-_PENCIL_BASE = {"fft2": "fft", "ifft2": "ifft", "fftn": "fft",
-                "ifftn": "ifft"}
+# Multi-axis transforms that decompose into per-axis 1-D FFTs — eligible
+# for the pencil (transpose) algorithm.  Value = (per-axis complex base,
+# real-transform applied along axes[-1] or None).
+_PENCIL_BASE = {"fft2": ("fft", None), "ifft2": ("ifft", None),
+                "fftn": ("fft", None), "ifftn": ("ifft", None),
+                "rfft2": ("fft", "rfft"), "rfftn": ("fft", "rfft"),
+                "irfft2": ("ifft", "irfft"), "irfftn": ("ifft", "irfft")}
 
 
 def _pencil_fft(name, a, axes, mesh):
-  """Distributed multi-axis FFT by pencil decomposition: FFT the trailing
-  transform axes locally while the leading one is sharded, transpose the
-  sharded axis with ONE ``all_to_all`` (O(n/p) bytes per device, rides
-  ICI), FFT the leading axis locally.  O(n/p) memory and compute per
-  device vs the replicated fallback's O(n) — the scaling-book
-  transpose-FFT recipe.  Explicit shard_map rather than sharding
-  constraints: the GSPMD constraint-flip formulation miscompiles on
-  XLA:CPU for ndim>=3 (hlo-verifier INTERNAL after spmd-partitioning,
-  jax 0.9) and leaves the collective choice to the partitioner."""
+  """Distributed multi-axis FFT by pencil decomposition, or None if the
+  transform isn't eligible (then the caller falls back to localizing the
+  transform axes, which replicates the transform's compute).
+
+  Shape: FFT every transform axis but one locally while that one (the
+  pencil axis ``s``) is sharded, transpose ``s`` against the last
+  transform axis with ONE tiled ``all_to_all`` (O(n/p) bytes per device,
+  rides ICI), FFT ``s`` locally — O(n/p) memory and compute per device
+  vs the replicated fallback's O(n); the scaling-book transpose-FFT
+  recipe.  The transpose-target axis is zero-padded to a mesh-size
+  multiple when needed (sliced back after), so the ONLY divisibility
+  requirement is one transform axis (other than the real axis of the
+  r-variants) divisible by the mesh size.  Explicit shard_map rather
+  than sharding constraints: the GSPMD constraint-flip formulation
+  miscompiles on XLA:CPU for ndim>=3 (hlo-verifier INTERNAL after
+  spmd-partitioning, jax 0.9) and leaves the collective choice to the
+  partitioner."""
   import jax
   import jax.numpy as jnp
   from jax.sharding import PartitionSpec as P
-  base = _PENCIL_BASE[name]
+  if (name not in _PENCIL_BASE or len(set(axes)) != len(axes)
+      or len(axes) < 2):
+    return None
+  base, real = _PENCIL_BASE[name]
   names = tuple(mesh.axis_names)
-  a1, ak = axes[0], axes[-1]
-  in_spec = P(*[names if d == a1 else None for d in range(a.ndim)])
-  out_spec = P(*[names if d == ak else None for d in range(a.ndim)])
+  p = int(mesh.devices.size)
+  ak = axes[-1]
+  s = next((d for d in axes[:-1] if a.shape[d] % p == 0), None)
+  if s is None:
+    if real is not None or a.shape[ak] % p:
+      return None
+    s, ak = ak, axes[0]  # complex axes commute: pencil on the last axis
+  others = [d for d in axes if d != s]
 
-  def body(xl):
-    for ax in axes[1:]:
+  def pad_to(x, dim, mult):
+    extra = -x.shape[dim] % mult
+    if not extra:
+      return x
+    widths = [(0, extra if d == dim else 0) for d in range(x.ndim)]
+    return jnp.pad(x, widths)
+
+  if real == "irfft":
+    # inverse-real: ifft over every axis but the last while the (padded)
+    # last is sharded, transpose, irfft the last axis locally.
+    nk_in = a.shape[ak]
+    out_len = 2 * (nk_in - 1)
+    a = pad_to(a, ak, p)
+    in_spec = P(*[names if d == ak else None for d in range(a.ndim)])
+    out_spec = P(*[names if d == s else None for d in range(a.ndim)])
+
+    def body_i(xl):
+      for ax in axes[:-1]:   # incl. s — only the (sharded) real axis waits
+        xl = getattr(jnp.fft, base)(xl, axis=ax)
+      xl = jax.lax.all_to_all(xl, names, split_axis=s, concat_axis=ak,
+                              tiled=True)
+      xl = jax.lax.slice_in_dim(xl, 0, nk_in, axis=ak)
+      return jnp.fft.irfft(xl, n=out_len, axis=ak)
+
+    return jax.shard_map(body_i, mesh=mesh, in_specs=(in_spec,),
+                         out_specs=out_spec, check_vma=False)(a)
+
+  # forward family (fft/ifft/rfft*): transform the non-pencil axes
+  # locally while s is sharded (the real transform, if any, runs along
+  # axes[-1] here), pad the transpose target, transpose, FFT s locally.
+  t = ak if s != ak else axes[0]
+  t_len = (a.shape[t] // 2 + 1) if (real and t == axes[-1]) else a.shape[t]
+  in_spec = P(*[names if d == s else None for d in range(a.ndim)])
+  out_spec = P(*[names if d == t else None for d in range(a.ndim)])
+
+  def body_f(xl):
+    if real:
+      xl = jnp.fft.rfft(xl, axis=axes[-1])
+    for ax in others:
+      if real and ax == axes[-1]:
+        continue
       xl = getattr(jnp.fft, base)(xl, axis=ax)
-    xl = jax.lax.all_to_all(xl, names, split_axis=ak, concat_axis=a1,
+    xl = pad_to(xl, t, p)
+    xl = jax.lax.all_to_all(xl, names, split_axis=t, concat_axis=s,
                             tiled=True)
-    return getattr(jnp.fft, base)(xl, axis=a1)
+    return getattr(jnp.fft, base)(xl, axis=s)
 
-  return jax.shard_map(body, mesh=mesh, in_specs=(in_spec,),
-                       out_specs=out_spec, check_vma=False)(a)
+  out = jax.shard_map(body_f, mesh=mesh, in_specs=(in_spec,),
+                      out_specs=out_spec, check_vma=False)(a)
+  if out.shape[t] != t_len:
+    out = jax.lax.slice_in_dim(out, 0, t_len, axis=t)
+  return out
 
 
 def _fft_call(name, kw, a):
@@ -99,11 +164,10 @@ def _fft_call(name, kw, a):
     from spartan_tpu.core.mesh import get_mesh
     mesh = get_mesh()
     if mesh is not None and mesh.devices.size > 1:
-      p = int(mesh.devices.size)
-      if (FLAGS.fft_pencil and name in _PENCIL_BASE
-          and len(set(axes)) == len(axes) >= 2
-          and a.shape[axes[0]] % p == 0 and a.shape[axes[-1]] % p == 0):
-        return _pencil_fft(name, a, axes, mesh)
+      if FLAGS.fft_pencil:
+        out = _pencil_fft(name, a, axes, mesh)
+        if out is not None:
+          return out
       # Fallback: the transform axes whole on each device; constraining
       # them to None (others unconstrained) keeps batch dims sharded and
       # ALSO sidesteps an XLA:CPU fft-thunk layout RET_CHECK that aborts

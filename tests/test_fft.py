@@ -132,3 +132,46 @@ def test_pencil_fft_lowers_to_one_all_to_all(rng, cluster):
     assert "all-to-all" not in hlo()
   finally:
     FLAGS.fft_pencil = True
+
+
+def test_pencil_fft_real_variants(rng, cluster):
+  """r4: rfft2/rfftn/irfft2/irfftn also pencil-decompose — the transpose
+  target is zero-padded to a mesh-size multiple (rfft halves the last
+  axis to n//2+1, which rarely divides) and sliced back; only one
+  non-real transform axis must divide the mesh.  Parity + grad vs the
+  replicated fallback."""
+  from spartan_tpu.config import FLAGS
+
+  for shape, axes in [((64, 128), (0, 1)), ((64, 100), (0, 1)),
+                      ((16, 32, 100), (0, 1, 2)), ((16, 32, 100), (1, 2))]:
+    z = rng.standard_normal(shape)
+    got = np.asarray(sp.fft.rfftn(sp.from_numpy(z), axes=axes).glom())
+    np.testing.assert_allclose(got, np.fft.rfftn(z, axes=axes),
+                               rtol=1e-9, atol=1e-9)
+    F = np.fft.rfftn(z, axes=axes)
+    back = np.asarray(sp.fft.irfftn(sp.from_numpy(F), axes=axes).glom())
+    np.testing.assert_allclose(back, z, rtol=1e-9, atol=1e-9)
+
+  # complex pencil with a non-divisible LAST axis (pad trick) and a
+  # non-divisible FIRST axis (pencil role swaps to the last axis)
+  for shape in [(64, 100), (63, 128)]:
+    z = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    got = np.asarray(sp.fft.fft2(sp.from_numpy(z)).glom())
+    np.testing.assert_allclose(got, np.fft.fft2(z), rtol=1e-9, atol=1e-9)
+
+  # grad of a real spectral pipeline, pencil vs fallback
+  x = rng.standard_normal((64, 100))
+
+  def build():
+    X = sp.from_numpy(x)
+    return X, sp.sum(sp.abs(sp.fft.irfft2(sp.fft.rfft2(X) * 0.5)))
+
+  X, loss = build()
+  g_pencil = np.asarray(sp.grad(loss, [X])[0].glom())
+  FLAGS.fft_pencil = False
+  try:
+    X, loss = build()
+    g_fallback = np.asarray(sp.grad(loss, [X])[0].glom())
+  finally:
+    FLAGS.fft_pencil = True
+  np.testing.assert_allclose(g_pencil, g_fallback, rtol=1e-10, atol=1e-12)
