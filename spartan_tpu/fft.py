@@ -152,6 +152,67 @@ def _pencil_fft(name, a, axes, mesh):
   return out
 
 
+# Below this length a 1-D transform is cheaper replicated than
+# four-stepped (two transposes + a twiddle pass for a <=512 KiB array).
+_PENCIL_1D_MIN = 1 << 16
+
+
+def _four_step_fft(name, kw, a, mesh):
+  """Distributed single-axis FFT for long 1-D arrays (Bailey four-step),
+  or None if ineligible.  n = n1*n2: view x as (n1, n2) row-major, FFT
+  the strided axis while columns are sharded, multiply by the twiddle
+  W_n^(j2*k1), ONE all_to_all transpose, FFT the contiguous axis, read
+  out as the transpose — X[k1 + n1*k2] = D[k1, k2].  A 1-D transform
+  has no batch dims to shard, so the localize fallback fully replicates
+  it; this keeps O(n/p) per device.  Twiddle phases come from exact
+  integer j2*k1 (< n), so float rounding contributes only ~2pi*eps
+  absolute phase error even at huge n."""
+  import jax
+  import jax.numpy as jnp
+  from jax.sharding import PartitionSpec as P
+  if name not in ("fft", "ifft") or a.ndim != 1:
+    return None
+  n = a.shape[0]
+  n_kw = dict(kw).get("n")
+  if (n_kw is not None and n_kw != n) or n < _PENCIL_1D_MIN:
+    return None
+  p = int(mesh.devices.size)
+  best = None
+  d = 1
+  while d * d <= n:           # trace-time host loop over divisors
+    if n % d == 0:
+      for n1 in (d, n // d):
+        if n1 % p == 0 and (n // n1) % p == 0:
+          if best is None or abs(n1 - n // n1) < abs(best - n // best):
+            best = n1
+    d += 1
+  if best is None:
+    return None
+  n1, n2 = best, n // best
+  names = tuple(mesh.axis_names)
+  sign = -2j if name == "fft" else 2j
+  x64 = bool(jax.config.jax_enable_x64)
+  itype = jnp.int64 if x64 else jnp.int32
+  ftype = jnp.float64 if x64 else jnp.float32
+
+  def body(xl):
+    # xl: (n1, n2/p) — column block of the row-major (n1, n2) view
+    b = getattr(jnp.fft, name)(xl, axis=0)
+    j2 = (jax.lax.axis_index(names) * (n2 // p)
+          + jnp.arange(n2 // p, dtype=itype))
+    k1 = jnp.arange(n1, dtype=itype)
+    ph = (k1[:, None] * j2[None, :]).astype(ftype)  # exact ints < n
+    c = b * jnp.exp((sign * jnp.pi / n) * ph).astype(b.dtype)
+    c = jax.lax.all_to_all(c, names, split_axis=0, concat_axis=1,
+                           tiled=True)
+    return getattr(jnp.fft, name)(c, axis=1)
+
+  d2 = jax.shard_map(body, mesh=mesh, in_specs=(P(None, names),),
+                     out_specs=P(names, None),
+                     check_vma=False)(a.reshape(n1, n2))
+  return d2.T.reshape(n)
+
+
 def _fft_call(name, kw, a):
   import jax
   import jax.numpy as jnp
@@ -166,6 +227,8 @@ def _fft_call(name, kw, a):
     if mesh is not None and mesh.devices.size > 1:
       if FLAGS.fft_pencil:
         out = _pencil_fft(name, a, axes, mesh)
+        if out is None:
+          out = _four_step_fft(name, kw, a, mesh)
         if out is not None:
           return out
       # Fallback: the transform axes whole on each device; constraining

@@ -175,3 +175,47 @@ def test_pencil_fft_real_variants(rng, cluster):
   finally:
     FLAGS.fft_pencil = True
   np.testing.assert_allclose(g_pencil, g_fallback, rtol=1e-10, atol=1e-12)
+
+
+def test_four_step_1d_fft(rng, cluster):
+  """r4: long 1-D transforms distribute via the Bailey four-step
+  factorization (n = n1*n2, FFT/twiddle/all_to_all-transpose/FFT) — a
+  1-D array has no batch dims, so the localize fallback would fully
+  replicate it.  Parity, round-trip, grad, and fallback routing."""
+  from spartan_tpu import autodiff
+  from spartan_tpu.config import FLAGS
+  from spartan_tpu.fft import _PENCIL_1D_MIN
+
+  n = _PENCIL_1D_MIN * 2
+  z = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+  got = np.asarray(sp.fft.fft(sp.from_numpy(z)).glom())
+  np.testing.assert_allclose(got, np.fft.fft(z), rtol=1e-9, atol=1e-6)
+  back = np.asarray(sp.fft.ifft(sp.fft.fft(sp.from_numpy(z))).glom())
+  np.testing.assert_allclose(back, z, rtol=1e-9, atol=1e-9)
+
+  # the four-step emits its all_to_all transpose
+  Z = sp.from_numpy(z)
+  fn, args = autodiff.as_function(sp.fft.fft(Z), [Z])
+  assert "all-to-all" in jax.jit(fn).lower(*args).compile().as_text()
+
+  # grad matches the replicated fallback
+  x = rng.standard_normal(n)
+
+  def build():
+    X = sp.from_numpy(x)
+    return X, sp.sum(sp.real(sp.fft.ifft(sp.fft.fft(X) * 2.0)))
+
+  X, loss = build()
+  gp = np.asarray(sp.grad(loss, [X])[0].glom())
+  FLAGS.fft_pencil = False
+  try:
+    X, loss = build()
+    gf = np.asarray(sp.grad(loss, [X])[0].glom())
+  finally:
+    FLAGS.fft_pencil = True
+  np.testing.assert_allclose(gp, gf, rtol=1e-10, atol=1e-12)
+
+  # no divisible n1*n2 split (n = 2^17 + 2 = 2 * 65537) -> fallback
+  o = rng.standard_normal(n + 2) + 0j
+  got = np.asarray(sp.fft.fft(sp.from_numpy(o)).glom())
+  np.testing.assert_allclose(got, np.fft.fft(o), rtol=1e-9, atol=1e-6)
