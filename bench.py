@@ -664,7 +664,11 @@ def main():
             # (no worker-start → spawn problem; no backend-init → chip
             # claim; no data-on-device → first service request/compile;
             # no loop-compiled → stage compile; no measured → measurement)
-            "phases": phases[:80]}
+            # head (session setup) + TAIL: the boundary a late stall
+            # never crossed lives at the end (code-review r4 — [:80]
+            # dropped exactly the diagnostic events under retries)
+            "phases": (phases if len(phases) <= 80
+                       else phases[:8] + phases[-72:])}
     result["bench_diag"] = diag
     return result
 

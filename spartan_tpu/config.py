@@ -276,6 +276,10 @@ FLAGS.add(IntFlag("linalg_replicate_max_bytes", 0,
                   "if >0, ERROR (instead of warn) when a dense np.linalg "
                   "factorization operand exceeds this size on a "
                   ">1-device mesh — guard for the truly huge case"))
+FLAGS.add(IntFlag("fft_pencil_min_elems", 1 << 16,
+                  "below this many elements a distributed FFT is cheaper "
+                  "replicated than pencil-decomposed (the transpose's ICI "
+                  "round-trip outweighs a <=512 KiB local transform)"))
 FLAGS.add(BoolFlag("fft_pencil", True,
                    "distribute complex multi-axis FFTs (fft2/ifft2/fftn/"
                    "ifftn) by pencil decomposition on >1-device meshes: "

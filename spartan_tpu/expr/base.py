@@ -152,7 +152,7 @@ def semantic_flags_fingerprint() -> Tuple:
           FLAGS.dot_precision, FLAGS.use_pallas,
           FLAGS.sparse_force_onehot, FLAGS.sparse_force_winmm,
           FLAGS.sparse_dense_route, FLAGS.sparse_force_dense,
-          FLAGS.fft_pencil)
+          FLAGS.fft_pencil, FLAGS.fft_pencil_min_elems)
 
 
 class Expr:
@@ -857,7 +857,14 @@ class _AtRef:
     if isinstance(i, (Expr, np.ndarray)):
       return np.dtype(getattr(i, "dtype", None)) == np.bool_
     if isinstance(i, list):
-      return bool(i) and all(isinstance(x, (bool, np.bool_)) for x in i)
+      # asarray-based so NESTED bool lists (2-D masks as plain lists)
+      # are recognized too (code-review r4 — they used to fall through
+      # to the integer scatter and die opaquely at eval)
+      try:
+        arr = np.asarray(i)
+      except Exception:
+        return False
+      return arr.size > 0 and arr.dtype == np.bool_
     return False
 
   def _bool_mask_update(self, mask, v, reducer):
@@ -900,11 +907,38 @@ class _AtRef:
   def _go(self, v, reducer):
     from spartan_tpu.expr import write as W
     idx = self._idx
+    if reducer is not None:
+      # numpy ufunc-at casting rule: ib[mask] += 1.5 / np.add.at(ib, i,
+      # 1.5) RAISE (add output float64 cannot cast to int64 same_kind);
+      # the emitted astype(dst.dtype) would silently truncate instead
+      # (code-review r4).  Plain .set keeps numpy's unsafe-cast
+      # assignment semantics.
+      dt = self._e.aval().dtype
+      vt = lazify(v).aval().dtype
+      if not np.can_cast(np.result_type(dt, vt), dt, casting="same_kind"):
+        name = getattr(reducer, "__name__", reducer)
+        raise TypeError(
+            f".at[...].{name}: cannot cast {np.result_type(dt, vt)} "
+            f"result to {dt} with casting rule 'same_kind' (numpy ufunc"
+            f"-at parity)")
     if isinstance(idx, (Expr, np.ndarray, list)):
       if self._is_bool_index(idx):
         # boolean-mask update: jax scatters reject traced bool indices,
         # so lower to a where() (ADVICE r3 — used to fail opaquely at eval)
         return self._bool_mask_update(idx, v, reducer)
+      if isinstance(idx, (np.ndarray, list)):
+        # CONCRETE index arrays are bounds-checked at construction: jax
+        # scatter silently DROPS out-of-bounds updates where numpy
+        # raises (code-review r4 — the multi-axis path already checked)
+        ia = np.asarray(idx)
+        if not self._e.ndim:
+          raise IndexError(".at index on a 0-d array")
+        n0 = self._e.shape[0]
+        if ia.size and (int(ia.min()) < -n0 or int(ia.max()) >= n0):
+          raise IndexError(
+              f".at index array has entries outside [-{n0}, {n0}) for "
+              f"axis 0 with size {n0}")
+        idx = ia % n0 if ia.size else ia
       # integer-array scatter: indices are DATA (an input), not a param
       return W.ScatterAssignExpr(self._e, idx, v, reducer)
     if isinstance(idx, tuple) and any(

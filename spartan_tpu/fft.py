@@ -84,12 +84,22 @@ def _pencil_fft(name, a, axes, mesh):
   import jax
   import jax.numpy as jnp
   from jax.sharding import PartitionSpec as P
+  from spartan_tpu.config import FLAGS
   if (name not in _PENCIL_BASE or len(set(axes)) != len(axes)
       or len(axes) < 2):
     return None
   base, real = _PENCIL_BASE[name]
   names = tuple(mesh.axis_names)
   p = int(mesh.devices.size)
+  batch = int(np.prod([a.shape[d] for d in range(a.ndim)
+                       if d not in axes], initial=1))
+  if a.size < int(FLAGS.fft_pencil_min_elems) or batch >= p:
+    # tiny transforms aren't worth an ICI round-trip, and when the batch
+    # dims alone can absorb the mesh the localize fallback is
+    # embarrassingly parallel — zero collectives beats a transpose
+    # (code-review r4: pencil used to force a reshard + all_to_all on
+    # batched FFTs that previously ran p independent local transforms)
+    return None
   ak = axes[-1]
   s = next((d for d in axes[:-1] if a.shape[d] % p == 0), None)
   if s is None:
@@ -152,9 +162,6 @@ def _pencil_fft(name, a, axes, mesh):
   return out
 
 
-# Below this length a 1-D transform is cheaper replicated than
-# four-stepped (two transposes + a twiddle pass for a <=512 KiB array).
-_PENCIL_1D_MIN = 1 << 16
 
 
 def _four_step_fft(name, kw, a, mesh):
@@ -170,11 +177,12 @@ def _four_step_fft(name, kw, a, mesh):
   import jax
   import jax.numpy as jnp
   from jax.sharding import PartitionSpec as P
+  from spartan_tpu.config import FLAGS
   if name not in ("fft", "ifft") or a.ndim != 1:
     return None
   n = a.shape[0]
   n_kw = dict(kw).get("n")
-  if (n_kw is not None and n_kw != n) or n < _PENCIL_1D_MIN:
+  if (n_kw is not None and n_kw != n) or n < int(FLAGS.fft_pencil_min_elems):
     return None
   p = int(mesh.devices.size)
   best = None

@@ -231,7 +231,16 @@ def _replication_guard(A, name):
          f"At scale use {alt}, or raise --linalg_replicate_warn_bytes.")
   if err_at > 0 and nbytes >= err_at:
     raise ValueError(msg + " (--linalg_replicate_max_bytes exceeded)")
-  log_warn("%s", msg)
+  # warn once per (op, shape, dtype): an iterative workload constructing
+  # the same factorization every step must not spam the log (code-review
+  # r4 — same convention as _eig_host_notice)
+  key = (name, tuple(av.shape), str(av.dtype))
+  if key not in _replication_warned:
+    _replication_warned.add(key)
+    log_warn("%s", msg)
+
+
+_replication_warned: set = set()
 
 
 def _jl_call(name, kw, a):

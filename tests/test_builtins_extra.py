@@ -666,3 +666,42 @@ def test_at_bool_mask_and_oob_guards(rng, cluster):
     sp.from_numpy(base).at[np.array([1]), np.array([7])].set(-1.0)
   with np.testing.assert_raises(IndexError):
     sp.from_numpy(base).at[1, np.array([-6])].set(-1.0)
+
+
+def test_at_single_axis_oob_nested_mask_and_ufunc_cast(rng, cluster):
+  """code-review r4 round 2: (a) single index-array .at[idx] bounds-
+  checks concrete indices (jax scatter silently DROPS OOB updates where
+  numpy raises) and normalizes negatives; (b) nested bool LISTS are
+  recognized as masks; (c) reducer forms refuse same_kind-uncastable
+  values (numpy ufunc-at parity) while .set keeps numpy's unsafe-cast
+  assignment."""
+  base = rng.standard_normal((3, 5))
+  # (a) OOB single index array raises (used to be a silent no-op)
+  with np.testing.assert_raises(IndexError):
+    sp.from_numpy(base).at[np.array([7])].set(-1.0)
+  with np.testing.assert_raises(IndexError):
+    sp.from_numpy(np.arange(4.0)).at[[4]].add(1.0)
+  # negative indices hit the numpy element
+  got = np.asarray(sp.from_numpy(base).at[np.array([-1])].set(9.0).glom())
+  want = base.copy()
+  want[np.array([-1])] = 9.0
+  np.testing.assert_allclose(got, want)
+  # (b) nested bool list == 2-D mask (used to die opaquely at eval)
+  m = [[True] * 5, [False] * 5, [True] * 5]
+  got = np.asarray(sp.from_numpy(base).at[m].set(0.0).glom())
+  want = base.copy()
+  want[np.asarray(m)] = 0.0
+  np.testing.assert_allclose(got, want)
+  # (c) float reducer onto int array raises like np.add.at; set() casts
+  ib = np.arange(15, dtype=np.int64).reshape(3, 5)
+  with np.testing.assert_raises(TypeError):
+    sp.from_numpy(ib).at[ib > 7].add(1.5)
+  with np.testing.assert_raises(TypeError):
+    sp.from_numpy(ib).at[np.array([1])].multiply(0.5)
+  ok = sp.from_numpy(ib).at[ib > 7].add(2)       # int value is fine
+  assert np.dtype(ok.aval().dtype) == np.int64
+  fa = rng.standard_normal(6).astype(np.float32)
+  g = np.asarray(sp.from_numpy(fa).at[np.array([2])].add(1.5).glom())
+  want = fa.copy()
+  np.add.at(want, np.array([2]), np.float32(1.5))
+  np.testing.assert_allclose(g, want, rtol=1e-6)

@@ -73,41 +73,49 @@ def test_pencil_fft_parity_and_grad(rng, cluster):
   Must be bit-identical to the replicated fallback and differentiable."""
   from spartan_tpu.config import FLAGS
   assert FLAGS.fft_pencil  # default-on
-
-  for shape, axes in [((64, 128), (0, 1)), ((16, 32, 128), (1, 2)),
-                      ((16, 32, 128), (0, 2)), ((8, 16, 32, 128), (2, 3)),
-                      ((16, 32, 128), (0, 1, 2))]:
-    z = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
-    got = np.asarray(sp.fft.fftn(sp.from_numpy(z), axes=axes).glom())
-    np.testing.assert_allclose(got, np.fft.fftn(z, axes=axes),
-                               rtol=1e-9, atol=1e-9)
-
-  # round-trip through fft2 -> filter -> ifft2, and its gradient,
-  # pencil vs fallback
-  x = rng.standard_normal((64, 128))
-  mask = (np.abs(np.fft.fftfreq(128)) < 0.2).astype(np.complex128)
-
-  def build():
-    X = sp.from_numpy(x)
-    loss = sp.sum(sp.real(sp.fft.ifft2(sp.fft.fft2(X)
-                                       * sp.from_numpy(mask))))
-    return X, loss
-
-  X, loss = build()
-  g_pencil = np.asarray(sp.grad(loss, [X])[0].glom())
-  FLAGS.fft_pencil = False
+  FLAGS.fft_pencil_min_elems = 0  # test shapes sit below the prod gate
   try:
-    X, loss = build()
-    g_fallback = np.asarray(sp.grad(loss, [X])[0].glom())
-  finally:
-    FLAGS.fft_pencil = True
-  np.testing.assert_allclose(g_pencil, g_fallback, rtol=1e-12, atol=1e-12)
+    # batch dims kept < mesh size so the batch-absorption rule doesn't
+    # route these to the (also-correct) localize fallback
+    for shape, axes in [((64, 128), (0, 1)), ((2, 32, 128), (1, 2)),
+                        ((16, 4, 128), (0, 2)),
+                        ((2, 16, 32, 128), (1, 2, 3)),
+                        ((16, 32, 128), (0, 1, 2))]:
+      z = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+      got = np.asarray(sp.fft.fftn(sp.from_numpy(z), axes=axes).glom())
+      np.testing.assert_allclose(got, np.fft.fftn(z, axes=axes),
+                                 rtol=1e-9, atol=1e-9)
 
-  # non-divisible pencil axes (15 % 8 != 0) take the fallback — still
-  # correct
-  z = rng.standard_normal((15, 128)) + 1j * rng.standard_normal((15, 128))
-  got = np.asarray(sp.fft.fft2(sp.from_numpy(z)).glom())
-  np.testing.assert_allclose(got, np.fft.fft2(z), rtol=1e-9, atol=1e-9)
+    # round-trip through fft2 -> filter -> ifft2, and its gradient,
+    # pencil vs fallback
+    x = rng.standard_normal((64, 128))
+    mask = (np.abs(np.fft.fftfreq(128)) < 0.2).astype(np.complex128)
+
+    def build():
+      X = sp.from_numpy(x)
+      loss = sp.sum(sp.real(sp.fft.ifft2(sp.fft.fft2(X)
+                                         * sp.from_numpy(mask))))
+      return X, loss
+
+    X, loss = build()
+    g_pencil = np.asarray(sp.grad(loss, [X])[0].glom())
+    FLAGS.fft_pencil = False
+    try:
+      X, loss = build()
+      g_fallback = np.asarray(sp.grad(loss, [X])[0].glom())
+    finally:
+      FLAGS.fft_pencil = True
+    np.testing.assert_allclose(g_pencil, g_fallback, rtol=1e-12,
+                               atol=1e-12)
+
+    # non-divisible pencil axes (15 % 8 != 0) take the fallback — still
+    # correct
+    z = (rng.standard_normal((15, 127))
+         + 1j * rng.standard_normal((15, 127)))
+    got = np.asarray(sp.fft.fft2(sp.from_numpy(z)).glom())
+    np.testing.assert_allclose(got, np.fft.fft2(z), rtol=1e-9, atol=1e-9)
+  finally:
+    FLAGS.lookup("fft_pencil_min_elems").reset()
 
 
 def test_pencil_fft_lowers_to_one_all_to_all(rng, cluster):
@@ -119,19 +127,29 @@ def test_pencil_fft_lowers_to_one_all_to_all(rng, cluster):
   from spartan_tpu import autodiff
   from spartan_tpu.config import FLAGS
 
-  def hlo():
-    z = rng.standard_normal((64, 128)) + 1j * rng.standard_normal((64, 128))
+  def hlo(shape=(64, 128), axes=None):
+    z = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
     Z = sp.from_numpy(z)
-    expr = sp.fft.fft2(Z)
+    expr = (sp.fft.fft2(Z) if axes is None
+            else sp.fft.fftn(Z, axes=axes))
     fn, args = autodiff.as_function(expr, [Z])
     return jax.jit(fn).lower(*args).compile().as_text()
 
-  assert "all-to-all" in hlo()
-  FLAGS.fft_pencil = False
+  FLAGS.fft_pencil_min_elems = 0
   try:
-    assert "all-to-all" not in hlo()
+    assert "all-to-all" in hlo()
+    FLAGS.fft_pencil = False
+    try:
+      assert "all-to-all" not in hlo()
+    finally:
+      FLAGS.fft_pencil = True
+    # batch dims that absorb the mesh route to the collective-free
+    # localize fallback even with the pencil on (code-review r4)
+    assert "all-to-all" not in hlo((16, 32, 128), axes=(1, 2))
   finally:
-    FLAGS.fft_pencil = True
+    FLAGS.lookup("fft_pencil_min_elems").reset()
+  # below the min-elems gate the pencil stands down entirely
+  assert "all-to-all" not in hlo((16, 16))
 
 
 def test_pencil_fft_real_variants(rng, cluster):
@@ -142,39 +160,46 @@ def test_pencil_fft_real_variants(rng, cluster):
   replicated fallback."""
   from spartan_tpu.config import FLAGS
 
-  for shape, axes in [((64, 128), (0, 1)), ((64, 100), (0, 1)),
-                      ((16, 32, 100), (0, 1, 2)), ((16, 32, 100), (1, 2))]:
-    z = rng.standard_normal(shape)
-    got = np.asarray(sp.fft.rfftn(sp.from_numpy(z), axes=axes).glom())
-    np.testing.assert_allclose(got, np.fft.rfftn(z, axes=axes),
-                               rtol=1e-9, atol=1e-9)
-    F = np.fft.rfftn(z, axes=axes)
-    back = np.asarray(sp.fft.irfftn(sp.from_numpy(F), axes=axes).glom())
-    np.testing.assert_allclose(back, z, rtol=1e-9, atol=1e-9)
-
-  # complex pencil with a non-divisible LAST axis (pad trick) and a
-  # non-divisible FIRST axis (pencil role swaps to the last axis)
-  for shape in [(64, 100), (63, 128)]:
-    z = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
-    got = np.asarray(sp.fft.fft2(sp.from_numpy(z)).glom())
-    np.testing.assert_allclose(got, np.fft.fft2(z), rtol=1e-9, atol=1e-9)
-
-  # grad of a real spectral pipeline, pencil vs fallback
-  x = rng.standard_normal((64, 100))
-
-  def build():
-    X = sp.from_numpy(x)
-    return X, sp.sum(sp.abs(sp.fft.irfft2(sp.fft.rfft2(X) * 0.5)))
-
-  X, loss = build()
-  g_pencil = np.asarray(sp.grad(loss, [X])[0].glom())
-  FLAGS.fft_pencil = False
+  FLAGS.fft_pencil_min_elems = 0
   try:
+    for shape, axes in [((64, 128), (0, 1)), ((64, 100), (0, 1)),
+                        ((16, 32, 100), (0, 1, 2)),
+                        ((4, 32, 100), (1, 2))]:
+      z = rng.standard_normal(shape)
+      got = np.asarray(sp.fft.rfftn(sp.from_numpy(z), axes=axes).glom())
+      np.testing.assert_allclose(got, np.fft.rfftn(z, axes=axes),
+                                 rtol=1e-9, atol=1e-9)
+      F = np.fft.rfftn(z, axes=axes)
+      back = np.asarray(sp.fft.irfftn(sp.from_numpy(F), axes=axes).glom())
+      np.testing.assert_allclose(back, z, rtol=1e-9, atol=1e-9)
+
+    # complex pencil with a non-divisible LAST axis (pad trick) and a
+    # non-divisible FIRST axis (pencil role swaps to the last axis)
+    for shape in [(64, 100), (63, 128)]:
+      z = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+      got = np.asarray(sp.fft.fft2(sp.from_numpy(z)).glom())
+      np.testing.assert_allclose(got, np.fft.fft2(z), rtol=1e-9,
+                                 atol=1e-9)
+
+    # grad of a real spectral pipeline, pencil vs fallback
+    x = rng.standard_normal((64, 100))
+
+    def build():
+      X = sp.from_numpy(x)
+      return X, sp.sum(sp.abs(sp.fft.irfft2(sp.fft.rfft2(X) * 0.5)))
+
     X, loss = build()
-    g_fallback = np.asarray(sp.grad(loss, [X])[0].glom())
+    g_pencil = np.asarray(sp.grad(loss, [X])[0].glom())
+    FLAGS.fft_pencil = False
+    try:
+      X, loss = build()
+      g_fallback = np.asarray(sp.grad(loss, [X])[0].glom())
+    finally:
+      FLAGS.fft_pencil = True
+    np.testing.assert_allclose(g_pencil, g_fallback, rtol=1e-10,
+                               atol=1e-12)
   finally:
-    FLAGS.fft_pencil = True
-  np.testing.assert_allclose(g_pencil, g_fallback, rtol=1e-10, atol=1e-12)
+    FLAGS.lookup("fft_pencil_min_elems").reset()
 
 
 def test_four_step_1d_fft(rng, cluster):
@@ -184,9 +209,8 @@ def test_four_step_1d_fft(rng, cluster):
   replicate it.  Parity, round-trip, grad, and fallback routing."""
   from spartan_tpu import autodiff
   from spartan_tpu.config import FLAGS
-  from spartan_tpu.fft import _PENCIL_1D_MIN
 
-  n = _PENCIL_1D_MIN * 2
+  n = 2 * int(FLAGS.fft_pencil_min_elems)
   z = rng.standard_normal(n) + 1j * rng.standard_normal(n)
   got = np.asarray(sp.fft.fft(sp.from_numpy(z)).glom())
   np.testing.assert_allclose(got, np.fft.fft(z), rtol=1e-9, atol=1e-6)
