@@ -49,8 +49,13 @@ def _transform_axes(name, kw, ndim):
   else:  # fft2/ifft2/rfft2/irfft2/fftn/ifftn/rfftn/irfftn
     axes = kw.get("axes")
     if axes is None:
-      axes = (tuple(range(ndim))
-              if name in ("fftn", "ifftn", "rfftn", "irfftn") else (-2, -1))
+      s = kw.get("s")
+      if s is not None:
+        axes = tuple(range(ndim - len(s), ndim))
+      else:
+        axes = (tuple(range(ndim))
+                if name in ("fftn", "ifftn", "rfftn", "irfftn")
+                else (-2, -1))
   return tuple(a % ndim for a in axes)
 
 
@@ -228,17 +233,19 @@ def _fft_call(name, kw, a):
 
   from spartan_tpu.config import FLAGS
   kw = dict(kw)
+  norm = kw.pop("norm", None)
   axes = _transform_axes(name, kw, a.ndim)
   if axes:
     from spartan_tpu.core.mesh import get_mesh
     mesh = get_mesh()
     if mesh is not None and mesh.devices.size > 1:
-      if FLAGS.fft_pencil:
+      if FLAGS.fft_pencil and "s" not in kw:
         out = _pencil_fft(name, a, axes, mesh)
         if out is None:
           out = _four_step_fft(name, kw, a, mesh)
         if out is not None:
-          return out
+          # the stages compose to norm='backward'; rescale for the rest
+          return _apply_norm(out, name, norm, a, axes)
       # Fallback: the transform axes whole on each device; constraining
       # them to None (others unconstrained) keeps batch dims sharded and
       # ALSO sidesteps an XLA:CPU fft-thunk layout RET_CHECK that aborts
@@ -247,7 +254,28 @@ def _fft_call(name, kw, a):
       spec = P(*[None if d in axes else P.UNCONSTRAINED
                  for d in range(a.ndim)])
       a = jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+  if norm is not None:
+    kw["norm"] = norm
   return getattr(jnp.fft, name)(a, **kw)
+
+
+def _apply_norm(out, name, norm, a_in, axes):
+  """Rescale a backward-normed decomposed transform to ``norm``.
+  numpy semantics: forward transforms scale by 1 / sqrt(N) / N for
+  backward / ortho / forward; inverses by 1/N / 1/sqrt(N) / 1, with N
+  the product of the transform lengths (OUTPUT lengths for irfft)."""
+  import numpy as _np
+  if norm is None or norm == "backward":
+    return out
+  if norm not in ("ortho", "forward"):
+    raise ValueError(f"Invalid norm value {norm!r}; should be 'backward', "
+                     "'ortho' or 'forward'.")
+  src = out if name in ("irfft2", "irfftn") else a_in
+  n_tot = float(_np.prod([src.shape[ax] for ax in axes]))
+  inverse = name.startswith("i")
+  if inverse:   # computed with 1/N built in
+    return out * (n_tot ** 0.5 if norm == "ortho" else n_tot)
+  return out / (n_tot ** 0.5 if norm == "ortho" else n_tot)
 
 
 def _fft_map(v, name, **kw):
@@ -256,60 +284,68 @@ def _fft_map(v, name, **kw):
                 functools.partial(_fft_call, name, tuple(sorted(kw.items()))))
 
 
-def fft(v, n=None, axis=-1):
-  return _fft_map(v, "fft", n=n, axis=axis)
+def fft(v, n=None, axis=-1, norm=None):
+  return _fft_map(v, "fft", n=n, axis=axis, norm=norm)
 
 
-def ifft(v, n=None, axis=-1):
-  return _fft_map(v, "ifft", n=n, axis=axis)
+def ifft(v, n=None, axis=-1, norm=None):
+  return _fft_map(v, "ifft", n=n, axis=axis, norm=norm)
 
 
-def rfft(v, n=None, axis=-1):
-  return _fft_map(v, "rfft", n=n, axis=axis)
+def rfft(v, n=None, axis=-1, norm=None):
+  return _fft_map(v, "rfft", n=n, axis=axis, norm=norm)
 
 
-def irfft(v, n=None, axis=-1):
-  return _fft_map(v, "irfft", n=n, axis=axis)
+def irfft(v, n=None, axis=-1, norm=None):
+  return _fft_map(v, "irfft", n=n, axis=axis, norm=norm)
 
 
-def fft2(v, axes=(-2, -1)):
-  return _fft_map(v, "fft2", axes=tuple(axes))
+def fft2(v, s=None, axes=(-2, -1), norm=None):
+  return _fft_map(v, "fft2", s=None if s is None else tuple(s),
+                  axes=tuple(axes), norm=norm)
 
 
-def ifft2(v, axes=(-2, -1)):
-  return _fft_map(v, "ifft2", axes=tuple(axes))
+def ifft2(v, s=None, axes=(-2, -1), norm=None):
+  return _fft_map(v, "ifft2", s=None if s is None else tuple(s),
+                  axes=tuple(axes), norm=norm)
 
 
-def fftn(v, axes=None):
-  return _fft_map(v, "fftn", axes=None if axes is None else tuple(axes))
+def fftn(v, s=None, axes=None, norm=None):
+  return _fft_map(v, "fftn", s=None if s is None else tuple(s),
+                  axes=None if axes is None else tuple(axes), norm=norm)
 
 
-def ifftn(v, axes=None):
-  return _fft_map(v, "ifftn", axes=None if axes is None else tuple(axes))
+def ifftn(v, s=None, axes=None, norm=None):
+  return _fft_map(v, "ifftn", s=None if s is None else tuple(s),
+                  axes=None if axes is None else tuple(axes), norm=norm)
 
 
-def rfft2(v, axes=(-2, -1)):
-  return _fft_map(v, "rfft2", axes=tuple(axes))
+def rfft2(v, s=None, axes=(-2, -1), norm=None):
+  return _fft_map(v, "rfft2", s=None if s is None else tuple(s),
+                  axes=tuple(axes), norm=norm)
 
 
-def irfft2(v, axes=(-2, -1)):
-  return _fft_map(v, "irfft2", axes=tuple(axes))
+def irfft2(v, s=None, axes=(-2, -1), norm=None):
+  return _fft_map(v, "irfft2", s=None if s is None else tuple(s),
+                  axes=tuple(axes), norm=norm)
 
 
-def rfftn(v, axes=None):
-  return _fft_map(v, "rfftn", axes=None if axes is None else tuple(axes))
+def rfftn(v, s=None, axes=None, norm=None):
+  return _fft_map(v, "rfftn", s=None if s is None else tuple(s),
+                  axes=None if axes is None else tuple(axes), norm=norm)
 
 
-def irfftn(v, axes=None):
-  return _fft_map(v, "irfftn", axes=None if axes is None else tuple(axes))
+def irfftn(v, s=None, axes=None, norm=None):
+  return _fft_map(v, "irfftn", s=None if s is None else tuple(s),
+                  axes=None if axes is None else tuple(axes), norm=norm)
 
 
-def hfft(v, n=None, axis=-1):
-  return _fft_map(v, "hfft", n=n, axis=axis)
+def hfft(v, n=None, axis=-1, norm=None):
+  return _fft_map(v, "hfft", n=n, axis=axis, norm=norm)
 
 
-def ihfft(v, n=None, axis=-1):
-  return _fft_map(v, "ihfft", n=n, axis=axis)
+def ihfft(v, n=None, axis=-1, norm=None):
+  return _fft_map(v, "ihfft", n=n, axis=axis, norm=norm)
 
 
 def fftshift(v, axes=None):

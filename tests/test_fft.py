@@ -243,3 +243,44 @@ def test_four_step_1d_fft(rng, cluster):
   o = rng.standard_normal(n + 2) + 0j
   got = np.asarray(sp.fft.fft(sp.from_numpy(o)).glom())
   np.testing.assert_allclose(got, np.fft.fft(o), rtol=1e-9, atol=1e-6)
+
+
+def test_fft_norm_and_s_kwargs(rng, cluster):
+  """r4: norm= ('backward'/'ortho'/'forward') and s= (shape crop/pad)
+  across the surface — the decomposed pencil/four-step paths compose to
+  norm='backward' and rescale exactly; s routes to the fallback."""
+  from spartan_tpu.config import FLAGS
+
+  FLAGS.fft_pencil_min_elems = 0
+  try:
+    z = rng.standard_normal((64, 128)) + 1j * rng.standard_normal((64, 128))
+    r = rng.standard_normal((64, 100))
+    for norm in ("backward", "ortho", "forward"):
+      for fn, data in [("fft2", z), ("ifft2", z), ("rfftn", r)]:
+        got = np.asarray(
+            getattr(sp.fft, fn)(sp.from_numpy(data), norm=norm).glom())
+        want = getattr(np.fft, fn)(data, norm=norm)
+        np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-9)
+      F = np.fft.rfft2(r)
+      got = np.asarray(sp.fft.irfft2(sp.from_numpy(F), norm=norm).glom())
+      np.testing.assert_allclose(got, np.fft.irfft2(F, norm=norm),
+                                 rtol=1e-12, atol=1e-12)
+    # s= crop/pad (fallback path), 1-D n+norm, invalid norm raises
+    got = np.asarray(sp.fft.fftn(sp.from_numpy(z), s=(32, 200)).glom())
+    np.testing.assert_allclose(got, np.fft.fftn(z, s=(32, 200)),
+                               rtol=1e-12, atol=1e-9)
+    got = np.asarray(sp.fft.rfft(sp.from_numpy(r[0]), n=64,
+                                 norm="ortho").glom())
+    np.testing.assert_allclose(got, np.fft.rfft(r[0], n=64, norm="ortho"),
+                               rtol=1e-12, atol=1e-12)
+  finally:
+    FLAGS.lookup("fft_pencil_min_elems").reset()
+
+  # four-step 1-D with ortho norm at its production size
+  n = 2 * int(FLAGS.fft_pencil_min_elems)
+  z1 = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+  got = np.asarray(sp.fft.fft(sp.from_numpy(z1), norm="ortho").glom())
+  np.testing.assert_allclose(got, np.fft.fft(z1, norm="ortho"),
+                             rtol=1e-9, atol=1e-9)
+  with np.testing.assert_raises(ValueError):
+    sp.fft.fft2(sp.from_numpy(z), norm="bogus").glom()
