@@ -81,6 +81,8 @@ from spartan_tpu.backend.sparse import (SparseArray, sparse_diagonal,  # noqa: E
 from spartan_tpu import linalg  # noqa: E402  (np.linalg-style surface)
 from spartan_tpu import fft  # noqa: E402  (np.fft-style surface)
 from spartan_tpu import random  # noqa: E402,A004  (np.random-style surface)
+from spartan_tpu import sparse_linalg  # noqa: E402  (scipy.sparse.linalg)
+sparse.linalg = sparse_linalg  # the scipy idiom: sp.sparse.linalg.cg(...)
 
 __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "SpartanArray", "get_mesh", "make_mesh", "with_mesh", "Expr",
@@ -90,4 +92,5 @@ __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "while_loop", "scan_iters", "cond", "compile", "reduce",
            "grad", "value_and_grad", "jvp", "hessian", "hvp", "minimize", "sgd_train",
            "checkpoint", "from_file", "load", "save", "sparse", "linalg", "fft", "random",
+           "sparse_linalg",
            "SparseArray", "sparse_diagonal", "sprandn"] + list(_builtin_all)

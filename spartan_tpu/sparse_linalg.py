@@ -1,0 +1,558 @@
+"""Iterative solvers and spectral methods (the ``scipy.sparse.linalg``
+surface), TPU-fused.
+
+Reference: the reference ships driver-looped CG/Lanczos example programs
+(``spartan/examples/`` — SURVEY.md §2.5 broader demo set) and no solver
+API; ``scipy.sparse.linalg`` is what users of a NumPy-like framework
+reach for, so that is the surface implemented here.  TPU-first shape:
+every solver runs its ENTIRE iteration as ONE compiled on-device loop
+(``sp.while_loop`` / ``sp.fori_loop``) — matvecs are sharded MXU
+contractions (dense exprs), auto-routed ``SpMVExpr`` kernels
+(``SparseArray``), or arbitrary expr-level callables
+(:class:`LinearOperator`); the scalar recurrences live in the loop
+carry, so there are ZERO per-iteration host syncs (scipy syncs on every
+norm check).
+
+Krylov bases are maintained as ``(m+1, n)`` ROW blocks updated by
+rank-1 one-hot outer products — no dynamic indexing, static shapes,
+``n`` on the TPU lane dimension (shardable).  Basis selection /
+projection are small dense contractions; ``precision='highest'`` keeps
+them f32-exact on TPU (bf16 MXU passes would destroy orthogonality).
+
+Provided (scipy-compatible signatures, simplified return tails):
+``LinearOperator``, ``aslinearoperator``, ``cg``, ``bicgstab``,
+``gmres``, ``lsqr`` (CGLS form), ``eigsh``, ``eigs``, ``svds``,
+``norm``, ``spsolve`` (dense-factorization fallback, size-gated).
+Not provided: direct factorizations (``splu``/``spilu`` — no sparse LU
+on TPU; use ``cg``/``gmres`` or the size-gated ``spsolve``), ``expm``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+import spartan_tpu as sp
+from spartan_tpu.config import FLAGS, IntFlag
+from spartan_tpu.expr.base import Expr
+
+FLAGS.add(IntFlag(
+    "spsolve_dense_max", 8192,
+    "spsolve densifies and LU-factorizes up to this many rows; larger "
+    "systems raise (use cg/gmres/lsqr)"))
+
+__all__ = [
+    "LinearOperator", "aslinearoperator", "cg", "bicgstab", "gmres",
+    "lsqr", "eigsh", "eigs", "svds", "norm", "spsolve",
+]
+
+_TINY = 1e-30
+
+
+def _default_float():
+  import jax
+  return np.dtype(np.float64 if jax.config.jax_enable_x64 else np.float32)
+
+
+def _hi_dot(a, b):
+  return sp.dot(a, b, precision="highest")
+
+
+class LinearOperator:
+  """Matrix-free operator: ``matvec`` (and optional ``rmatvec``) are
+  expr-level callables ``(n,) expr -> (m,) expr`` whose bodies may use
+  any lazy ops (they are traced into the solver's fused loop)."""
+
+  def __init__(self, shape, matvec: Callable, rmatvec: Callable = None,
+               dtype=None):
+    self.shape = tuple(int(s) for s in shape)
+    if len(self.shape) != 2:
+      raise ValueError("LinearOperator shape must be (m, n)")
+    self._matvec = matvec
+    self._rmatvec = rmatvec
+    self.dtype = np.dtype(dtype) if dtype is not None else None
+
+  def matvec(self, x):
+    return self._matvec(x)
+
+  def rmatvec(self, x):
+    if self._rmatvec is None:
+      raise ValueError("this LinearOperator has no rmatvec (pass one to "
+                       "use lsqr/svds/transpose)")
+    return self._rmatvec(x)
+
+  @property
+  def T(self):
+    return LinearOperator((self.shape[1], self.shape[0]),
+                          self.rmatvec if self._rmatvec else None,
+                          self._matvec, dtype=self.dtype)
+
+  def __matmul__(self, x):
+    return self.matvec(x)
+
+
+def aslinearoperator(A) -> LinearOperator:
+  """Wrap a dense expr/ndarray, a sparse array, or a LinearOperator."""
+  from spartan_tpu.backend import sparse as sps
+  if isinstance(A, LinearOperator):
+    return A
+  if isinstance(A, (sps.SparseArray, sps.BlockSparseArray)):
+    At = A.T if hasattr(A, "T") else None
+    return LinearOperator(
+        A.shape, lambda x: _hi_dot(A, x),
+        (lambda x: _hi_dot(At, x)) if At is not None else None,
+        dtype=A.dtype)
+  Ae = sp.lazify(A)
+  if Ae.ndim != 2:
+    raise ValueError(f"expected a 2-D operator, got ndim={Ae.ndim}")
+  Av = sp.Val(Ae.evaluate())  # share ONE evaluated leaf across the loop
+  return LinearOperator(Av.shape, lambda x: _hi_dot(Av, x),
+                        lambda x: _hi_dot(x, Av), dtype=Av.dtype)
+
+
+def _psolve(M) -> Callable:
+  if M is None:
+    return lambda x: x
+  return aslinearoperator(M).matvec
+
+
+def _setup(A, b, x0):
+  op = aslinearoperator(A)
+  b = sp.lazify(b)
+  if b.ndim != 1 or b.shape[0] != op.shape[0]:
+    raise ValueError(f"b shape {b.shape} incompatible with operator "
+                     f"{op.shape}")
+  n = op.shape[1]
+  dt = np.dtype(b.evaluate().dtype)
+  if dt.kind != "f":
+    dt = _default_float()
+    b = b.astype(dt)
+  x0e = sp.zeros((n,), dtype=dt) if x0 is None else sp.lazify(x0).astype(dt)
+  return op, b, x0e, dt
+
+
+def _tol_of(b, rtol, atol) -> float:
+  bnorm = float(sp.sqrt(_hi_dot(b, b)).glom())
+  return max(float(rtol) * bnorm, float(atol)), bnorm
+
+
+def _i32(v):
+  return v.astype(np.int32) if isinstance(v, Expr) else np.int32(v)
+
+
+def cg(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
+       maxiter: int = None, M=None):
+  """Conjugate gradient for SPD ``A``.  Returns ``(x, info)`` — info 0
+  on convergence (``|r| <= max(rtol*|b|, atol)``), else the iteration
+  count at exit (scipy convention).  The whole solve is one compiled
+  ``while_loop``; with ``M`` (a preconditioner approximating ``A⁻¹``)
+  this is standard preconditioned CG."""
+  op, b, x0e, dt = _setup(A, b, x0)
+  psolve = _psolve(M)
+  tol, bnorm = _tol_of(b, rtol, atol)
+  if bnorm == 0.0:
+    return sp.zeros((op.shape[1],), dtype=dt).evaluate(), 0
+  maxiter = int(maxiter) if maxiter else 10 * op.shape[1]
+
+  r0 = b - op.matvec(x0e)
+  z0 = psolve(r0)
+  rz0 = _hi_dot(r0, z0)
+
+  def cond(x, r, p, rz, k):
+    return (sp.sqrt(_hi_dot(r, r)) > tol) & (k < maxiter)
+
+  def body(x, r, p, rz, k):
+    Ap = op.matvec(p)
+    denom = _hi_dot(p, Ap)
+    alpha = rz / sp.where(sp.abs(denom) > _TINY, denom, 1.0)
+    x2 = x + alpha * p
+    r2 = r - alpha * Ap
+    z2 = psolve(r2)
+    rz2 = _hi_dot(r2, z2)
+    beta = rz2 / sp.where(sp.abs(rz) > _TINY, rz, 1.0)
+    return x2, r2, z2 + beta * p, rz2, _i32(k + 1)
+
+  x, r, _, _, k = sp.while_loop(cond, body, (x0e, r0, z0, rz0, _i32(0)),
+                                max_iters=maxiter)
+  rnorm = float(np.sqrt(float(sp.dot(r, r, precision="highest").glom())))
+  return x, (0 if rnorm <= tol * (1 + 1e-6) else int(np.asarray(k.glom())))
+
+
+def bicgstab(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
+             maxiter: int = None, M=None):
+  """BiCGSTAB for general (nonsymmetric) ``A``; one fused
+  ``while_loop`` (preconditioned, van der Vorst form).  Returns
+  ``(x, info)`` like :func:`cg`."""
+  op, b, x0e, dt = _setup(A, b, x0)
+  psolve = _psolve(M)
+  tol, bnorm = _tol_of(b, rtol, atol)
+  if bnorm == 0.0:
+    return sp.zeros((op.shape[1],), dtype=dt).evaluate(), 0
+  maxiter = int(maxiter) if maxiter else 10 * op.shape[1]
+
+  r0 = sp.Val((b - op.matvec(x0e)).evaluate())  # shadow residual, fixed
+
+  def cond(x, r, p, v, rho, alpha, omega, k):
+    return (sp.sqrt(_hi_dot(r, r)) > tol) & (k < maxiter)
+
+  def _safe(d):
+    return sp.where(sp.abs(d) > _TINY, d, 1.0)
+
+  def body(x, r, p, v, rho, alpha, omega, k):
+    rho2 = _hi_dot(r0, r)
+    beta = (rho2 / _safe(rho)) * (alpha / _safe(omega))
+    p2 = r + beta * (p - omega * v)
+    ph = psolve(p2)
+    v2 = op.matvec(ph)
+    alpha2 = rho2 / _safe(_hi_dot(r0, v2))
+    s = r - alpha2 * v2
+    sh = psolve(s)
+    t = op.matvec(sh)
+    omega2 = _hi_dot(t, s) / _safe(_hi_dot(t, t))
+    x2 = x + alpha2 * ph + omega2 * sh
+    r2 = s - omega2 * t
+    return x2, r2, p2, v2, rho2, alpha2, omega2, _i32(k + 1)
+
+  zero = sp.zeros((op.shape[1],), dtype=dt)
+  one = sp.lazify(np.asarray(1.0, dtype=dt))
+  x, r, *_, k = sp.while_loop(
+      cond, body, (x0e, r0, zero, zero, one, one, one, _i32(0)),
+      max_iters=maxiter)
+  rnorm = float(np.sqrt(float(sp.dot(r, r, precision="highest").glom())))
+  return x, (0 if rnorm <= tol * (1 + 1e-6) else int(np.asarray(k.glom())))
+
+
+def _lstsq_kernel(h, g):
+  import jax.numpy as jnp
+  return jnp.linalg.lstsq(h, g)[0]
+
+
+def _onehot(j, m, dt):
+  return (sp.arange(m) == j).astype(dt)
+
+
+def gmres(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
+          restart: int = 20, maxiter: int = None, M=None):
+  """Restarted GMRES(m) for general ``A`` — ENTIRELY in one compiled
+  ``while_loop``, restarts included.
+
+  Per iteration: one-hot basis-row selection, one matvec, full
+  (classical, twice) Gram–Schmidt against the ``(m+1, n)`` basis block,
+  rank-1 one-hot updates of ``V``/``H``, and the small ``(m+1, m)``
+  least-squares solve (a fused ``jnp.linalg.lstsq`` map — microseconds
+  at m≲64).  The residual norm is the Krylov-space estimate
+  ``|β e₁ − H y|`` (exact in exact arithmetic), so restarts need NO
+  extra matvec: the restart residual is ``qᵀV`` with
+  ``q = β e₁ − H y``.  Left-preconditioned when ``M`` is given (tol
+  applies to the preconditioned residual, as in scipy).  Returns
+  ``(x, info)`` like :func:`cg`; the final residual check is a true
+  ``b − A x`` recomputation."""
+  op, b, x0e, dt = _setup(A, b, x0)
+  psolve = _psolve(M)
+  mv = lambda v: psolve(op.matvec(v))  # noqa: E731
+  be = sp.Val(psolve(b).evaluate())
+  tol, bnorm = _tol_of(be, rtol, atol)
+  if bnorm == 0.0:
+    return sp.zeros((op.shape[1],), dtype=dt).evaluate(), 0
+  n = op.shape[1]
+  m = max(1, min(int(restart), n))
+  maxiter = int(maxiter) if maxiter else 10 * n
+
+  r0 = sp.Val((be - mv(x0e)).evaluate())
+  beta0_0 = sp.sqrt(_hi_dot(r0, r0))
+  V0 = sp.outer(_onehot(0, m + 1, dt),
+                r0 / sp.maximum(beta0_0, _TINY)).astype(dt)
+  H0 = sp.zeros((m + 1, m), dtype=dt)
+  e1 = _onehot(0, m + 1, dt)
+
+  def _step(x, V, H, beta0, j, k, rnorm):
+    vj = _hi_dot(_onehot(j, m + 1, dt), V)
+    w = mv(vj)
+    h = _hi_dot(V, w)           # rows past j are zero -> entries 0
+    w = w - _hi_dot(h, V)
+    h2 = _hi_dot(V, w)          # second Gram-Schmidt pass
+    w = w - _hi_dot(h2, V)
+    h = h + h2
+    beta = sp.sqrt(_hi_dot(w, w))
+    vnext = w / sp.maximum(beta, _TINY)
+    V2 = V + sp.outer(_onehot(j + 1, m + 1, dt), vnext)
+    hcol = h + beta * _onehot(j + 1, m + 1, dt)
+    H2 = H + sp.outer(hcol, _onehot(j, m, dt))
+    # the small LS solve + Krylov residual estimate, every step
+    y = sp.map([H2, beta0 * e1], _lstsq_kernel)         # (m,)
+    q = beta0 * e1 - _hi_dot(H2, y)
+    rn = sp.sqrt(_hi_dot(q, q))
+    x_new = x + _hi_dot(y, V2[:m])
+    return V2, H2, x_new, q, rn, _i32(j + 1)
+
+  def cond(x, xc, V, H, beta0, j, k, rnorm):
+    return (rnorm > tol) & (k < maxiter)
+
+  def body(x, xc, V, H, beta0, j, k, rnorm):
+    V2, H2, x_new, q, rn, j2 = _step(x, V, H, beta0, j, k, rnorm)
+    end = j2 == m
+    # at a cycle boundary: restart from the Krylov-form residual q.V
+    r_new = _hi_dot(q, V2)
+    rn_new = sp.maximum(rn, _TINY)
+    V_rst = sp.outer(e1, r_new / rn_new).astype(dt)
+    x3 = sp.where(end, x_new, x)        # x only advances at cycle end /
+    xc2 = x_new                         # xc tracks the running correction
+    V3 = sp.where(end, V_rst, V2)
+    H3 = sp.where(end, H0, H2)
+    beta0_3 = sp.where(end, rn, beta0)
+    j3 = _i32(sp.where(end, 0, j2))
+    return x3, xc2, V3, H3, beta0_3, j3, _i32(k + 1), rn
+
+  x, xc, V, H, beta0, j, k, rnorm = sp.while_loop(
+      cond, body,
+      (x0e, x0e, V0, H0, beta0_0, _i32(0), _i32(0), beta0_0),
+      max_iters=maxiter)
+  # mid-cycle exit: xc holds the freshest correction
+  x_fin = xc if int(np.asarray(j.glom())) > 0 else x
+  r = be - mv(sp.Val(x_fin))
+  rnorm_t = float(np.sqrt(float(sp.dot(r, r, precision="highest").glom())))
+  return x_fin, (0 if rnorm_t <= tol * (1 + 1e-6)
+                 else int(np.asarray(k.glom())))
+
+
+def lsqr(A, b, damp: float = 0.0, *, atol: float = 1e-8,
+         iter_lim: int = None):
+  """Regularized least squares ``min |Ax − b|² + damp²|x|²`` via CGLS
+  (the normal-equation CG, algebraically equivalent to LSQR), one fused
+  ``while_loop``.  Stops when ``|Aᵀr − damp²x| <= atol · |Aᵀb|``.
+  Returns ``(x, istop, itn, r1norm)`` — the head of scipy's 10-tuple
+  (istop 1 = converged, 7 = iteration limit)."""
+  op = aslinearoperator(A)
+  if op._rmatvec is None:
+    raise ValueError("lsqr needs rmatvec (dense/sparse operators provide "
+                     "it automatically)")
+  b = sp.lazify(b)
+  dt = np.dtype(b.evaluate().dtype)
+  if dt.kind != "f":
+    dt = _default_float()
+    b = b.astype(dt)
+  n = op.shape[1]
+  iter_lim = int(iter_lim) if iter_lim else 2 * n
+  damp2 = float(damp) ** 2
+
+  s0 = op.rmatvec(b)
+  g0 = _hi_dot(s0, s0)
+  gtol = float(atol) ** 2 * float(g0.glom())
+
+  def cond(x, r, s, p, g, k):
+    return (g > gtol) & (k < iter_lim)
+
+  def body(x, r, s, p, g, k):
+    q = op.matvec(p)
+    den = _hi_dot(q, q) + damp2 * _hi_dot(p, p)
+    alpha = g / sp.where(sp.abs(den) > _TINY, den, 1.0)
+    x2 = x + alpha * p
+    r2 = r - alpha * q
+    s2 = op.rmatvec(r2) - damp2 * x2
+    g2 = _hi_dot(s2, s2)
+    beta = g2 / sp.where(sp.abs(g) > _TINY, g, 1.0)
+    return x2, r2, s2, s2 + beta * p, g2, _i32(k + 1)
+
+  x, r, s, p, g, k = sp.while_loop(
+      cond, body,
+      (sp.zeros((n,), dtype=dt), b, s0, s0, g0, _i32(0)),
+      max_iters=iter_lim)
+  itn = int(np.asarray(k.glom()))
+  gf = float(g.glom())
+  r1norm = float(np.sqrt(float(sp.dot(r, r, precision="highest").glom())))
+  return x, (1 if gf <= gtol * (1 + 1e-6) else 7), itn, r1norm
+
+
+def _lanczos_cycle(matvec, v0, m: int, n: int, dt):
+  """m fused Lanczos steps with doubled full reorthogonalization.
+  Returns (V (m+1, n) SpartanArray, alphas (m,), betas (m,) numpy)."""
+  nrm = sp.sqrt(_hi_dot(v0, v0))
+  V0 = sp.outer(_onehot(0, m + 1, dt), v0 / sp.maximum(nrm, _TINY))
+  a0 = sp.zeros((m,), dtype=dt)
+  b0 = sp.zeros((m,), dtype=dt)
+
+  def body(V, al, be, j):
+    vj = _hi_dot(_onehot(j, m + 1, dt), V)
+    w = matvec(vj)
+    h = _hi_dot(V, w)
+    w = w - _hi_dot(h, V)
+    h2 = _hi_dot(V, w)
+    w = w - _hi_dot(h2, V)
+    alpha = _hi_dot(h + h2, _onehot(j, m + 1, dt))
+    beta = sp.sqrt(_hi_dot(w, w))
+    vnext = sp.where(beta > 1e-12, w / sp.maximum(beta, _TINY), 0.0)
+    V2 = V + sp.outer(_onehot(j + 1, m + 1, dt), vnext)
+    al2 = al + alpha * _onehot(j, m, dt)
+    be2 = be + beta * _onehot(j, m, dt)
+    return V2, al2, be2, _i32(j + 1)
+
+  V, al, be, _ = sp.fori_loop(m, body, (V0, a0, b0, _i32(0)))
+  return V, np.asarray(al.glom()), np.asarray(be.glom())
+
+
+def _pick(vals: np.ndarray, k: int, which: str) -> np.ndarray:
+  order = {
+      "LM": np.argsort(np.abs(vals))[-k:],
+      "SM": np.argsort(np.abs(vals))[:k],
+      "LA": np.argsort(vals.real)[-k:],
+      "SA": np.argsort(vals.real)[:k],
+  }.get(which.upper())
+  if order is None:
+    raise ValueError(f"which={which!r} not in LM/SM/LA/SA")
+  return order[np.argsort(vals[order].real)]  # ascending, scipy order
+
+
+def eigsh(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None):
+  """Top/bottom-k eigenpairs of symmetric ``A`` from an ``ncv``-step
+  fused Lanczos subspace (doubled full reorthogonalization — every step
+  is MXU work over the ``(ncv+1, n)`` basis block).  The ``ncv×ncv``
+  tridiagonal eigenproblem is driver-side numpy, as the reference's
+  Lanczos example did.  Returns ``(w (k,) numpy ascending, v (n, k)
+  SpartanArray)``.  Accuracy is set by ``ncv`` (default
+  ``min(n, max(2k+1, 20))``, scipy's default) — there is no implicit
+  restarting; raise ``ncv`` for clustered spectra."""
+  op = aslinearoperator(A)
+  n = op.shape[1]
+  if op.shape[0] != n:
+    raise ValueError("eigsh needs a square operator")
+  k = int(k)
+  m = min(n, int(ncv) if ncv else max(2 * k + 1, 20))
+  if not 0 < k < m + 1:
+    raise ValueError(f"need 0 < k={k} <= ncv={m}")
+  dt = np.dtype(op.dtype) if (op.dtype is not None
+                              and np.dtype(op.dtype).kind == "f") \
+      else _default_float()
+  if v0 is None:
+    v0 = sp.lazify(np.random.default_rng(0).standard_normal(n)).astype(dt)
+  else:
+    v0 = sp.lazify(v0).astype(dt)
+  V, al, be = _lanczos_cycle(op.matvec, v0, m, n, dt)
+
+  m_eff = m
+  brk = np.nonzero(be[:m - 1] < 1e-10 * max(np.abs(al).max(), 1.0))[0]
+  if brk.size:
+    m_eff = max(int(brk[0]) + 1, k)
+  T = np.diag(al[:m_eff])
+  if m_eff > 1:
+    T = T + np.diag(be[:m_eff - 1], 1) + np.diag(be[:m_eff - 1], -1)
+  w_all, S = np.linalg.eigh(T)
+  idx = _pick(w_all, min(k, m_eff), which)
+  w = w_all[idx]
+  # Ritz vectors: Sᵀ (k, m_eff) · V rows (m_eff, n) -> (k, n) -> (n, k)
+  coef = np.ascontiguousarray(S[:, idx].T.astype(dt))
+  pad = np.zeros((coef.shape[0], m + 1 - m_eff), dtype=dt)
+  v = sp.transpose(_hi_dot(sp.lazify(np.hstack([coef, pad])), V)).evaluate()
+  return w, v
+
+
+def eigs(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None):
+  """k eigenpairs of a general (nonsymmetric) operator from an
+  ``ncv``-step fused Arnoldi cycle; the small ``ncv×ncv`` Hessenberg
+  eigenproblem is driver-side.  Returns ``(w, v)`` as COMPLEX numpy
+  arrays ((k,), (n, k)) — Ritz vectors are assembled from two real
+  device contractions, so the device path stays real (the axon runtime
+  has no complex buffers)."""
+  op = aslinearoperator(A)
+  n = op.shape[1]
+  if op.shape[0] != n:
+    raise ValueError("eigs needs a square operator")
+  k = int(k)
+  m = min(n, int(ncv) if ncv else max(2 * k + 1, 20))
+  dt = _default_float()
+  rng = np.random.default_rng(0)
+  v0e = sp.lazify(rng.standard_normal(n) if v0 is None else v0).astype(dt)
+  nrm = sp.sqrt(_hi_dot(v0e, v0e))
+  V0 = sp.outer(_onehot(0, m + 1, dt), v0e / sp.maximum(nrm, _TINY))
+  H0 = sp.zeros((m + 1, m), dtype=dt)
+
+  def body(V, H, j):
+    vj = _hi_dot(_onehot(j, m + 1, dt), V)
+    w = op.matvec(vj)
+    h = _hi_dot(V, w)
+    w = w - _hi_dot(h, V)
+    h2 = _hi_dot(V, w)
+    w = w - _hi_dot(h2, V)
+    h = h + h2
+    beta = sp.sqrt(_hi_dot(w, w))
+    vnext = sp.where(beta > 1e-12, w / sp.maximum(beta, _TINY), 0.0)
+    V2 = V + sp.outer(_onehot(j + 1, m + 1, dt), vnext)
+    H2 = H + sp.outer(h + beta * _onehot(j + 1, m + 1, dt),
+                      _onehot(j, m, dt))
+    return V2, H2, _i32(j + 1)
+
+  V, H, _ = sp.fori_loop(m, body, (V0, H0, _i32(0)))
+  Hm = np.asarray(H.glom())[:m, :m]
+  w_all, S = np.linalg.eig(Hm)
+  idx = _pick(w_all, k, which)
+  w = w_all[idx]
+  cr = np.ascontiguousarray(S[:, idx].T.real.astype(dt))
+  ci = np.ascontiguousarray(S[:, idx].T.imag.astype(dt))
+  Vr = np.asarray(_hi_dot(sp.lazify(cr),
+                          sp.lazify(V)[:m]).glom())  # (k, n)
+  Vi = np.asarray(_hi_dot(sp.lazify(ci), sp.lazify(V)[:m]).glom())
+  return w, (Vr + 1j * Vi).T
+
+
+def svds(A, k: int = 6, *, ncv: int = None):
+  """Top-k singular triplets via fused Lanczos on the Gram operator of
+  the smaller side (``AᵀA`` or ``AAᵀ``).  Returns ``(u (p, k), s (k,)
+  ascending, vt (k, q))`` — scipy's shapes and (ascending) order."""
+  op = aslinearoperator(A)
+  p, q = op.shape
+  if op._rmatvec is None:
+    raise ValueError("svds needs rmatvec")
+  small_right = q <= p
+  if small_right:
+    gram = LinearOperator((q, q), lambda x: op.rmatvec(op.matvec(x)),
+                          dtype=op.dtype)
+  else:
+    gram = LinearOperator((p, p), lambda x: op.matvec(op.rmatvec(x)),
+                          dtype=op.dtype)
+  w, y = eigsh(gram, k, which="LM", ncv=ncv)
+  s = np.sqrt(np.clip(w, 0.0, None))
+  ye = sp.lazify(y)
+  cols_small = [ye[:, i] for i in range(k)]
+  # map the small-side basis through A (or Aᵀ) and normalize
+  other = []
+  for i in range(k):
+    z = op.matvec(cols_small[i]) if small_right else op.rmatvec(
+        cols_small[i])
+    other.append(z / max(float(s[i]), _TINY))
+  oth = sp.transpose(sp.stack([sp.lazify(o) for o in other])).evaluate()
+  if small_right:
+    u, vt = oth, sp.transpose(ye).evaluate()
+  else:
+    u, vt = y, sp.transpose(sp.lazify(oth)).evaluate()
+  return u, s, vt
+
+
+def norm(A, ord="fro"):
+  """Sparse matrix norm.  ``'fro'`` streams over the stored values;
+  1/inf need per-axis |A| sums (densify or use dense ``sp.linalg.norm``
+  for those)."""
+  from spartan_tpu.backend import sparse as sps
+  if not isinstance(A, (sps.SparseArray, sps.BlockSparseArray)):
+    return sp.linalg.norm(A, ord=ord)
+  if ord not in ("fro", None):
+    raise ValueError("sparse norm supports ord='fro' only (pads make "
+                     "signed element iteration ambiguous); densify for "
+                     "ord=1/inf")
+  return sp.sqrt(A.multiply(A).sum())
+
+
+def spsolve(A, b):
+  """Direct sparse solve, size-gated: densifies and LU-factorizes when
+  ``n <= --spsolve_dense_max`` (sparse direct LU does not map to the
+  MXU; the factorization IS dense compute at these sizes), raises with
+  solver guidance above it."""
+  from spartan_tpu.backend import sparse as sps
+  if not isinstance(A, (sps.SparseArray, sps.BlockSparseArray)):
+    return sp.linalg.solve(A, b)
+  n = A.shape[0]
+  if n > int(FLAGS.spsolve_dense_max):
+    raise ValueError(
+        f"spsolve densifies (n={n} > --spsolve_dense_max="
+        f"{int(FLAGS.spsolve_dense_max)}); use sparse_linalg.cg (SPD), "
+        "gmres/bicgstab (general), or raise the flag")
+  return sp.linalg.solve(sp.lazify(A.todense()), b)

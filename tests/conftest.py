@@ -151,6 +151,11 @@ _SMOKE_TESTS = {
         "test_numpy_ufunc_interop_stays_lazy", 
     },
     "test_fuzz.py": {"test_fuzz_grad_finite_difference"},
+    "test_sparse_linalg.py": {
+        "test_cg_dense_matches_direct", "test_gmres_restarted_matches_direct",
+        "test_eigsh_which_modes", "test_svds_tall_and_wide",
+        "test_lsqr_overdetermined_matches_numpy",
+    },
 }
 
 

@@ -1,0 +1,196 @@
+"""sp.sparse.linalg — scipy.sparse.linalg-style iterative solvers
+(no reference equivalent beyond the CG/Lanczos example loops,
+SURVEY.md §2.5; the solvers run as single fused on-device loops)."""
+
+import numpy as np
+import pytest
+import scipy.sparse as ss
+
+import spartan_tpu as sp
+import spartan_tpu.sparse_linalg as spl
+
+
+def _spd(rng, n):
+  Q = rng.standard_normal((n, n))
+  A = Q @ Q.T + n * np.eye(n)
+  xt = rng.standard_normal(n)
+  return A, xt, A @ xt
+
+
+def _sparse_spd(n, density=0.05, seed=2):
+  G = ss.random(n, n, density=density,
+                random_state=np.random.RandomState(seed), format="csr")
+  A = (G + G.T).tocsr()
+  A = A + ss.diags(np.asarray(np.abs(A).sum(axis=1)).ravel() + 1.0)
+  return A.tocsr()
+
+
+def test_cg_dense_matches_direct(rng, cluster):
+  A, xt, b = _spd(rng, 96)
+  x, info = spl.cg(A, b, rtol=1e-12)
+  assert info == 0
+  np.testing.assert_allclose(np.asarray(x.glom()), xt, atol=1e-8)
+
+
+def test_cg_sparse_and_jacobi_preconditioner(rng, cluster):
+  A = _sparse_spd(160)
+  S = sp.sparse.from_scipy(A)
+  xt = rng.standard_normal(160)
+  b = A @ xt
+  x, info = spl.cg(S, b, rtol=1e-12)
+  assert info == 0
+  np.testing.assert_allclose(np.asarray(x.glom()), xt, atol=1e-9)
+  dinv = 1.0 / A.diagonal()
+  M = spl.LinearOperator((160, 160), lambda v: sp.lazify(dinv) * v)
+  x2, info2 = spl.cg(S, b, rtol=1e-12, M=M)
+  assert info2 == 0
+  np.testing.assert_allclose(np.asarray(x2.glom()), xt, atol=1e-9)
+
+
+def test_cg_nonconverged_info_and_zero_b(rng, cluster):
+  A, xt, b = _spd(rng, 64)
+  x, info = spl.cg(A, b, rtol=1e-14, maxiter=2)
+  assert info == 2  # iteration count at exit, scipy convention
+  x0, info0 = spl.cg(A, np.zeros(64), rtol=1e-12)
+  assert info0 == 0
+  assert np.abs(np.asarray(sp.lazify(x0).glom())).max() == 0.0
+
+
+def test_bicgstab_nonsymmetric(rng, cluster):
+  n = 96
+  B = rng.standard_normal((n, n)) + n * np.eye(n)
+  xt = rng.standard_normal(n)
+  x, info = spl.bicgstab(B, B @ xt, rtol=1e-11)
+  assert info == 0
+  np.testing.assert_allclose(np.asarray(x.glom()), xt, atol=1e-7)
+
+
+def test_gmres_restarted_matches_direct(rng, cluster):
+  n = 80
+  B = rng.standard_normal((n, n)) + 0.5 * n * np.eye(n)
+  xt = rng.standard_normal(n)
+  # restart far below n forces the in-loop restart path
+  x, info = spl.gmres(B, B @ xt, rtol=1e-11, restart=15)
+  assert info == 0
+  np.testing.assert_allclose(np.asarray(sp.lazify(x).glom()), xt,
+                             atol=1e-7)
+
+
+def test_gmres_left_preconditioned_sparse(rng, cluster):
+  A = _sparse_spd(128)
+  B = (A + ss.diags(rng.standard_normal(128) * 0.1)).tocsr()
+  S = sp.sparse.from_scipy(B)
+  xt = rng.standard_normal(128)
+  dinv = 1.0 / B.diagonal()
+  M = spl.LinearOperator((128, 128), lambda v: sp.lazify(dinv) * v)
+  x, info = spl.gmres(S, B @ xt, rtol=1e-11, restart=25, M=M)
+  assert info == 0
+  np.testing.assert_allclose(np.asarray(sp.lazify(x).glom()), xt,
+                             atol=1e-7)
+
+
+def test_lsqr_overdetermined_matches_numpy(rng, cluster):
+  X = rng.standard_normal((200, 40))
+  y = rng.standard_normal(200)
+  x, istop, itn, r1 = spl.lsqr(X, y, atol=1e-13)
+  assert istop == 1 and itn > 0
+  want = np.linalg.lstsq(X, y, rcond=None)[0]
+  np.testing.assert_allclose(np.asarray(x.glom()), want, atol=1e-9)
+  assert abs(r1 - np.linalg.norm(X @ want - y)) < 1e-8
+
+
+def test_lsqr_damped_matches_ridge(rng, cluster):
+  X = rng.standard_normal((120, 30))
+  y = rng.standard_normal(120)
+  damp = 0.7
+  x, istop, itn, _ = spl.lsqr(X, y, damp=damp, atol=1e-13)
+  want = np.linalg.solve(X.T @ X + damp ** 2 * np.eye(30), X.T @ y)
+  np.testing.assert_allclose(np.asarray(x.glom()), want, atol=1e-9)
+
+
+def test_eigsh_which_modes(rng, cluster):
+  n = 128
+  M = rng.standard_normal((n, n))
+  A = (M + M.T) / 2
+  wt = np.linalg.eigvalsh(A)
+  w, v = spl.eigsh(A, k=4, which="LM", ncv=60)
+  want = np.sort(wt[np.argsort(np.abs(wt))[-4:]])
+  np.testing.assert_allclose(w, want, atol=1e-9)
+  vv = np.asarray(sp.lazify(v).glom())
+  assert np.abs(A @ vv - vv * w).max() < 1e-5 * np.abs(w).max()
+  assert np.abs(vv.T @ vv - np.eye(4)).max() < 1e-10
+  w2, _ = spl.eigsh(A, k=3, which="SA", ncv=60)
+  np.testing.assert_allclose(w2, wt[:3], atol=1e-9)
+  w3, _ = spl.eigsh(A, k=3, which="LA", ncv=60)
+  np.testing.assert_allclose(w3, wt[-3:], atol=1e-9)
+
+
+def test_eigsh_matvec_only_operator(rng, cluster):
+  n = 96
+  d = np.linspace(1.0, 5.0, n)
+  op = spl.LinearOperator((n, n), lambda x: sp.lazify(d) * x)
+  w, v = spl.eigsh(op, k=2, which="LA", ncv=48)
+  np.testing.assert_allclose(w, d[-2:], atol=1e-8)
+
+
+def test_eigs_nonsymmetric(rng, cluster):
+  n = 96
+  B = rng.standard_normal((n, n))
+  w, v = spl.eigs(B, k=3, ncv=64)
+  assert w.dtype.kind == "c" and v.shape == (n, 3)
+  assert np.abs(B @ v - v * w).max() < 1e-4
+  wt = np.linalg.eigvals(B)
+  want = np.sort(np.abs(wt))[-3:]
+  np.testing.assert_allclose(np.sort(np.abs(w)), want, atol=1e-5)
+
+
+def test_svds_tall_and_wide(rng, cluster):
+  X = rng.standard_normal((150, 80))
+  u, s, vt = spl.svds(X, k=4, ncv=60)
+  st = np.linalg.svd(X, compute_uv=False)
+  np.testing.assert_allclose(s, np.sort(st[:4]), atol=1e-9)
+  uu = np.asarray(sp.lazify(u).glom())
+  vvt = np.asarray(sp.lazify(vt).glom())
+  assert np.abs(X @ vvt.T - uu * s).max() < 1e-7
+  # wide: the Gram operator flips to A Aᵀ
+  u2, s2, vt2 = spl.svds(X.T, k=3, ncv=60)
+  np.testing.assert_allclose(s2, np.sort(st[:3]), atol=1e-9)
+  assert np.asarray(sp.lazify(u2).glom()).shape == (80, 3)
+  assert np.asarray(sp.lazify(vt2).glom()).shape == (3, 150)
+
+
+def test_norm_and_spsolve(rng, cluster):
+  A = _sparse_spd(96)
+  S = sp.sparse.from_scipy(A)
+  got = float(sp.lazify(spl.norm(S)).glom())
+  assert abs(got - ss.linalg.norm(A, "fro")) < 1e-10
+  with pytest.raises(ValueError, match="fro"):
+    spl.norm(S, ord=1)
+  xt = rng.standard_normal(96)
+  x = spl.spsolve(S, A @ xt)
+  np.testing.assert_allclose(np.asarray(sp.lazify(x).glom()), xt,
+                             atol=1e-9)
+  from spartan_tpu.config import FLAGS
+  old = FLAGS.spsolve_dense_max
+  try:
+    FLAGS.spsolve_dense_max = 10
+    with pytest.raises(ValueError, match="spsolve_dense_max"):
+      spl.spsolve(S, A @ xt)
+  finally:
+    FLAGS.spsolve_dense_max = old
+
+
+def test_linear_operator_surface(rng, cluster):
+  A = rng.standard_normal((12, 8))
+  op = spl.aslinearoperator(A)
+  x = rng.standard_normal(8)
+  np.testing.assert_allclose(np.asarray(sp.lazify(op @ x).glom()), A @ x,
+                             atol=1e-12)
+  y = rng.standard_normal(12)
+  np.testing.assert_allclose(np.asarray(sp.lazify(op.T @ y).glom()),
+                             A.T @ y, atol=1e-12)
+  assert op.shape == (12, 8) and op.T.shape == (8, 12)
+  mv_only = spl.LinearOperator((8, 8), lambda v: v * 2.0)
+  with pytest.raises(ValueError, match="rmatvec"):
+    mv_only.rmatvec(x)
+  assert spl.aslinearoperator(mv_only) is mv_only

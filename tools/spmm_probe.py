@@ -19,25 +19,28 @@ sp.initialize(["--log_level=40"])
 print("device:", jax.devices()[0].device_kind, flush=True)
 
 
-def slope_ms(fn, B, k_lo=4, k_hi=20, reps=4):
+def slope_ms(fn, B, k_lo=4, k_hi=20, reps=4, extra=()):
+  """extra: device arrays fn needs, passed as jit ARGUMENTS (closure
+  constants embed in the program body and blow the remote-compile 413
+  body limit for big operands, e.g. the densified matrix)."""
   from jax import lax
 
   @jax.jit
-  def loop(B, k):
+  def loop(B, k, *ex):
     def body(i, c):
       B2, c2 = lax.optimization_barrier((B, c))
-      return jnp.sum(fn(B2)) * 1e-30 + 0.0 * c2
+      return jnp.sum(fn(B2, *ex)) * 1e-30 + 0.0 * c2
     return lax.fori_loop(0, k, body, jnp.zeros((), jnp.float32))
 
   def sync(v):
     return float(np.asarray(jax.device_get(v)).ravel()[0])
 
-  sync(loop(B, k_lo)); sync(loop(B, k_hi))
+  sync(loop(B, k_lo, *extra)); sync(loop(B, k_hi, *extra))
   t_lo, t_hi = [], []
   for _ in range(reps):
-    t0 = time.perf_counter(); sync(loop(B, k_lo))
+    t0 = time.perf_counter(); sync(loop(B, k_lo, *extra))
     t_lo.append(time.perf_counter() - t0)
-    t0 = time.perf_counter(); sync(loop(B, k_hi))
+    t0 = time.perf_counter(); sync(loop(B, k_hi, *extra))
     t_hi.append(time.perf_counter() - t0)
   return max((min(t_hi) - min(t_lo)) / (k_hi - k_lo), 1e-9) * 1e3
 
@@ -86,12 +89,13 @@ for (n, m, k, d) in [(8192, 8192, 64, 0.01), (16384, 16384, 64, 0.005),
   if 4 * n * m <= 4 << 30:
     Ad = S.to_densified()
 
-    def f_dense(Bv):
-      return jnp.matmul(Ad, Bv, preferred_element_type=jnp.float32)
+    def f_dense(Bv, Adv=None):
+      return jnp.matmul(Ad if Adv is None else Adv, Bv,
+                        preferred_element_type=jnp.float32)
 
     rel_d = np.abs(np.asarray(f_dense(B)) - want).max() / max(
         np.abs(want).max(), 1e-9)
-    ms_d = slope_ms(f_dense, B)
+    ms_d = slope_ms(f_dense, B, extra=(Ad,))
     print(f"   dense    {ms_d:8.3f} ms  ({nnz/ms_d/1e6:7.2f} Gnnz/s)   "
           f"relerr={rel_d:.2e}  vs windowed {ms_win/ms_d:5.1f}x",
           flush=True)
