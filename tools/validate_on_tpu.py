@@ -153,3 +153,30 @@ gj = _poi.solve_jacobi(f12, iters=6, unroll=3)
 wj = _poi.solve_jacobi_numpy(f12, iters=6)
 print(f"12b. Jacobi padded sweep on TPU: err={np.abs(gj - wj).max():.2e} "
       f"({time.time()-t0:.1f}s)", flush=True)
+
+# 13. sparse.linalg fused solvers (r4): cg on a sparse SPD system +
+# fused-Lanczos eigsh, f32 on the chip (the solvers' while/fori loops,
+# one-hot basis algebra, and the in-loop lstsq map all ride Mosaic/XLA
+# TPU lowerings; CPU-mesh coverage is tests/test_sparse_linalg.py)
+t0 = time.time()
+import scipy.sparse as _ss13
+_spl = sp.sparse.linalg
+_n13 = 2048
+_G13 = _ss13.random(_n13, _n13, density=0.003,
+                    random_state=np.random.RandomState(3), format="csr",
+                    dtype=np.float32)
+_A13 = (_G13 + _G13.T).tocsr()
+_A13 = (_A13 + _ss13.diags(
+    (np.asarray(np.abs(_A13).sum(axis=1)).ravel() + 1.0).astype(np.float32)
+)).tocsr().astype(np.float32)
+_S13 = sps.from_scipy(_A13, dtype=np.float32)
+_xt13 = np.random.default_rng(5).standard_normal(_n13).astype(np.float32)
+_x13, _info13 = _spl.cg(_S13, (_A13 @ _xt13).astype(np.float32), rtol=1e-5)
+_e13 = np.abs(np.asarray(_x13.glom()) - _xt13).max()
+_M13 = np.random.default_rng(6).standard_normal((512, 512)).astype(np.float32)
+_Asym13 = ((_M13 + _M13.T) / 2).astype(np.float32)
+_w13, _ = _spl.eigsh(_Asym13, k=2, which="LA", ncv=24)
+_wt13 = np.linalg.eigvalsh(_Asym13.astype(np.float64))
+_ew13 = np.abs(_w13 - _wt13[-2:]).max()
+print(f"13. sparse.linalg on TPU: cg info={_info13} err={_e13:.2e}, "
+      f"eigsh err={_ew13:.2e} ({time.time()-t0:.1f}s)", flush=True)
