@@ -10,10 +10,11 @@ from spartan_tpu.learn.estimators import (ALS, FuzzyKMeans, GaussianMixture,
                                           KMeans, KNeighborsClassifier, Lasso,
                                           LinearRegression,
                                           LogisticRegression, NaiveBayes,
-                                          PCA, Ridge, SpectralClustering, SVC)
+                                          PCA, Ridge, SpectralClustering, SVC,
+                                          TruncatedSVD)
 
 __all__ = ["ALS", "FuzzyKMeans", "GaussianMixture", "KMeans",
            "KNeighborsClassifier", "Lasso",
            "LinearRegression",
            "LogisticRegression", "NaiveBayes", "PCA", "Ridge",
-           "SpectralClustering", "SVC"]
+           "SpectralClustering", "SVC", "TruncatedSVD"]

@@ -284,6 +284,37 @@ class PCA:
     return self.fit(X).transform(X)
 
 
+class TruncatedSVD:
+  """Dimensionality reduction by top-k SVD (sklearn.decomposition
+  idiom), computed by ``sparse_linalg.svds`` — thick-restart Lanczos on
+  the Gram operator, so sparse and dense design matrices both work
+  without centering (the sklearn contrast with PCA)."""
+
+  def __init__(self, n_components: int = 2, ncv: int = None):
+    self.n_components = n_components
+    self.ncv = ncv
+
+  def fit(self, X):
+    from spartan_tpu import sparse_linalg as spl
+    import spartan_tpu as sp
+    u, s, vt = spl.svds(X if isinstance(
+        X, (sp.sparse.SparseArray, sp.sparse.BlockSparseArray))
+        else _lazy(X), self.n_components, ncv=self.ncv)
+    order = np.argsort(s)[::-1]          # sklearn: descending
+    self.singular_values_ = s[order]
+    self.components_ = np.asarray(sp.lazify(vt).glom())[order]
+    return self
+
+  def transform(self, X):
+    import spartan_tpu as sp
+    return np.asarray(
+        sp.dot(_lazy(X), sp.lazify(self.components_.T),
+               precision="highest").glom())
+
+  def fit_transform(self, X):
+    return self.fit(X).transform(X)
+
+
 class KNeighborsClassifier:
   """k-NN classification (examples/knn): pairwise distances as one MXU
   matmul, argpartition selection, one-hot-matmul majority vote."""

@@ -128,6 +128,26 @@ def test_learn_pca(rng):
   assert m.explained_variance_[0] > m.explained_variance_[1]
 
 
+def test_learn_truncated_svd(rng):
+  from spartan_tpu.learn import TruncatedSVD
+  import scipy.sparse as ss
+  X = rng.standard_normal((200, 16))
+  m = TruncatedSVD(n_components=3).fit(X)
+  st = np.linalg.svd(X, compute_uv=False)[:3]
+  np.testing.assert_allclose(m.singular_values_, st, atol=1e-9)
+  Z = m.transform(X)
+  assert Z.shape == (200, 3)
+  # projection onto the top right-singular basis reproduces X's energy
+  assert abs((Z ** 2).sum() - (st ** 2).sum()) < 1e-6 * (st ** 2).sum()
+  # sparse design matrix without densify/centering
+  Xs = ss.random(128, 24, density=0.2,
+                 random_state=np.random.RandomState(0), format="csr")
+  ms = TruncatedSVD(n_components=2).fit(sp.sparse.from_scipy(Xs))
+  sts = np.linalg.svd(Xs.todense(), compute_uv=False)[:2]
+  np.testing.assert_allclose(ms.singular_values_, np.asarray(sts).ravel(),
+                             atol=1e-9)
+
+
 def test_multi_output_region(rng):
   """ListExpr/DictExpr roots: several outputs from ONE fused region."""
   from spartan_tpu.backend import evaluator
