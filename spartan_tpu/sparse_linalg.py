@@ -266,8 +266,7 @@ def gmres(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
   H0 = sp.zeros((m + 1, m), dtype=dt)
   e1 = _onehot(0, m + 1, dt)
 
-  def _step(x, V, H, beta0, j, k, rnorm):
-    vj = _hi_dot(_onehot(j, m + 1, dt), V)
+  def _step(x, V, H, vj, beta0, j, k, rnorm):
     w = mv(vj)
     h = _hi_dot(V, w)           # rows past j are zero -> entries 0
     w = w - _hi_dot(h, V)
@@ -284,13 +283,14 @@ def gmres(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
     q = beta0 * e1 - _hi_dot(H2, y)
     rn = sp.sqrt(_hi_dot(q, q))
     x_new = x + _hi_dot(y, V2[:m])
-    return V2, H2, x_new, q, rn, _i32(j + 1)
+    return V2, H2, x_new, q, rn, vnext, _i32(j + 1)
 
-  def cond(x, xc, V, H, beta0, j, k, rnorm):
+  def cond(x, xc, V, H, vj, beta0, j, k, rnorm):
     return (rnorm > tol) & (k < maxiter)
 
-  def body(x, xc, V, H, beta0, j, k, rnorm):
-    V2, H2, x_new, q, rn, j2 = _step(x, V, H, beta0, j, k, rnorm)
+  def body(x, xc, V, H, vj, beta0, j, k, rnorm):
+    V2, H2, x_new, q, rn, vnext, j2 = _step(x, V, H, vj, beta0, j, k,
+                                            rnorm)
     end = j2 == m
     # at a cycle boundary: restart from the Krylov-form residual q.V
     r_new = _hi_dot(q, V2)
@@ -300,13 +300,15 @@ def gmres(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
     xc2 = x_new                         # xc tracks the running correction
     V3 = sp.where(end, V_rst, V2)
     H3 = sp.where(end, H0, H2)
+    vj3 = sp.where(end, r_new / rn_new, vnext)
     beta0_3 = sp.where(end, rn, beta0)
     j3 = _i32(sp.where(end, 0, j2))
-    return x3, xc2, V3, H3, beta0_3, j3, _i32(k + 1), rn
+    return x3, xc2, V3, H3, vj3, beta0_3, j3, _i32(k + 1), rn
 
-  x, xc, V, H, beta0, j, k, rnorm = sp.while_loop(
+  vj0 = sp.Val((r0 / sp.maximum(beta0_0, _TINY)).astype(dt).evaluate())
+  x, xc, V, H, vj, beta0, j, k, rnorm = sp.while_loop(
       cond, body,
-      (x0e, x0e, V0, H0, beta0_0, _i32(0), _i32(0), beta0_0),
+      (x0e, x0e, V0, H0, vj0, beta0_0, _i32(0), _i32(0), beta0_0),
       max_iters=maxiter)
   # mid-cycle exit: xc holds the freshest correction
   x_fin = xc if int(np.asarray(j.glom())) > 0 else x
@@ -369,8 +371,7 @@ def _arnoldi_body(matvec, m: int, dt):
   j: one-hot row selection, one matvec, doubled classical Gram-Schmidt
   against the WHOLE block (unfilled rows are zero, so they project to
   nothing), rank-1 one-hot updates of V and the projected matrix H."""
-  def body(V, H, j):
-    vj = _hi_dot(_onehot(j, m + 1, dt), V)
+  def body(V, H, vj, j):
     w = matvec(vj)
     h = _hi_dot(V, w)
     w = w - _hi_dot(h, V)
@@ -382,14 +383,17 @@ def _arnoldi_body(matvec, m: int, dt):
     V2 = V + sp.outer(_onehot(j + 1, m + 1, dt), vnext)
     H2 = H + sp.outer(h + beta * _onehot(j + 1, m + 1, dt),
                       _onehot(j, m, dt))
-    return V2, H2, _i32(j + 1)
+    return V2, H2, vnext, _i32(j + 1)
   return body
 
 
 def _arnoldi_cycle(matvec, V0, H0, j0: int, m: int, dt):
-  """Fused fori from position j0 to m.  Returns (V, H) SpartanArrays."""
-  V, H, _ = sp.fori_loop(m - j0, _arnoldi_body(matvec, m, dt),
-                         (V0, H0, _i32(j0)))
+  """Fused fori from position j0 to m.  The current basis vector rides
+  the carry (selected from V0 ONCE here, not per step — saves a full
+  (m+1, n) block read every iteration).  Returns (V, H)."""
+  vj0 = _hi_dot(_onehot(j0, m + 1, dt), sp.lazify(V0))
+  V, H, _, _ = sp.fori_loop(m - j0, _arnoldi_body(matvec, m, dt),
+                            (V0, H0, vj0, _i32(j0)))
   return V, H
 
 
