@@ -524,9 +524,25 @@ def pack_windowed(sp_csr) -> WindowedELL:
 
 
 def _windowed_kernel(rb_ref, win_ref, init_ref, cols_ref, rows_ref,
-                     vals_ref, *refs, use_bf16=False):
-  xt_refs, out_ref = refs[:_STRIPS], refs[_STRIPS]
+                     vals_ref, *refs, use_bf16=False, has_acc=False):
+  if has_acc:
+    xt_refs = refs[:_STRIPS]
+    acc_ref, out_ref = refs[_STRIPS], refs[_STRIPS + 1]
+  else:
+    xt_refs, out_ref = refs[:_STRIPS], refs[_STRIPS]
   s = pl.program_id(0)
+
+  if has_acc:
+    # chunked multi-launch mode: a step that CONTINUES a row block begun
+    # in an earlier launch (launch-first visit, init==0) seeds the block
+    # from the accumulator operand (the previous launch's output buffer,
+    # aliased) instead of relying on revisit-persistent VMEM
+    prev_rb = rb_ref[jnp.maximum(s - 1, 0)]
+    launch_first = jnp.logical_or(s == 0, rb_ref[s] != prev_rb)
+
+    @pl.when(jnp.logical_and(launch_first, init_ref[s] == 0))
+    def _():
+      out_ref[...] = acc_ref[...]
 
   @pl.when(init_ref[s] == 1)
   def _():
@@ -590,7 +606,7 @@ def _windowed_kernel(rb_ref, win_ref, init_ref, cols_ref, rows_ref,
   out_ref[...] += acc
 
 
-def _windowed_grid_spec(s_n: int, lead_blocks):
+def _windowed_grid_spec(s_n: int, lead_blocks, with_acc: bool = False):
   """PrefetchScalarGridSpec shared by every windowed kernel variant —
   keep the hard-won Mosaic constraints in ONE place:
 
@@ -604,7 +620,9 @@ def _windowed_grid_spec(s_n: int, lead_blocks):
     rb-contiguous; first visit zeroes via the init flag).
 
   ``lead_blocks``: per-operand block shapes for the non-window inputs
-  (after the 3 scalar-prefetch operands rb/win/init)."""
+  (after the 3 scalar-prefetch operands rb/win/init).  ``with_acc``
+  appends an accumulator operand mirroring the out spec (chunked
+  multi-launch mode)."""
 
   def _win_spec(k):
     return pl.BlockSpec((_STRIPS, _LANES),
@@ -613,37 +631,77 @@ def _windowed_grid_spec(s_n: int, lead_blocks):
   def _lead_spec(shape):
     return pl.BlockSpec(shape, lambda s, b, w, it: (s, 0))
 
+  out_spec = pl.BlockSpec((_STRIPS, _LANES), lambda s, b, w, it: (b[s], 0))
   return pltpu.PrefetchScalarGridSpec(
       num_scalar_prefetch=3,
       grid=(s_n,),
       in_specs=[_lead_spec(shape) for shape in lead_blocks]
-      + [_win_spec(k) for k in range(_STRIPS)],
-      out_specs=pl.BlockSpec((_STRIPS, _LANES),
-                             lambda s, b, w, it: (b[s], 0)),
+      + [_win_spec(k) for k in range(_STRIPS)]
+      + ([out_spec] if with_acc else []),
+      out_specs=out_spec,
   )
+
+
+# Scalar-prefetch SMEM budget: rb+init cost 4 B/step each and the flat
+# window array 32 B/step; Mosaic's SMEM is ~1 MB, so past ~26K steps the
+# prefetch operands alone blow it ("Allocation would exceed memory
+# (size=1048576) ... space=smem", measured r4s2 at 132K steps / 17.8M
+# nnz).  Launches are therefore chunked at this many steps; boundaries
+# are FIXED-SIZE (shape-only — the emitted program must not depend on
+# pack VALUES, or structurally-identical DAGs would alias in the
+# evaluator cache), and an accumulator operand aliased to the output
+# carries partial row blocks across launches.
+_MAX_PREFETCH_STEPS = 16384
 
 
 def windowed_spmv_traced(rb, win, init, cols_lo, rows_lo, vals, x, *,
                          shape, use_bf16: bool = False,
                          interpret: bool = False):
   """Traced windowed SpMV: all packed arrays are ordinary (leaf) inputs —
-  usable inside an outer jit/expr region without closure constants."""
+  usable inside an outer jit/expr region without closure constants.
+  Packs beyond the scalar-prefetch SMEM budget run as chained chunked
+  launches (the interpreter honors the acc aliasing too, so the chunked
+  path is CPU-testable)."""
   n, m = shape
   s_n = rb.shape[0]
   mq = -(-m // _WIN) * _STRIPS                   # x block-rows, padded
   n_rb = max(-(-n // _WIN), 1)
-
-  grid_spec = _windowed_grid_spec(
-      s_n, [(_STRIPS, _LANES)] * 3)
-  call = pl.pallas_call(
-      functools.partial(_windowed_kernel, use_bf16=use_bf16),
-      grid_spec=grid_spec,
-      out_shape=jax.ShapeDtypeStruct((n_rb * _STRIPS, _LANES), jnp.float32),
-      interpret=interpret,
-  )
   xp = jnp.pad(x.astype(jnp.float32), (0, mq * _LANES - m))
   x2d = xp.reshape(mq, _LANES)
-  out = call(rb, win, init, cols_lo, rows_lo, vals, *([x2d] * _STRIPS))
+  n_chunks = -(-s_n // _MAX_PREFETCH_STEPS)
+  if n_chunks <= 1:
+    grid_spec = _windowed_grid_spec(
+        s_n, [(_STRIPS, _LANES)] * 3)
+    call = pl.pallas_call(
+        functools.partial(_windowed_kernel, use_bf16=use_bf16),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rb * _STRIPS, _LANES),
+                                       jnp.float32),
+        interpret=interpret,
+    )
+    out = call(rb, win, init, cols_lo, rows_lo, vals, *([x2d] * _STRIPS))
+    return out.reshape(-1)[:n].astype(x.dtype)
+  out = jnp.zeros((n_rb * _STRIPS, _LANES), jnp.float32)
+  for ci in range(n_chunks):
+    lo = ci * _MAX_PREFETCH_STEPS
+    hi = min(s_n, lo + _MAX_PREFETCH_STEPS)
+    grid_spec = _windowed_grid_spec(
+        hi - lo, [(_STRIPS, _LANES)] * 3, with_acc=True)
+    call = pl.pallas_call(
+        functools.partial(_windowed_kernel, use_bf16=use_bf16,
+                          has_acc=True),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_rb * _STRIPS, _LANES),
+                                       jnp.float32),
+        input_output_aliases={14: 0},   # acc operand donates to out
+        # (alias indices COUNT the 3 scalar-prefetch args: 3 prefetch +
+        # cols/rows/vals + 8 windows -> acc is input 14)
+        interpret=interpret,
+    )
+    out = call(rb[lo:hi], win[lo * _STRIPS:hi * _STRIPS], init[lo:hi],
+               cols_lo[lo * _STRIPS:hi * _STRIPS],
+               rows_lo[lo * _STRIPS:hi * _STRIPS],
+               vals[lo * _STRIPS:hi * _STRIPS], *([x2d] * _STRIPS), out)
   return out.reshape(-1)[:n].astype(x.dtype)
 
 
@@ -686,6 +744,11 @@ def windowed_unique_spmv_traced(rb, win, init, cols_lo, vals, inv, x, *,
   """Traced all-VPU windowed SpMV (unique-rows pack; exact f32)."""
   n, m = shape
   s_n = rb.shape[0]
+  if s_n > _MAX_PREFETCH_STEPS and not interpret:
+    raise ValueError(
+        f"unique-rows pack has {s_n} grid steps > the scalar-prefetch "
+        f"SMEM budget ({_MAX_PREFETCH_STEPS}); use the default hybrid "
+        "windowed kernel (chunked launches) for matrices this large")
   mq = -(-m // _WIN) * _STRIPS
   n_rb = max(-(-n // _WIN), 1)
 
@@ -850,15 +913,38 @@ def sharded_windowed_spmv_traced(rb, win, init, cols_lo, rows_lo, vals, x,
     rows_f = rows_l.reshape(s_max * _STRIPS, _LANES)
     vals_f = vals_l.reshape(s_max * _STRIPS, _LANES)
 
-    grid_spec = _windowed_grid_spec(
-        s_max, [(_STRIPS, _LANES)] * 3)
-    out = pl.pallas_call(
-        functools.partial(_windowed_kernel, use_bf16=use_bf16),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((rb_per * _STRIPS, _LANES),
-                                       jnp.float32),
-        interpret=interpret,
-    )(rb_f, win_f, init_f, cols_f, rows_f, vals_f, *([x_full] * _STRIPS))
+    n_chunks = -(-s_max // _MAX_PREFETCH_STEPS)
+    if n_chunks <= 1:
+      grid_spec = _windowed_grid_spec(
+          s_max, [(_STRIPS, _LANES)] * 3)
+      return pl.pallas_call(
+          functools.partial(_windowed_kernel, use_bf16=use_bf16),
+          grid_spec=grid_spec,
+          out_shape=jax.ShapeDtypeStruct((rb_per * _STRIPS, _LANES),
+                                         jnp.float32),
+          interpret=interpret,
+      )(rb_f, win_f, init_f, cols_f, rows_f, vals_f,
+        *([x_full] * _STRIPS))
+    # per-shard pack past the scalar-prefetch SMEM budget: same chained
+    # chunked launches as the unsharded path
+    out = jnp.zeros((rb_per * _STRIPS, _LANES), jnp.float32)
+    for ci in range(n_chunks):
+      lo = ci * _MAX_PREFETCH_STEPS
+      hi = min(s_max, lo + _MAX_PREFETCH_STEPS)
+      grid_spec = _windowed_grid_spec(
+          hi - lo, [(_STRIPS, _LANES)] * 3, with_acc=True)
+      out = pl.pallas_call(
+          functools.partial(_windowed_kernel, use_bf16=use_bf16,
+                            has_acc=True),
+          grid_spec=grid_spec,
+          out_shape=jax.ShapeDtypeStruct((rb_per * _STRIPS, _LANES),
+                                         jnp.float32),
+          input_output_aliases={14: 0},
+          interpret=interpret,
+      )(rb_f[lo:hi], win_f[lo * _STRIPS:hi * _STRIPS], init_f[lo:hi],
+        cols_f[lo * _STRIPS:hi * _STRIPS],
+        rows_f[lo * _STRIPS:hi * _STRIPS],
+        vals_f[lo * _STRIPS:hi * _STRIPS], *([x_full] * _STRIPS), out)
     return out
 
   spec_s = PartitionSpec(ax_arg)

@@ -98,10 +98,14 @@ def aslinearoperator(A) -> LinearOperator:
   if isinstance(A, LinearOperator):
     return A
   if isinstance(A, (sps.SparseArray, sps.BlockSparseArray)):
+    # no explicit precision: an explicit knob forces the sparse emitters
+    # onto the XLA-faithful gather formulation (sparse.py prec gate) and
+    # loses the Pallas kernels (~200x on a 2^20-row system, measured
+    # r4s2); the kernels are already hi/lo-split f32-exact-ish
     At = A.T if hasattr(A, "T") else None
     return LinearOperator(
-        A.shape, lambda x: _hi_dot(A, x),
-        (lambda x: _hi_dot(At, x)) if At is not None else None,
+        A.shape, lambda x: sp.dot(A, x),
+        (lambda x: sp.dot(At, x)) if At is not None else None,
         dtype=A.dtype)
   Ae = sp.lazify(A)
   if Ae.ndim != 2:

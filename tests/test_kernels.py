@@ -218,6 +218,43 @@ def test_unshard_windowed_matches_sharded(rng):
   err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-9)
   assert err < 1e-5, err
 
+def test_windowed_spmv_chunked_launches(rng, monkeypatch):
+  """Packs past the scalar-prefetch SMEM budget run as chained chunked
+  launches (r4s2: 132K-step pack blew the 1 MB SMEM on hardware).
+  Forces tiny chunks so cuts land mid-row-block; the aliased
+  accumulator operand must carry partial blocks across launches."""
+  import scipy.sparse as ss
+
+  from spartan_tpu.backend.kernels import spmv_pallas as sk
+  monkeypatch.setattr(sk, "_MAX_PREFETCH_STEPS", 7)
+  A = ss.random(2048, 12000, density=0.002,
+                random_state=np.random.RandomState(1), format="csr",
+                dtype=np.float32)
+  packed = sk.pack_windowed(A)
+  assert packed.rb.shape[0] > 21  # several chunks
+  x = rng.standard_normal(12000).astype(np.float32)
+  got = np.asarray(sk.make_spmv_windowed(packed, interpret=True)(
+      jnp.asarray(x)))
+  want = A @ x
+  assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+  # sharded form: same chunking inside the shard_map body
+  packed_s = sk.pack_windowed_sharded(A, 8)
+  import jax
+  from spartan_tpu.core.mesh import get_mesh
+  got_s = np.asarray(sk.sharded_windowed_spmv_traced(
+      *(jnp.asarray(a) for a in (packed_s.rb, packed_s.win,
+                                 packed_s.init, packed_s.cols_lo,
+                                 packed_s.rows_lo, packed_s.vals)),
+      jnp.asarray(x), shape=packed_s.shape, mesh=get_mesh(),
+      interpret=True))[:2048]
+  assert np.abs(got_s - want).max() / np.abs(want).max() < 1e-5
+  # the opt-in exact pack refuses oversize packs with guidance
+  import pytest as _pt
+  packed_u = sk.pack_windowed_unique(A)
+  with _pt.raises(ValueError, match="SMEM budget"):
+    sk.make_spmv_windowed(packed_u)(jnp.asarray(x))
+
+
 def test_windowed_unique_spmv(rng):
   """Unique-rows pack (all-VPU exact kernel): duplicates of a (block,
   window, row) triple split strips; inverse-map scatter matches scipy to
