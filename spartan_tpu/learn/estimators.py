@@ -307,9 +307,12 @@ class TruncatedSVD:
 
   def transform(self, X):
     import spartan_tpu as sp
-    return np.asarray(
-        sp.dot(_lazy(X), sp.lazify(self.components_.T),
-               precision="highest").glom())
+    sparse = isinstance(
+        X, (sp.sparse.SparseArray, sp.sparse.BlockSparseArray))
+    Xe = X if sparse else _lazy(X)
+    kw = {} if sparse else {"precision": "highest"}
+    return np.asarray(sp.lazify(
+        sp.dot(Xe, sp.lazify(self.components_.T), **kw)).glom())
 
   def fit_transform(self, X):
     return self.fit(X).transform(X)

@@ -84,9 +84,11 @@ class LinearOperator:
 
   @property
   def T(self):
+    if self._rmatvec is None:
+      raise ValueError("cannot transpose a LinearOperator without "
+                       "rmatvec (pass one at construction)")
     return LinearOperator((self.shape[1], self.shape[0]),
-                          self.rmatvec if self._rmatvec else None,
-                          self._matvec, dtype=self.dtype)
+                          self._rmatvec, self._matvec, dtype=self.dtype)
 
   def __matmul__(self, x):
     return self.matvec(x)
@@ -101,12 +103,16 @@ def aslinearoperator(A) -> LinearOperator:
     # no explicit precision: an explicit knob forces the sparse emitters
     # onto the XLA-faithful gather formulation (sparse.py prec gate) and
     # loses the Pallas kernels (~200x on a 2^20-row system, measured
-    # r4s2); the kernels are already hi/lo-split f32-exact-ish
-    At = A.T if hasattr(A, "T") else None
+    # r4s2); the kernels are already hi/lo-split f32-exact-ish.
+    # A.T is built LAZILY on first rmatvec use — the transpose repack is
+    # a host round trip cg/gmres/eigsh never need
+    def _rmv(x, _memo=[]):
+      if not _memo:
+        _memo.append(A.T)
+      return sp.dot(_memo[0], x)
     return LinearOperator(
         A.shape, lambda x: sp.dot(A, x),
-        (lambda x: sp.dot(At, x)) if At is not None else None,
-        dtype=A.dtype)
+        _rmv if hasattr(A, "T") else None, dtype=A.dtype)
   Ae = sp.lazify(A)
   if Ae.ndim != 2:
     raise ValueError(f"expected a 2-D operator, got ndim={Ae.ndim}")
@@ -251,7 +257,8 @@ def gmres(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
   ``q = β e₁ − H y``.  Left-preconditioned when ``M`` is given (tol
   applies to the preconditioned residual, as in scipy).  Returns
   ``(x, info)`` like :func:`cg`; the final residual check is a true
-  ``b − A x`` recomputation."""
+  ``b − A x`` recomputation.  ``maxiter`` counts RESTART CYCLES, as in
+  scipy (the while_loop budget is ``maxiter·restart`` inner steps)."""
   op, b, x0e, dt = _setup(A, b, x0)
   psolve = _psolve(M)
   mv = lambda v: psolve(op.matvec(v))  # noqa: E731
@@ -261,7 +268,7 @@ def gmres(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
     return sp.zeros((op.shape[1],), dtype=dt).evaluate(), 0
   n = op.shape[1]
   m = max(1, min(int(restart), n))
-  maxiter = int(maxiter) if maxiter else 10 * n
+  max_inner = (int(maxiter) * m) if maxiter else 10 * n
 
   r0 = sp.Val((be - mv(x0e)).evaluate())
   beta0_0 = sp.sqrt(_hi_dot(r0, r0))
@@ -290,7 +297,7 @@ def gmres(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
     return V2, H2, x_new, q, rn, vnext, _i32(j + 1)
 
   def cond(x, xc, V, H, vj, beta0, j, k, rnorm):
-    return (rnorm > tol) & (k < maxiter)
+    return (rnorm > tol) & (k < max_inner)
 
   def body(x, xc, V, H, vj, beta0, j, k, rnorm):
     V2, H2, x_new, q, rn, vnext, j2 = _step(x, V, H, vj, beta0, j, k,
@@ -313,13 +320,13 @@ def gmres(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
   x, xc, V, H, vj, beta0, j, k, rnorm = sp.while_loop(
       cond, body,
       (x0e, x0e, V0, H0, vj0, beta0_0, _i32(0), _i32(0), beta0_0),
-      max_iters=maxiter)
+      max_iters=max_inner)
   # mid-cycle exit: xc holds the freshest correction
   x_fin = xc if int(np.asarray(j.glom())) > 0 else x
   r = be - mv(sp.Val(x_fin))
   rnorm_t = float(np.sqrt(float(sp.dot(r, r, precision="highest").glom())))
-  return x_fin, (0 if rnorm_t <= tol * (1 + 1e-6)
-                 else int(np.asarray(k.glom())))
+  cycles = -(-int(np.asarray(k.glom())) // m)
+  return x_fin, (0 if rnorm_t <= tol * (1 + 1e-6) else cycles)
 
 
 def lsqr(A, b, damp: float = 0.0, *, atol: float = 1e-8,
@@ -467,8 +474,15 @@ def eigsh(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
     idx = _pick(w_all, min(k, m_eff), which)
     scale = max(float(np.abs(w_all).max()), 1e-30)
     res = np.abs(beta_last * Y[m_eff - 1, idx])
-    if (res.max() <= tol_eff * scale or m >= n or m_eff < m
-        or l < 1 or cycle == maxiter - 1):
+    converged = res.max() <= tol_eff * scale
+    if (converged or m >= n or m_eff < m or l < 1
+        or cycle == maxiter - 1):
+      if not converged and m < n and m_eff == m:
+        from spartan_tpu.util import log_warn
+        log_warn("eigsh: Ritz residual %.2e > tol %.2e after %d restart "
+                 "cycles (ncv=%d) — returned pairs are NOT fully "
+                 "converged; raise ncv or maxiter", float(res.max()),
+                 tol_eff * scale, cycle + 1, m)
       break
     keep = _pick(w_all, l, which)
     Yk = np.ascontiguousarray(Y[:, keep].T.astype(dt))        # (l, m)
@@ -511,10 +525,18 @@ def eigs(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None):
   H0 = sp.zeros((m + 1, m), dtype=dt)
 
   V, H = _arnoldi_cycle(op.matvec, V0, H0, 0, m, dt)
-  Hm = np.asarray(H.glom())[:m, :m]
+  Hh = np.asarray(H.glom())
+  Hm = Hh[:m, :m]
   w_all, S = np.linalg.eig(Hm)
   idx = _pick(w_all, k, which)
   w = w_all[idx]
+  res = np.abs(float(Hh[m, m - 1]) * S[m - 1, idx])
+  scale = max(float(np.abs(w_all).max()), 1e-30)
+  if m < n and res.max() > 1e-4 * scale:
+    from spartan_tpu.util import log_warn
+    log_warn("eigs: Ritz residual %.2e (rel. to spectral scale) — one "
+             "Arnoldi cycle at ncv=%d did not converge; raise ncv",
+             float(res.max() / scale), m)
   cr = np.ascontiguousarray(S[:, idx].T.real.astype(dt))
   ci = np.ascontiguousarray(S[:, idx].T.imag.astype(dt))
   Vr = np.asarray(_hi_dot(sp.lazify(cr),
@@ -557,7 +579,8 @@ def svds(A, k: int = 6, *, ncv: int = None):
 
 
 def norm(A, ord="fro"):
-  """Sparse matrix norm.  ``'fro'`` streams over the stored values;
+  """Sparse matrix norm.  ``'fro'`` is one device-side reduction over
+  the stored tiles (ELL/BSR pads are zero, so they contribute nothing);
   1/inf need per-axis |A| sums (densify or use dense ``sp.linalg.norm``
   for those)."""
   from spartan_tpu.backend import sparse as sps
@@ -567,7 +590,9 @@ def norm(A, ord="fro"):
     raise ValueError("sparse norm supports ord='fro' only (pads make "
                      "signed element iteration ambiguous); densify for "
                      "ord=1/inf")
-  return sp.sqrt(A.multiply(A).sum())
+  vals = A.block_vals if isinstance(A, sps.BlockSparseArray) else A.vals
+  v = sp.lazify(np.asarray(vals) if not hasattr(vals, "dtype") else vals)
+  return sp.sqrt(sp.sum(v * v))
 
 
 def spsolve(A, b):
