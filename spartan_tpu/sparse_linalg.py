@@ -457,8 +457,10 @@ def eigsh(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
   V = sp.outer(_onehot(0, m + 1, dt), v0 / sp.maximum(nrm, _TINY))
   H = sp.zeros((m + 1, m), dtype=dt)
   j0 = 0
-  l = min(k + min(k, 8), m - 2)  # kept Ritz count per restart (buffer
-  # of next-closest pairs speeds convergence, TRLan practice)
+  l = min(max(k + min(k, 8), m // 2), m - 2)  # kept Ritz count per
+  # restart — a buffer of next-closest pairs (~ncv/2, TRLan/ARPACK
+  # practice) both speeds convergence and avoids locking onto the wrong
+  # member of a near-tied cluster
   for cycle in range(maxiter):
     V, H = _arnoldi_cycle(op.matvec, V, H, j0, m, dt)
     Hh = np.asarray(sp.lazify(H).glom())
@@ -504,39 +506,96 @@ def eigsh(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
   return w, v
 
 
-def eigs(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None):
-  """k eigenpairs of a general (nonsymmetric) operator from an
-  ``ncv``-step fused Arnoldi cycle; the small ``ncv×ncv`` Hessenberg
-  eigenproblem is driver-side.  Returns ``(w, v)`` as COMPLEX numpy
-  arrays ((k,), (n, k)) — Ritz vectors are assembled from two real
-  device contractions, so the device path stays real (the axon runtime
-  has no complex buffers)."""
+def eigs(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
+         maxiter: int = None, tol: float = 0.0):
+  """k eigenpairs of a general (nonsymmetric) operator by KRYLOV-SCHUR
+  restarted Arnoldi: fused ``ncv``-step cycles; on restart the leading
+  (which-ordered) real Schur vectors of the small Hessenberg matrix are
+  kept — the basis compression is a REAL device contraction (the Schur
+  form, unlike the eigenbasis, is real for real operators), then the
+  SAME fused cycle re-enters at position l.  The small dense
+  eigen/Schur problems are driver-side.  Returns ``(w, v)`` as COMPLEX
+  numpy arrays ((k,), (n, k)) — final Ritz vectors are assembled from
+  two real device contractions, so the device path stays real (the
+  axon runtime has no complex buffers).  ``maxiter`` counts restart
+  cycles (default 20); ``tol`` bounds the Ritz residual relative to the
+  spectral scale."""
   op = aslinearoperator(A)
   n = op.shape[1]
   if op.shape[0] != n:
     raise ValueError("eigs needs a square operator")
   k = int(k)
   m = min(n, int(ncv) if ncv else max(2 * k + 1, 20))
+  if not 0 < k < m:
+    raise ValueError(f"need 0 < k={k} < ncv={m}")
   dt = _default_float()
+  maxiter = int(maxiter) if maxiter else 20
+  tol_eff = float(tol) if tol else (1e-12 if dt == np.float64 else 1e-5)
   rng = np.random.default_rng(0)
   v0e = sp.lazify(rng.standard_normal(n) if v0 is None else v0).astype(dt)
   nrm = sp.sqrt(_hi_dot(v0e, v0e))
-  V0 = sp.outer(_onehot(0, m + 1, dt), v0e / sp.maximum(nrm, _TINY))
-  H0 = sp.zeros((m + 1, m), dtype=dt)
+  V = sp.outer(_onehot(0, m + 1, dt), v0e / sp.maximum(nrm, _TINY))
+  H = sp.zeros((m + 1, m), dtype=dt)
+  j0 = 0
+  l = min(max(k + min(k, 8), m // 2), m - 2)  # ~ncv/2 kept: near-tied
+  # |w| clusters (the generic case for LM on real random spectra) need
+  # the buffer or the restart locks onto interior members
 
-  V, H = _arnoldi_cycle(op.matvec, V0, H0, 0, m, dt)
-  Hh = np.asarray(H.glom())
-  Hm = Hh[:m, :m]
-  w_all, S = np.linalg.eig(Hm)
-  idx = _pick(w_all, k, which)
+  def _crit(wr, wi):
+    if which.upper() in ("LM", "SM"):
+      return np.hypot(wr, wi)
+    return np.asarray(wr)
+
+  bigger_is_better = which.upper() in ("LM", "LA")
+  for cycle in range(maxiter):
+    V, H = _arnoldi_cycle(op.matvec, V, H, j0, m, dt)
+    Hh = np.asarray(sp.lazify(H).glom())
+    Hm = Hh[:m, :m]
+    beta_last = float(Hh[m, m - 1])
+    w_all, S = np.linalg.eig(Hm)
+    idx = _pick(w_all, k, which)
+    scale = max(float(np.abs(w_all).max()), 1e-30)
+    res = np.abs(beta_last * S[m - 1, idx])
+    converged = res.max() <= tol_eff * scale
+    if converged or m >= n or l < 1 or cycle == maxiter - 1:
+      if not converged and m < n:
+        from spartan_tpu.util import log_warn
+        log_warn("eigs: Ritz residual %.2e (rel. to spectral scale) "
+                 "after %d Krylov-Schur cycles (ncv=%d) — returned "
+                 "pairs are NOT fully converged; raise ncv or maxiter",
+                 float(res.max() / scale), cycle + 1, m)
+      break
+    # Krylov-Schur restart: order the real Schur form so the l
+    # which-best eigenvalues lead (a cutoff predicate keeps 2x2
+    # conjugate blocks together — pair members share |w| and Re w)
+    from scipy.linalg import schur
+    crit_all = _crit(w_all.real, w_all.imag)
+    order = np.sort(crit_all)[::-1] if bigger_is_better else np.sort(
+        crit_all)
+    cutoff = order[min(l, m) - 1]
+    if bigger_is_better:
+      pred = lambda wr, wi: _crit(wr, wi) >= cutoff * (1 - 1e-12) - 1e-300
+    else:
+      pred = lambda wr, wi: _crit(wr, wi) <= cutoff * (1 + 1e-12) + 1e-300
+    T, Z, sdim = schur(Hm, output="real", sort=pred)
+    l_eff = int(sdim)
+    if not 0 < l_eff <= m - 2:
+      from spartan_tpu.util import log_warn
+      log_warn("eigs: Krylov-Schur restart degenerate (kept %d of %d) "
+               "— returning the current cycle's Ritz pairs", l_eff, m)
+      break
+    Qk = np.ascontiguousarray(Z[:, :l_eff].T.astype(dt))      # (l, m)
+    Wnew = _hi_dot(sp.lazify(Qk), sp.lazify(V)[:m])           # (l, n)
+    vres = sp.lazify(V)[m:m + 1]
+    Vn = sp.concatenate(
+        [Wnew, vres, sp.zeros((m - l_eff, n), dtype=dt)], axis=0)
+    Hn = np.zeros((m + 1, m), dtype=dt)
+    Hn[:l_eff, :l_eff] = T[:l_eff, :l_eff].astype(dt)
+    Hn[l_eff, :l_eff] = (beta_last * Z[m - 1, :l_eff]).astype(dt)
+    V = sp.Val(Vn.evaluate())
+    H = sp.lazify(Hn)
+    j0 = l_eff
   w = w_all[idx]
-  res = np.abs(float(Hh[m, m - 1]) * S[m - 1, idx])
-  scale = max(float(np.abs(w_all).max()), 1e-30)
-  if m < n and res.max() > 1e-4 * scale:
-    from spartan_tpu.util import log_warn
-    log_warn("eigs: Ritz residual %.2e (rel. to spectral scale) — one "
-             "Arnoldi cycle at ncv=%d did not converge; raise ncv",
-             float(res.max() / scale), m)
   cr = np.ascontiguousarray(S[:, idx].T.real.astype(dt))
   ci = np.ascontiguousarray(S[:, idx].T.imag.astype(dt))
   Vr = np.asarray(_hi_dot(sp.lazify(cr),

@@ -133,15 +133,21 @@ def test_eigsh_matvec_only_operator(rng, cluster):
   np.testing.assert_allclose(w, d[-2:], atol=1e-8)
 
 
-def test_eigs_nonsymmetric(rng, cluster):
-  n = 96
+def test_eigs_nonsymmetric_krylov_schur(rng, cluster):
+  n = 256
   B = rng.standard_normal((n, n))
-  w, v = spl.eigs(B, k=3, ncv=64)
+  # small ncv: the Krylov-Schur restarts must engage and converge
+  w, v = spl.eigs(B, k=3, ncv=20, maxiter=80)
   assert w.dtype.kind == "c" and v.shape == (n, 3)
-  assert np.abs(B @ v - v * w).max() < 1e-4
+  assert np.abs(B @ v - v * w).max() < 1e-8
   wt = np.linalg.eigvals(B)
   want = np.sort(np.abs(wt))[-3:]
-  np.testing.assert_allclose(np.sort(np.abs(w)), want, atol=1e-5)
+  np.testing.assert_allclose(np.sort(np.abs(w)), want, atol=1e-9)
+  # real-part ordering exercises the Schur cutoff on Re(w)
+  w2, v2 = spl.eigs(B, k=2, which="LA", ncv=20, maxiter=80)
+  assert np.abs(B @ v2 - v2 * w2).max() < 1e-8
+  np.testing.assert_allclose(np.sort(w2.real),
+                             np.sort(wt.real)[-2:], atol=1e-9)
 
 
 def test_svds_tall_and_wide(rng, cluster):
