@@ -21,10 +21,12 @@ them f32-exact on TPU (bf16 MXU passes would destroy orthogonality).
 
 Provided (scipy-compatible signatures, simplified return tails):
 ``LinearOperator``, ``aslinearoperator``, ``cg``, ``bicgstab``,
-``gmres``, ``lsqr`` (CGLS form), ``eigsh``, ``eigs``, ``svds``,
-``norm``, ``spsolve`` (dense-factorization fallback, size-gated).
-Not provided: direct factorizations (``splu``/``spilu`` — no sparse LU
-on TPU; use ``cg``/``gmres`` or the size-gated ``spsolve``), ``expm``.
+``gmres``, ``lsqr`` (CGLS form), ``eigsh`` (thick-restart Lanczos), ``eigs``
+(Krylov-Schur), ``svds``, ``expm_multiply`` (Krylov exponential
+action), ``norm``, ``spsolve`` (dense-factorization fallback,
+size-gated).  Not provided: direct factorizations (``splu``/``spilu``
+— no sparse LU on TPU; use ``cg``/``gmres`` or the size-gated
+``spsolve``), dense ``expm`` (use ``expm_multiply``).
 """
 
 from __future__ import annotations
@@ -44,7 +46,7 @@ FLAGS.add(IntFlag(
 
 __all__ = [
     "LinearOperator", "aslinearoperator", "cg", "bicgstab", "gmres",
-    "lsqr", "eigsh", "eigs", "svds", "norm", "spsolve",
+    "lsqr", "eigsh", "eigs", "svds", "norm", "spsolve", "expm_multiply",
 ]
 
 _TINY = 1e-30
@@ -635,6 +637,43 @@ def svds(A, k: int = 6, *, ncv: int = None):
   else:
     u, vt = y, sp.transpose(sp.lazify(oth)).evaluate()
   return u, s, vt
+
+
+def expm_multiply(A, B, t: float = 1.0, *, ncv: int = None):
+  """``exp(t·A) @ B`` without forming the exponential (scipy name):
+  one fused ``ncv``-step Arnoldi cycle per column, then the SMALL
+  ``exp(t·Hm)`` is driver-side (`scipy.linalg.expm` on an ncv×ncv
+  matrix) and the result is one device contraction ``V[:m]ᵀ (e^{tH}
+  β e₁)``.  Krylov approximation error decays factorially in ``ncv``
+  for ``t·‖A‖`` within the subspace's reach — raise ``ncv`` (default
+  ``min(n, 30)``) for large ``t·‖A‖``."""
+  from scipy.linalg import expm as _small_expm
+  op = aslinearoperator(A)
+  n = op.shape[1]
+  if op.shape[0] != n:
+    raise ValueError("expm_multiply needs a square operator")
+  Be = sp.lazify(B)
+  one_d = Be.ndim == 1
+  cols = [Be] if one_d else [Be[:, i] for i in range(Be.shape[1])]
+  dt = _default_float()
+  m = min(n, int(ncv) if ncv else 30)
+  outs = []
+  for c in cols:
+    ce = sp.lazify(c).astype(dt)
+    beta = sp.sqrt(_hi_dot(ce, ce))
+    beta_f = float(beta.glom())
+    if beta_f == 0.0:
+      outs.append(sp.zeros((n,), dtype=dt))
+      continue
+    V0 = sp.outer(_onehot(0, m + 1, dt), ce / beta)
+    H0 = sp.zeros((m + 1, m), dtype=dt)
+    V, H = _arnoldi_cycle(op.matvec, V0, H0, 0, m, dt)
+    Hm = np.asarray(sp.lazify(H).glom())[:m, :m]
+    y = (beta_f * _small_expm(float(t) * Hm)[:, 0]).astype(dt)
+    outs.append(_hi_dot(sp.lazify(y), sp.lazify(V)[:m]))
+  if one_d:
+    return outs[0].evaluate() if isinstance(outs[0], Expr) else outs[0]
+  return sp.transpose(sp.stack([sp.lazify(o) for o in outs])).evaluate()
 
 
 def norm(A, ord="fro"):

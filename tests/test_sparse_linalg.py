@@ -165,6 +165,23 @@ def test_svds_tall_and_wide(rng, cluster):
   assert np.asarray(sp.lazify(vt2).glom()).shape == (3, 150)
 
 
+def test_expm_multiply(rng, cluster):
+  import scipy.linalg as sl
+  n = 150
+  A = rng.standard_normal((n, n)) / np.sqrt(n)
+  v = rng.standard_normal(n)
+  got = np.asarray(sp.lazify(spl.expm_multiply(A, v, t=1.2, ncv=40)).glom())
+  want = sl.expm(1.2 * A) @ v
+  assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+  G = ss.random(n, n, density=0.05,
+                random_state=np.random.RandomState(1), format="csr") / 3
+  S = sp.sparse.from_scipy(G.tocsr())
+  B = rng.standard_normal((n, 2))
+  got2 = np.asarray(sp.lazify(spl.expm_multiply(S, B, t=0.7, ncv=40)).glom())
+  want2 = sl.expm(0.7 * G.toarray()) @ B
+  assert np.abs(got2 - want2).max() / np.abs(want2).max() < 1e-12
+
+
 def test_norm_and_spsolve(rng, cluster):
   A = _sparse_spd(96)
   S = sp.sparse.from_scipy(A)
