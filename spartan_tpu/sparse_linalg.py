@@ -570,16 +570,34 @@ def eigs(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
     # Krylov-Schur restart: order the real Schur form so the l
     # which-best eigenvalues lead (a cutoff predicate keeps 2x2
     # conjugate blocks together — pair members share |w| and Re w)
-    from scipy.linalg import schur
+    from scipy.linalg import schur, LinAlgError
     crit_all = _crit(w_all.real, w_all.imag)
     order = np.sort(crit_all)[::-1] if bigger_is_better else np.sort(
         crit_all)
     cutoff = order[min(l, m) - 1]
-    if bigger_is_better:
-      pred = lambda wr, wi: _crit(wr, wi) >= cutoff * (1 - 1e-12) - 1e-300
-    else:
-      pred = lambda wr, wi: _crit(wr, wi) <= cutoff * (1 + 1e-12) + 1e-300
-    T, Z, sdim = schur(Hm, output="real", sort=pred)
+    # reordering perturbs 2x2-block eigenvalues by ~eps(dt); a too-tight
+    # cutoff makes LAPACK's post-reorder re-check fail ("Leading
+    # eigenvalues do not satisfy sort condition", seen on f32) — retry
+    # with widening fuzz
+    base_fuzz = 1e-12 if dt == np.float64 else 1e-6
+    T = Z = None
+    for fuzz in (base_fuzz, base_fuzz * 1e2, base_fuzz * 1e4):
+      if bigger_is_better:
+        pred = lambda wr, wi, f=fuzz: (_crit(wr, wi)
+                                       >= cutoff * (1 - f) - f)
+      else:
+        pred = lambda wr, wi, f=fuzz: (_crit(wr, wi)
+                                       <= cutoff * (1 + f) + f)
+      try:
+        T, Z, sdim = schur(Hm, output="real", sort=pred)
+        break
+      except LinAlgError:
+        continue
+    if T is None:
+      from spartan_tpu.util import log_warn
+      log_warn("eigs: Schur reordering unstable at this cutoff — "
+               "returning the current cycle's Ritz pairs")
+      break
     l_eff = int(sdim)
     if not 0 < l_eff <= m - 2:
       from spartan_tpu.util import log_warn
