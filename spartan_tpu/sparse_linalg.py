@@ -21,7 +21,7 @@ them f32-exact on TPU (bf16 MXU passes would destroy orthogonality).
 
 Provided (scipy-compatible signatures, simplified return tails):
 ``LinearOperator``, ``aslinearoperator``, ``cg``, ``bicgstab``,
-``gmres``, ``lsqr`` (CGLS form), ``eigsh`` (thick-restart Lanczos), ``eigs``
+``gmres``, ``minres``, ``lsqr`` (CGLS form), ``eigsh`` (thick-restart Lanczos), ``eigs``
 (Krylov-Schur), ``svds``, ``expm_multiply`` (Krylov exponential
 action), ``norm``, ``spsolve`` (dense-factorization fallback,
 size-gated).  Not provided: direct factorizations (``splu``/``spilu``
@@ -46,7 +46,8 @@ FLAGS.add(IntFlag(
 
 __all__ = [
     "LinearOperator", "aslinearoperator", "cg", "bicgstab", "gmres",
-    "lsqr", "eigsh", "eigs", "svds", "norm", "spsolve", "expm_multiply",
+    "minres", "lsqr", "eigsh", "eigs", "svds", "norm", "spsolve",
+    "expm_multiply",
 ]
 
 _TINY = 1e-30
@@ -231,6 +232,67 @@ def bicgstab(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
   x, r, *_, k = sp.while_loop(
       cond, body, (x0e, r0, zero, zero, one, one, one, _i32(0)),
       max_iters=maxiter)
+  rnorm = float(np.sqrt(float(sp.dot(r, r, precision="highest").glom())))
+  return x, (0 if rnorm <= tol * (1 + 1e-6) else int(np.asarray(k.glom())))
+
+
+def minres(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
+           maxiter: int = None):
+  """MINRES for symmetric (possibly INDEFINITE) ``A`` — where cg's SPD
+  assumption fails and gmres needs O(restart·n) basis memory, minres
+  minimizes ``|r|`` over the Krylov space with a 3-term Lanczos
+  recurrence + on-the-fly Givens QR: five n-vectors of state, one
+  matvec per iteration, all in one compiled ``while_loop``
+  (Paige–Saunders formulation).  Returns ``(x, info)`` like
+  :func:`cg`."""
+  op, b, x0e, dt = _setup(A, b, x0)
+  tol, bnorm = _tol_of(b, rtol, atol)
+  if bnorm == 0.0:
+    return sp.zeros((op.shape[1],), dtype=dt).evaluate(), 0
+  maxiter = int(maxiter) if maxiter else 10 * op.shape[1]
+
+  r0 = sp.Val((b - op.matvec(x0e)).evaluate())
+  beta1 = sp.sqrt(_hi_dot(r0, r0))
+  zero_v = sp.zeros((op.shape[1],), dtype=dt)
+  zero_s = sp.lazify(np.asarray(0.0, dtype=dt))
+
+  def _safe(d):
+    return sp.where(sp.abs(d) > _TINY, d, 1.0)
+
+  def cond(x, r1, r2, w, w2, oldb, beta, dbar, epsln, phibar, cs, sn, k):
+    # phibar tracks |r| exactly in exact arithmetic
+    return (phibar > tol) & (k < maxiter)
+
+  def body(x, r1, r2, w, w2, oldb, beta, dbar, epsln, phibar, cs, sn, k):
+    v = r2 / _safe(beta)
+    y = op.matvec(v)
+    y = y - sp.where(k > 0, beta / _safe(oldb), 0.0) * r1
+    alfa = _hi_dot(v, y)
+    y = y - (alfa / _safe(beta)) * r2
+    r1n, r2n = r2, y
+    oldb2 = beta
+    beta2 = sp.sqrt(_hi_dot(y, y))
+    oldeps = epsln
+    delta = cs * dbar + sn * alfa
+    gbar = sn * dbar - cs * alfa
+    epsln2 = sn * beta2
+    dbar2 = -cs * beta2
+    gamma = sp.maximum(sp.sqrt(gbar * gbar + beta2 * beta2), _TINY)
+    cs2 = gbar / gamma
+    sn2 = beta2 / gamma
+    phi = cs2 * phibar
+    phibar2 = sn2 * phibar
+    w1n, w2n = w2, w
+    wn = (v - oldeps * w1n - delta * w2n) / gamma
+    x2 = x + phi * wn
+    return (x2, r1n, r2n, wn, w2n, oldb2, beta2, dbar2, epsln2,
+            phibar2, cs2, sn2, _i32(k + 1))
+
+  init = (x0e, r0, r0, zero_v, zero_v, zero_s, beta1, zero_s, zero_s,
+          beta1, sp.lazify(np.asarray(-1.0, dtype=dt)), zero_s, _i32(0))
+  out = sp.while_loop(cond, body, init, max_iters=maxiter)
+  x, k = out[0], out[-1]
+  r = b - op.matvec(sp.Val(sp.lazify(x).evaluate()))
   rnorm = float(np.sqrt(float(sp.dot(r, r, precision="highest").glom())))
   return x, (0 if rnorm <= tol * (1 + 1e-6) else int(np.asarray(k.glom())))
 

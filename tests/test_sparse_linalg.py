@@ -65,6 +65,27 @@ def test_bicgstab_nonsymmetric(rng, cluster):
   np.testing.assert_allclose(np.asarray(x.glom()), xt, atol=1e-7)
 
 
+def test_minres_symmetric_indefinite(rng, cluster):
+  n = 120
+  Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+  d = np.concatenate([np.linspace(1, n // 2, n // 2),
+                      -np.linspace(1, n // 2, n - n // 2)])
+  A = (Q * d) @ Q.T   # indefinite: cg's SPD assumption fails here
+  xt = rng.standard_normal(n)
+  x, info = spl.minres(A, A @ xt, rtol=1e-12)
+  assert info == 0
+  np.testing.assert_allclose(np.asarray(sp.lazify(x).glom()), xt,
+                             atol=1e-9)
+  # warm start + sparse operand
+  As = ss.csr_matrix(A * (np.abs(A) > 0.05))
+  As = (As + As.T) / 2
+  S = sp.sparse.from_scipy(As.tocsr())
+  xs, info_s = spl.minres(S, As @ xt, rtol=1e-10)
+  assert info_s == 0
+  got = np.asarray(sp.lazify(xs).glom())
+  assert np.abs(As @ got - As @ xt).max() < 1e-7
+
+
 def test_gmres_restarted_matches_direct(rng, cluster):
   n = 80
   B = rng.standard_normal((n, n)) + 0.5 * n * np.eye(n)
