@@ -45,6 +45,12 @@ stats = {"compiles": 0, "evals": 0, "cache_hits": 0, "fast_hits": 0}
 def clear_cache() -> None:
   _jit_cache.clear()
   _fast_cache.clear()
+  try:
+    from spartan_tpu.expr.loop import clear_runner_cache
+    clear_runner_cache()  # loop runners ride the same signature/flag
+    # invariants (and the pin-flush path calls through here)
+  except Exception:
+    pass
 
 
 def _opt_flags_fingerprint() -> tuple:

@@ -57,6 +57,93 @@ class SymbolicVal(Val):
     memo[self.expr_id] = sig
 
 
+# -- compiled-runner structural cache (r4) ----------------------------------
+#
+# Each while_loop/fori_loop call used to wrap a FRESH ``@jax.jit`` runner, so
+# repeated structurally-identical loops re-traced AND re-compiled every call
+# (~0.3 s/solve on the CPU mesh; eigsh paid one XLA compile per restart
+# cycle).  Runners are now cached by the same invariant the evaluator cache
+# uses: multi-root shared-memo structural signature (leaf ordinals capture
+# aliasing across body+cond roots) + semantic/opt flag fingerprints + mesh.
+# Valid because const leaf VALUES are runtime args collected per call in
+# deterministic post-optimize DAG order — anything the optimizer can bake
+# into the emitted program is already part of the signature.  Bypassed when
+# any interior (non-Val) node carries an eval cache: CollapseCached then
+# changes the optimized DAG invisibly to the raw signature (the evaluator's
+# fast-lane guard, mirrored).
+_runner_cache: dict = {}
+_RUNNER_CACHE_MAX = 256
+
+
+def clear_runner_cache() -> None:
+  _runner_cache.clear()
+
+
+def _has_cached_interior(roots) -> bool:
+  flag = [False]
+
+  def scan(e: Expr):
+    if e._cache is not None and not isinstance(e, Val):
+      flag[0] = True
+
+  for r in roots:
+    r.visit(scan)
+  return flag[0]
+
+
+def _runner_key(tag: str, roots, init_arrs, extra=()):
+  from spartan_tpu.backend.evaluator import _opt_flags_fingerprint
+  from spartan_tpu.config import FLAGS
+  from spartan_tpu.core.mesh import get_mesh
+  from spartan_tpu.expr.base import semantic_flags_fingerprint
+  mesh = get_mesh()
+  mesh_key = (tuple(mesh.axis_names), tuple(mesh.devices.shape),
+              tuple(int(d.id) for d in mesh.devices.flat))
+  memo: dict = {}
+  sigs = tuple(r.signature(memo) for r in roots)
+  avals = tuple((tuple(a.shape), str(a.dtype)) for a in init_arrs)
+  return (tag, sigs, avals, tuple(extra), semantic_flags_fingerprint(),
+          FLAGS.use_pallas, FLAGS.pallas_interpret,
+          _opt_flags_fingerprint(), mesh_key)
+
+
+def _cache_runner(key, value) -> None:
+  # NOTE: a cached runner's closure retains its first call's optimized
+  # DAG (incl. that call's const leaf arrays) for potential retraces —
+  # the same retention shape as the evaluator's compiled-region caches;
+  # bounded by the clear-all at _RUNNER_CACHE_MAX and the pin flush.
+  if key is None:
+    return
+  if len(_runner_cache) >= _RUNNER_CACHE_MAX:
+    _runner_cache.clear()
+  _runner_cache[key] = value
+
+
+def _collect_carry_consts(body_out_exprs, syms):
+  """Optimize the roots and collect non-symbolic Val leaves in
+  deterministic DAG order (the runner's positional const binding)."""
+  from spartan_tpu.expr import optimize as opt_mod
+  roots = [opt_mod.optimize(e) for e in body_out_exprs]
+  const_leaves: List[Val] = []
+  seen = set()
+  sym_ids = {s.expr_id for s in syms}
+
+  def collect(e: Expr):
+    if e.expr_id in seen:
+      return
+    seen.add(e.expr_id)
+    if isinstance(e, Val):
+      if e.expr_id not in sym_ids:
+        const_leaves.append(e)
+      return
+    for c in e.children():
+      collect(c)
+
+  for r in roots:
+    collect(r)
+  return roots, const_leaves
+
+
 def _compile_carry_body(body_out_exprs, syms):
   """Shared plumbing: compile expr outputs over symbolic carries into a
   jax fn ``step(carries, consts)`` plus the captured constant leaves."""
@@ -131,28 +218,39 @@ def while_loop(cond: Callable, body: Callable, init,
   if tuple(cond_expr.shape) != ():
     raise ValueError(f"cond must produce a scalar, got {cond_expr.shape}")
 
-  body_step, body_consts = _compile_carry_body(body_exprs, syms)
-  cond_step, cond_consts = _compile_carry_body([cond_expr], syms)
+  all_roots = body_exprs + [cond_expr]
+  key = None if _has_cached_interior(all_roots) else _runner_key(
+      "while", all_roots, init_arrs,
+      extra=(None if max_iters is None else int(max_iters),))
+  run = _runner_cache.get(key) if key is not None else None
+  if run is None:
+    body_step, body_consts = _compile_carry_body(body_exprs, syms)
+    cond_step, cond_consts = _compile_carry_body([cond_expr], syms)
+
+    @jax.jit
+    def run(init_vals, body_vals, cond_vals):
+      def cond_fn(state):
+        k, carries = state
+        keep = cond_step(carries, cond_vals)[0].astype(jnp.bool_)
+        if max_iters is not None:
+          keep = jnp.logical_and(keep, k < max_iters)
+        return keep
+
+      def body_fn(state):
+        k, carries = state
+        return k + 1, body_step(carries, body_vals)
+
+      _, final = jax.lax.while_loop(cond_fn, body_fn,
+                                    (jnp.zeros((), jnp.int32), init_vals))
+      return final
+
+    _cache_runner(key, run)
+  else:
+    _, body_consts = _collect_carry_consts(body_exprs, syms)
+    _, cond_consts = _collect_carry_consts([cond_expr], syms)
   body_vals = [l.leaf_value() for l in body_consts]
   cond_vals = [l.leaf_value() for l in cond_consts]
   init_vals = tuple(a.data for a in init_arrs)
-
-  @jax.jit
-  def run(init_vals, body_vals, cond_vals):
-    def cond_fn(state):
-      k, carries = state
-      keep = cond_step(carries, cond_vals)[0].astype(jnp.bool_)
-      if max_iters is not None:
-        keep = jnp.logical_and(keep, k < max_iters)
-      return keep
-
-    def body_fn(state):
-      k, carries = state
-      return k + 1, body_step(carries, body_vals)
-
-    _, final = jax.lax.while_loop(cond_fn, body_fn,
-                                  (jnp.zeros((), jnp.int32), init_vals))
-    return final
 
   final = run(init_vals, tuple(body_vals), tuple(cond_vals))
   results = [SpartanArray(v, a.tiling if tuple(v.shape) == tuple(a.shape)
@@ -177,10 +275,10 @@ def make_fori(body: Callable, init) -> Callable[[int], Any]:
   """Trace/compile a :func:`fori_loop` once, run it for any iteration
   count: returns ``run_fn(n) -> result``.  The count is a traced operand
   of the one compiled program, so successive calls with different ``n``
-  (convergence studies, slope benchmarking) pay zero retrace/recompile.
+  (convergence studies, slope benchmarking) pay zero retrace/recompile;
+  structurally-identical loop bodies share ONE cached compiled runner
+  across make_fori calls (consts rebind positionally).
   """
-  from spartan_tpu.expr import optimize as opt_mod
-
   is_tuple = isinstance(init, (tuple, list))
   inits = list(init) if is_tuple else [init]
   init_arrs = [lazify(v).evaluate() for v in inits]
@@ -199,53 +297,43 @@ def make_fori(body: Callable, init) -> Callable[[int], Any]:
       raise ValueError(f"carry shape changed in body: {a.shape} -> "
                        f"{o.shape} (loop carries must be shape-stable)")
 
-  roots = [opt_mod.optimize(e) for e in out_exprs]
+  key = None if _has_cached_interior(out_exprs) else _runner_key(
+      "fori", out_exprs, init_arrs)
+  run = _runner_cache.get(key) if key is not None else None
+  if run is not None:
+    _, const_leaves = _collect_carry_consts(out_exprs, syms)
+    const_vals = [l.leaf_value() for l in const_leaves]
+  else:
+    roots, const_leaves = _collect_carry_consts(out_exprs, syms)
+    const_vals = [l.leaf_value() for l in const_leaves]
+    const_pos = {l.expr_id: i for i, l in enumerate(const_leaves)}
+    sym_pos = {s.expr_id: i for i, s in enumerate(syms)}
+    ctx = EmitCtx(abstract=False)
 
-  # collect non-symbolic leaves across all carry outputs (loop constants)
-  const_leaves: List[Val] = []
-  seen = set()
-  sym_ids = {s.expr_id for s in syms}
+    def step(carries, consts):
+      env = {}
 
-  def collect(e: Expr):
-    if e.expr_id in seen:
-      return
-    seen.add(e.expr_id)
-    if isinstance(e, Val):
-      if e.expr_id not in sym_ids:
-        const_leaves.append(e)
-      return
-    for c in e.children():
-      collect(c)
+      def emit(e: Expr):
+        if e.expr_id in env:
+          return env[e.expr_id]
+        if e.expr_id in sym_pos:
+          v = carries[sym_pos[e.expr_id]]
+        elif isinstance(e, Val):
+          v = consts[const_pos[e.expr_id]]
+        else:
+          v = e._emit(ctx, [emit(c) for c in e.children()])
+        env[e.expr_id] = v
+        return v
 
-  for r in roots:
-    collect(r)
-  const_vals = [l.leaf_value() for l in const_leaves]
-  const_pos = {l.expr_id: i for i, l in enumerate(const_leaves)}
-  sym_pos = {s.expr_id: i for i, s in enumerate(syms)}
-  ctx = EmitCtx(abstract=False)
+      return tuple(emit(r) for r in roots)
 
-  def step(carries, consts):
-    env = {}
+    @jax.jit
+    def run(init_vals, const_vals, k):
+      def body_fn(_, carries):
+        return step(carries, const_vals)
+      return jax.lax.fori_loop(0, k, body_fn, tuple(init_vals))
 
-    def emit(e: Expr):
-      if e.expr_id in env:
-        return env[e.expr_id]
-      if e.expr_id in sym_pos:
-        v = carries[sym_pos[e.expr_id]]
-      elif isinstance(e, Val):
-        v = consts[const_pos[e.expr_id]]
-      else:
-        v = e._emit(ctx, [emit(c) for c in e.children()])
-      env[e.expr_id] = v
-      return v
-
-    return tuple(emit(r) for r in roots)
-
-  @jax.jit
-  def run(init_vals, const_vals, k):
-    def body_fn(_, carries):
-      return step(carries, const_vals)
-    return jax.lax.fori_loop(0, k, body_fn, tuple(init_vals))
+    _cache_runner(key, run)
 
   def run_fn(n: int):
     final = run(tuple(init_vals), tuple(const_vals), jnp.asarray(n))
@@ -286,19 +374,28 @@ def scan_iters(n: int, body: Callable, init, collect: Callable = None
     collect_exprs = [lazify(v) for v in (c if isinstance(c, (tuple, list))
                                          else [c])]
 
-  step_all, consts = _compile_carry_body(body_exprs + collect_exprs, syms)
+  all_roots = body_exprs + collect_exprs
+  n_carry = len(body_exprs)
+  key = None if _has_cached_interior(all_roots) else _runner_key(
+      "scan", all_roots, init_arrs, extra=(int(n), n_carry))
+  run = _runner_cache.get(key) if key is not None else None
+  if run is None:
+    step_all, consts = _compile_carry_body(all_roots, syms)
+
+    @jax.jit
+    def run(init_vals, const_vals):
+      def step(carries, _):
+        allv = step_all(carries, const_vals)
+        return allv[:n_carry], allv[n_carry:]
+
+      final, ys = jax.lax.scan(step, init_vals, None, length=n)
+      return final, ys
+
+    _cache_runner(key, run)
+  else:
+    _, consts = _collect_carry_consts(all_roots, syms)
   const_vals = tuple(l.leaf_value() for l in consts)
   init_vals = tuple(a.data for a in init_arrs)
-  n_carry = len(body_exprs)
-
-  @jax.jit
-  def run(init_vals, const_vals):
-    def step(carries, _):
-      allv = step_all(carries, const_vals)
-      return allv[:n_carry], allv[n_carry:]
-
-    final, ys = jax.lax.scan(step, init_vals, None, length=n)
-    return final, ys
 
   final, ys = run(init_vals, const_vals)
   finals = [SpartanArray(v, a.tiling if tuple(v.shape) == tuple(a.shape)

@@ -175,3 +175,56 @@ def test_cond_shape_mismatch_rejected(rng):
   a = sp.ones((4,))
   with pytest.raises(ValueError, match="branch shapes"):
     sp.cond(sp.sum(a) > 0, lambda x: x, lambda x: sp.sum(x), a)
+
+
+def test_runner_cache_reuses_and_rebinds_values(rng, cluster):
+  """Structurally-identical loops share ONE compiled runner; const leaf
+  VALUES rebind positionally (r4: each call used to retrace+recompile)."""
+  from spartan_tpu.expr import loop as loop_mod
+  loop_mod.clear_runner_cache()
+  a = rng.standard_normal((8, 8))
+  b = rng.standard_normal((8, 8))
+
+  def make(mat):
+    M = sp.from_numpy(mat)
+    return sp.fori_loop(3, lambda w: sp.dot(M, w), sp.from_numpy(np.eye(8)))
+
+  r1 = np.asarray(make(a).glom())
+  n_cached = len(loop_mod._runner_cache)
+  r2 = np.asarray(make(b).glom())
+  assert len(loop_mod._runner_cache) == n_cached  # same runner reused
+  np.testing.assert_allclose(r1, np.linalg.matrix_power(a, 3), atol=1e-9)
+  np.testing.assert_allclose(r2, np.linalg.matrix_power(b, 3), atol=1e-9)
+
+
+def test_runner_cache_keys_on_max_iters_and_structure(rng, cluster):
+  from spartan_tpu.expr import loop as loop_mod
+  loop_mod.clear_runner_cache()
+  v = sp.from_numpy(np.ones(4))
+
+  def go(mi):
+    return sp.while_loop(lambda x, k: sp.sum(x) < 1e6,
+                         lambda x, k: (x * 2.0, (k + 1).astype(np.int32)),
+                         (v, np.int32(0)), max_iters=mi)
+
+  x1, k1 = go(3)
+  x2, k2 = go(5)
+  assert int(np.asarray(k1.glom())) == 3
+  assert int(np.asarray(k2.glom())) == 5  # distinct max_iters: no alias
+  assert len(loop_mod._runner_cache) == 2
+
+
+def test_runner_cache_bypasses_cached_interiors(rng, cluster):
+  """An interior expr that gains an eval cache between two calls changes
+  the optimized DAG (CollapseCached) invisibly to the raw signature —
+  such bodies must not share runners."""
+  from spartan_tpu.expr import loop as loop_mod
+  loop_mod.clear_runner_cache()
+  A = sp.from_numpy(rng.standard_normal((6, 6)))
+  B = sp.from_numpy(rng.standard_normal((6, 6)))
+  e = sp.dot(A, B)          # interior node shared into both bodies
+  w0 = sp.from_numpy(np.ones(6))
+  r1 = np.asarray(sp.fori_loop(2, lambda w: w + sp.dot(e, w), w0).glom())
+  e.evaluate()              # now e carries an interior cache
+  r2 = np.asarray(sp.fori_loop(2, lambda w: w + sp.dot(e, w), w0).glom())
+  np.testing.assert_allclose(r1, r2, atol=1e-9)
