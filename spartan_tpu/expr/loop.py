@@ -108,10 +108,8 @@ def _runner_key(tag: str, roots, init_arrs, extra=()):
 
 
 def _cache_runner(key, value) -> None:
-  # NOTE: a cached runner's closure retains its first call's optimized
-  # DAG (incl. that call's const leaf arrays) for potential retraces —
-  # the same retention shape as the evaluator's compiled-region caches;
-  # bounded by the clear-all at _RUNNER_CACHE_MAX and the pin flush.
+  # the runner's closure holds only the leaf-STRIPPED DAG (stub leaves,
+  # no device buffers) — safe to retain until clear_cache/pin flush
   if key is None:
     return
   if len(_runner_cache) >= _RUNNER_CACHE_MAX:
@@ -146,27 +144,17 @@ def _collect_carry_consts(body_out_exprs, syms):
 
 def _compile_carry_body(body_out_exprs, syms):
   """Shared plumbing: compile expr outputs over symbolic carries into a
-  jax fn ``step(carries, consts)`` plus the captured constant leaves."""
-  from spartan_tpu.expr import optimize as opt_mod
-  roots = [opt_mod.optimize(e) for e in body_out_exprs]
-  const_leaves: List[Val] = []
-  seen = set()
-  sym_ids = {s.expr_id for s in syms}
-
-  def collect(e: Expr):
-    if e.expr_id in seen:
-      return
-    seen.add(e.expr_id)
-    if isinstance(e, Val):
-      if e.expr_id not in sym_ids:
-        const_leaves.append(e)
-      return
-    for c in e.children():
-      collect(c)
-
-  for r in roots:
-    collect(r)
-  const_pos = {l.expr_id: i for i, l in enumerate(const_leaves)}
+  jax fn ``step(carries, consts)`` plus the captured constant leaves.
+  The retained DAG is leaf-STRIPPED (evaluator ``_StubVal``) before the
+  step closure captures it, so cached runners never pin user device
+  arrays; const values bind positionally at call time."""
+  from spartan_tpu.backend.evaluator import _strip_leaf_values
+  from spartan_tpu.expr.base import ListExpr
+  roots, const_leaves = _collect_carry_consts(body_out_exprs, syms)
+  stripped, stubs = _strip_leaf_values(ListExpr(list(roots)),
+                                       const_leaves)
+  roots_s = list(stripped.vals)
+  const_pos = {s.expr_id: i for i, s in enumerate(stubs)}
   sym_pos = {s.expr_id: i for i, s in enumerate(syms)}
   ctx = EmitCtx(abstract=False)
 
@@ -185,7 +173,7 @@ def _compile_carry_body(body_out_exprs, syms):
       env[e.expr_id] = v
       return v
 
-    return tuple(emit(r) for r in roots)
+    return tuple(emit(r) for r in roots_s)
 
   return step, const_leaves
 
@@ -302,30 +290,8 @@ def make_fori(body: Callable, init) -> Callable[[int], Any]:
   run = _runner_cache.get(key) if key is not None else None
   if run is not None:
     _, const_leaves = _collect_carry_consts(out_exprs, syms)
-    const_vals = [l.leaf_value() for l in const_leaves]
   else:
-    roots, const_leaves = _collect_carry_consts(out_exprs, syms)
-    const_vals = [l.leaf_value() for l in const_leaves]
-    const_pos = {l.expr_id: i for i, l in enumerate(const_leaves)}
-    sym_pos = {s.expr_id: i for i, s in enumerate(syms)}
-    ctx = EmitCtx(abstract=False)
-
-    def step(carries, consts):
-      env = {}
-
-      def emit(e: Expr):
-        if e.expr_id in env:
-          return env[e.expr_id]
-        if e.expr_id in sym_pos:
-          v = carries[sym_pos[e.expr_id]]
-        elif isinstance(e, Val):
-          v = consts[const_pos[e.expr_id]]
-        else:
-          v = e._emit(ctx, [emit(c) for c in e.children()])
-        env[e.expr_id] = v
-        return v
-
-      return tuple(emit(r) for r in roots)
+    step, const_leaves = _compile_carry_body(out_exprs, syms)
 
     @jax.jit
     def run(init_vals, const_vals, k):
@@ -334,6 +300,7 @@ def make_fori(body: Callable, init) -> Callable[[int], Any]:
       return jax.lax.fori_loop(0, k, body_fn, tuple(init_vals))
 
     _cache_runner(key, run)
+  const_vals = [l.leaf_value() for l in const_leaves]
 
   def run_fn(n: int):
     final = run(tuple(init_vals), tuple(const_vals), jnp.asarray(n))

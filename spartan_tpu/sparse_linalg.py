@@ -644,12 +644,14 @@ def eigs(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
     base_fuzz = 1e-12 if dt == np.float64 else 1e-6
     T = Z = None
     for fuzz in (base_fuzz, base_fuzz * 1e2, base_fuzz * 1e4):
+      # widen AWAY from the kept set regardless of cutoff sign (the
+      # multiplicative form inverted for negative cutoffs — code-review
+      # r4s2: which='LA' on a stable operator tightened every retry)
+      slack = fuzz * (abs(cutoff) + 1.0)
       if bigger_is_better:
-        pred = lambda wr, wi, f=fuzz: (_crit(wr, wi)
-                                       >= cutoff * (1 - f) - f)
+        pred = lambda wr, wi, s=slack: _crit(wr, wi) >= cutoff - s
       else:
-        pred = lambda wr, wi, f=fuzz: (_crit(wr, wi)
-                                       <= cutoff * (1 + f) + f)
+        pred = lambda wr, wi, s=slack: _crit(wr, wi) <= cutoff + s
       try:
         T, Z, sdim = schur(Hm, output="real", sort=pred)
         break
@@ -733,6 +735,9 @@ def expm_multiply(A, B, t: float = 1.0, *, ncv: int = None):
   if op.shape[0] != n:
     raise ValueError("expm_multiply needs a square operator")
   Be = sp.lazify(B)
+  if Be.ndim not in (1, 2) or Be.shape[0] != n:
+    raise ValueError(f"B shape {Be.shape} incompatible with operator "
+                     f"{op.shape}")
   one_d = Be.ndim == 1
   cols = [Be] if one_d else [Be[:, i] for i in range(Be.shape[1])]
   dt = _default_float()
@@ -748,8 +753,19 @@ def expm_multiply(A, B, t: float = 1.0, *, ncv: int = None):
     V0 = sp.outer(_onehot(0, m + 1, dt), ce / beta)
     H0 = sp.zeros((m + 1, m), dtype=dt)
     V, H = _arnoldi_cycle(op.matvec, V0, H0, 0, m, dt)
-    Hm = np.asarray(sp.lazify(H).glom())[:m, :m]
-    y = (beta_f * _small_expm(float(t) * Hm)[:, 0]).astype(dt)
+    Hh = np.asarray(sp.lazify(H).glom())
+    eH = _small_expm(float(t) * Hh[:m, :m])
+    y = (beta_f * eH[:, 0]).astype(dt)
+    # cheap posterior estimate: the discarded next-basis coupling
+    # |beta_m . e_mT e^{tH} e_1| bounds the leading truncation term
+    ynorm = max(float(np.linalg.norm(y)), 1e-300)
+    rel_est = abs(float(Hh[m, m - 1]) * beta_f * eH[m - 1, 0]) / ynorm
+    warn_tol = 1e-10 if dt == np.float64 else 1e-5
+    if m < n and rel_est > warn_tol:
+      from spartan_tpu.util import log_warn
+      log_warn("expm_multiply: Krylov truncation estimate %.2e at "
+               "ncv=%d — raise ncv (or split t) for t*||A|| this large",
+               rel_est, m)
     outs.append(_hi_dot(sp.lazify(y), sp.lazify(V)[:m]))
   if one_d:
     return outs[0].evaluate() if isinstance(outs[0], Expr) else outs[0]
