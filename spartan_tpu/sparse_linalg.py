@@ -160,7 +160,17 @@ def cg(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
   on convergence (``|r| <= max(rtol*|b|, atol)``), else the iteration
   count at exit (scipy convention).  The whole solve is one compiled
   ``while_loop``; with ``M`` (a preconditioner approximating ``A⁻¹``)
-  this is standard preconditioned CG."""
+  this is standard preconditioned CG.
+
+  ``b`` may also be a (n, k) BLOCK of right-hand sides (beyond scipy,
+  which loops): every column runs its own CG recurrence in the same
+  fused loop — matvecs become MXU matmuls, inner products become
+  columnwise reductions, and the loop runs until EVERY column meets
+  its own ``max(rtol·|b_col|, atol)`` (converged columns coast with
+  zero-effect updates).  Returns ``(X (n, k), info)``."""
+  if getattr(sp.lazify(b), "ndim", 1) == 2:
+    return _cg_block(A, b, x0, rtol=rtol, atol=atol, maxiter=maxiter,
+                     M=M)
   op, b, x0e, dt = _setup(A, b, x0)
   psolve = _psolve(M)
   tol, bnorm = _tol_of(b, rtol, atol)
@@ -190,6 +200,56 @@ def cg(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
                                 max_iters=maxiter)
   rnorm = float(np.sqrt(float(sp.dot(r, r, precision="highest").glom())))
   return x, (0 if rnorm <= tol * (1 + 1e-6) else int(np.asarray(k.glom())))
+
+
+def _cg_block(A, B, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,
+              maxiter: int = None, M=None):
+  """Multi-RHS CG: independent per-column recurrences, one fused loop."""
+  op = aslinearoperator(A)
+  Be = sp.lazify(B)
+  if Be.ndim != 2 or Be.shape[0] != op.shape[0]:
+    raise ValueError(f"B shape {Be.shape} incompatible with operator "
+                     f"{op.shape}")
+  n, k = op.shape[1], Be.shape[1]
+  dt = np.dtype(Be.evaluate().dtype)
+  if dt.kind != "f":
+    dt = _default_float()
+    Be = Be.astype(dt)
+  psolve = _psolve(M)
+  X0 = sp.zeros((n, k), dtype=dt) if x0 is None else sp.lazify(x0).astype(
+      dt)
+  bnorm2 = np.asarray(sp.sum(Be * Be, axis=0).glom(), np.float64)
+  tol2 = np.maximum(float(rtol) ** 2 * bnorm2, float(atol) ** 2)
+  tol2 = np.maximum(tol2, 1e-300).astype(dt)  # zero columns: converged
+  maxiter = int(maxiter) if maxiter else 10 * n
+
+  def _colsum(u, v):
+    return sp.sum(u * v, axis=0)          # (k,) columnwise inner products
+
+  R0 = Be - op.matvec(X0)
+  Z0 = psolve(R0)
+  rz0 = _colsum(R0, Z0)
+
+  def cond(X, R, P, rz, kk):
+    return sp.any(_colsum(R, R) > tol2) & (kk < maxiter)
+
+  def body(X, R, P, rz, kk):
+    AP = op.matvec(P)
+    denom = _colsum(P, AP)
+    alpha = rz / sp.where(sp.abs(denom) > _TINY, denom, 1.0)
+    X2 = X + alpha * P
+    R2 = R - alpha * AP
+    Z2 = psolve(R2)
+    rz2 = _colsum(R2, Z2)
+    beta = rz2 / sp.where(sp.abs(rz) > _TINY, rz, 1.0)
+    return X2, R2, Z2 + beta * P, rz2, _i32(kk + 1)
+
+  X, R, _, _, kk = sp.while_loop(cond, body, (X0, R0, Z0, rz0, _i32(0)),
+                                 max_iters=maxiter)
+  r2 = np.asarray(sp.lazify(sp.sum(sp.lazify(R) * sp.lazify(R),
+                                   axis=0)).glom(), np.float64)
+  ok = bool((r2 <= tol2.astype(np.float64) * (1 + 1e-6)).all())
+  return X, (0 if ok else int(np.asarray(kk.glom())))
 
 
 def bicgstab(A, b, x0=None, *, rtol: float = 1e-5, atol: float = 0.0,

@@ -47,6 +47,30 @@ def test_cg_sparse_and_jacobi_preconditioner(rng, cluster):
   np.testing.assert_allclose(np.asarray(x2.glom()), xt, atol=1e-9)
 
 
+def test_cg_block_multi_rhs(rng, cluster):
+  n, k = 160, 5
+  Q = rng.standard_normal((n, n))
+  A = Q @ Q.T + n * np.eye(n)
+  Xt = rng.standard_normal((n, k))
+  X, info = spl.cg(A, A @ Xt, rtol=1e-11)
+  assert info == 0
+  np.testing.assert_allclose(np.asarray(sp.lazify(X).glom()), Xt,
+                             atol=1e-8)
+  # sparse operand, mixed column scales, one zero column
+  Asp = _sparse_spd(n)
+  S = sp.sparse.from_scipy(Asp)
+  Xt2 = Xt * np.array([1e-3, 1.0, 10.0, 100.0, 1.0])
+  B = Asp @ Xt2
+  B[:, 4] = 0.0
+  X2, info2 = spl.cg(S, B, rtol=1e-10)
+  assert info2 == 0
+  got = np.asarray(sp.lazify(X2).glom())
+  for j in range(4):
+    assert np.abs(got[:, j] - Xt2[:, j]).max() <= 1e-7 * max(
+        np.abs(Xt2[:, j]).max(), 1.0)
+  assert np.abs(got[:, 4]).max() == 0.0
+
+
 def test_cg_nonconverged_info_and_zero_b(rng, cluster):
   A, xt, b = _spd(rng, 64)
   x, info = spl.cg(A, b, rtol=1e-14, maxiter=2)
