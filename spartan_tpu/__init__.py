@@ -83,6 +83,10 @@ from spartan_tpu import fft  # noqa: E402  (np.fft-style surface)
 from spartan_tpu import random  # noqa: E402,A004  (np.random-style surface)
 from spartan_tpu import sparse_linalg  # noqa: E402  (scipy.sparse.linalg)
 sparse.linalg = sparse_linalg  # the scipy idiom: sp.sparse.linalg.cg(...)
+from spartan_tpu import sparse_construct  # noqa: E402  (scipy.sparse builders)
+for _name in sparse_construct.__all__:
+  setattr(sparse, _name, getattr(sparse_construct, _name))
+del _name
 
 __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "SpartanArray", "get_mesh", "make_mesh", "with_mesh", "Expr",

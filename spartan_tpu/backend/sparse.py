@@ -43,6 +43,11 @@ class SparseArray:
                "_owner_cache", "_winmm_cache", "_winmmsh_cache",
                "_dense_cache")
 
+  # numpy must defer binary ops to our reflected operators (otherwise
+  # ``dense + sparse`` broadcasts elementwise, calling scalar+SparseArray
+  # per element); scipy.sparse sets the same.
+  __array_ufunc__ = None
+
   def __init__(self, cols: jax.Array, vals: jax.Array,
                shape: Tuple[int, int], nnz: int):
     self.cols = cols    # (rows, max_nnz) int32
@@ -373,6 +378,52 @@ class SparseArray:
     if np.ndim(s) != 0:
       raise TypeError("sparse division only supports scalars")
     return self._masked(self.vals / s)
+
+  def __add__(self, other):
+    """Sparse+sparse: device-side ELL concatenation (duplicate stored
+    coordinates are legal and SUM under every compute path — SpMV
+    gather, ``todense``, ``diagonal``; ``canonicalize()`` merges them
+    when a minimal-width form is wanted).  Sparse+dense: dense result
+    via one scatter-add (scipy densifying contract)."""
+    if isinstance(other, SparseArray):
+      if other.shape != self.shape:
+        raise ValueError(f"shape mismatch {self.shape} vs {other.shape}")
+      dt = jnp.result_type(self.vals.dtype, other.vals.dtype)
+      cols = jnp.concatenate([self.cols, other.cols], axis=1)
+      vals = jnp.concatenate([self.vals.astype(dt),
+                              other.vals.astype(dt)], axis=1)
+      return SparseArray(cols, vals, self.shape, self.nnz + other.nnz)
+    if np.ndim(other) == 0:
+      if other == 0:
+        return self.copy()
+      raise NotImplementedError(
+          "adding a nonzero scalar to a sparse matrix would densify it "
+          "(scipy contract); use A.todense() + s explicitly")
+    o = jnp.asarray(other)
+    if o.shape != self.shape:
+      raise ValueError(f"shape mismatch {self.shape} vs {o.shape}")
+    rows = jnp.broadcast_to(
+        jnp.arange(self.shape[0], dtype=jnp.int32)[:, None],
+        self.cols.shape)
+    return o.astype(jnp.result_type(o.dtype, self.vals.dtype)).at[
+        rows.ravel(), self.cols.ravel()].add(self.vals.ravel())
+
+  __radd__ = __add__
+
+  def __sub__(self, other):
+    if isinstance(other, SparseArray):
+      return self + (-other)
+    if np.ndim(other) == 0:
+      return self + (-other if other else 0)
+    return self + (-jnp.asarray(other))
+
+  def __rsub__(self, other):
+    return (-self) + other
+
+  def canonicalize(self) -> "SparseArray":
+    """Merge duplicate coordinates and re-pack at minimal ELL width
+    (host round trip — one-shot, like all ingest)."""
+    return from_scipy(self.to_scipy(), dtype=self.dtype)
 
   def tocsr(self):
     return self.to_scipy()
