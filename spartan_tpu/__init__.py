@@ -86,6 +86,13 @@ sparse.linalg = sparse_linalg  # the scipy idiom: sp.sparse.linalg.cg(...)
 from spartan_tpu import sparse_construct  # noqa: E402  (scipy.sparse builders)
 for _name in sparse_construct.__all__:
   setattr(sparse, _name, getattr(sparse_construct, _name))
+from spartan_tpu import scipy_linalg  # noqa: E402  (scipy.linalg surface)
+for _name in scipy_linalg.__all__:
+  # merge non-conflicting names into sp.linalg (the array-API pattern);
+  # overlapping names (cholesky/qr/solve/solve_triangular) keep the
+  # framework-native blocked implementations already in sp.linalg
+  if not hasattr(linalg, _name):
+    setattr(linalg, _name, getattr(scipy_linalg, _name))
 del _name
 
 __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
@@ -96,5 +103,5 @@ __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "while_loop", "scan_iters", "cond", "compile", "reduce",
            "grad", "value_and_grad", "jvp", "hessian", "hvp", "minimize", "sgd_train",
            "checkpoint", "from_file", "load", "save", "sparse", "linalg", "fft", "random",
-           "sparse_linalg",
+           "sparse_linalg", "scipy_linalg",
            "SparseArray", "sparse_diagonal", "sprandn"] + list(_builtin_all)

@@ -1,0 +1,246 @@
+"""Differential tests for the scipy.linalg surface (sp.scipy_linalg).
+
+Every name is checked against scipy.linalg on the 8-device CPU mesh
+(f64).  On-device names additionally verify they stay LAZY (return
+exprs, not evaluated arrays) until glommed; host-boundary names follow
+the sp.linalg.eig eager convention (test_host_boundary_is_eager).
+"""
+
+import numpy as np
+import pytest
+import scipy.linalg as sla
+
+import spartan_tpu as sp
+
+L = sp.scipy_linalg
+
+rng = np.random.default_rng(42)
+A = rng.normal(size=(16, 16))
+S = A @ A.T + 16 * np.eye(16)
+B = rng.normal(size=(16, 16))
+b = rng.normal(size=16)
+
+
+def g(x):
+  return np.asarray(sp.lazify(x).glom())
+
+
+def assert_close(got, want, tol=1e-9):
+  got = g(got) if not isinstance(got, np.ndarray) else got
+  want = np.asarray(want)
+  assert got.shape == want.shape, (got.shape, want.shape)
+  denom = np.max(np.abs(want)) + 1e-30
+  assert np.max(np.abs(got - want)) / denom < tol
+
+
+@pytest.mark.smoke
+def test_expm_and_action():
+  assert_close(L.expm(0.1 * A), sla.expm(0.1 * A), 1e-11)
+  # merged into sp.linalg (the array-API merge pattern)
+  assert sp.linalg.expm is L.expm
+
+
+def test_expm_frechet():
+  E = rng.normal(size=(16, 16))
+  eA, fr = L.expm_frechet(0.05 * A, E)
+  eAw, frw = sla.expm_frechet(0.05 * A, E)
+  assert_close(eA, eAw, 1e-10)
+  assert_close(fr, frw, 1e-8)
+
+
+@pytest.mark.smoke
+def test_lu_reconstruction():
+  p, l, u = L.lu(A)
+  assert_close(sp.dot(sp.dot(p, l), u), A, 1e-12)
+  pl, u2 = L.lu(A, permute_l=True)
+  assert_close(sp.dot(pl, u2), A, 1e-12)
+
+
+def test_lu_factor_solve():
+  lu_, piv = L.lu_factor(A)
+  x = L.lu_solve((lu_, piv), b)
+  assert_close(x, np.linalg.solve(A, b), 1e-10)
+  bm = rng.normal(size=(16, 3))
+  assert_close(L.lu_solve((lu_, piv), bm), np.linalg.solve(A, bm), 1e-10)
+
+
+@pytest.mark.smoke
+def test_cho_factor_solve():
+  c = L.cho_factor(S, lower=True)
+  assert_close(L.cho_solve(c, b), np.linalg.solve(S, b), 1e-10)
+  c2 = L.cho_factor(S)  # upper (scipy default)
+  assert_close(L.cho_solve(c2, b), np.linalg.solve(S, b), 1e-10)
+
+
+def test_polar():
+  u, p = L.polar(A)
+  assert_close(sp.dot(u, p), A, 1e-9)
+  un = g(u)
+  assert np.allclose(un.T @ un, np.eye(16), atol=1e-9)
+  # jax's qdwh restricts side='left' to wide operands (m < n)
+  T = rng.normal(size=(8, 20))
+  u2, p2 = L.polar(T, side="left")
+  assert_close(sp.dot(p2, u2), T, 1e-9)
+
+
+def test_eigh_tridiagonal():
+  d, e = rng.normal(size=12), rng.normal(size=11)
+  assert_close(L.eigh_tridiagonal(d, e),
+               sla.eigh_tridiagonal(d, e, eigvals_only=True), 1e-10)
+
+
+@pytest.mark.smoke
+def test_block_diag_khatri_rao():
+  assert_close(L.block_diag(A, B[:3, :3], b[None, :4]),
+               sla.block_diag(A, B[:3, :3], b[None, :4]), 1e-14)
+  assert_close(L.khatri_rao(A[:3], B[:5]), sla.khatri_rao(A[:3], B[:5]),
+               1e-14)
+
+
+def test_pinvh():
+  assert_close(L.pinvh(S), sla.pinvh(S), 1e-9)
+  # rank-deficient symmetric
+  R = A[:, :5] @ A[:, :5].T
+  assert_close(L.pinvh(R), sla.pinvh(R), 1e-8)
+
+
+@pytest.mark.smoke
+def test_structured_constructors():
+  c1, r1 = rng.normal(size=7), rng.normal(size=5)
+  assert_close(L.toeplitz(c1, r1), sla.toeplitz(c1, r1), 1e-14)
+  assert_close(L.toeplitz(c1), sla.toeplitz(c1), 1e-14)
+  assert_close(L.circulant(c1), sla.circulant(c1), 1e-14)
+  assert_close(L.hankel(c1, r1), sla.hankel(c1, r1), 1e-14)
+  assert_close(L.hankel(c1), sla.hankel(c1), 1e-14)
+  assert_close(L.companion(np.array([2., 3, 4, 5])),
+               sla.companion(np.array([2., 3, 4, 5])), 1e-14)
+  assert_close(L.fiedler(c1), sla.fiedler(c1), 1e-14)
+  assert_close(L.fiedler_companion(np.array([1., 2, 3, 4])),
+               sla.fiedler_companion(np.array([1., 2, 3, 4])), 1e-14)
+  assert_close(L.hilbert(9), sla.hilbert(9), 1e-14)
+  assert_close(L.invhilbert(6), sla.invhilbert(6), 1e-12)
+  assert_close(L.helmert(6), sla.helmert(6), 1e-14)
+  assert_close(L.pascal(7), sla.pascal(7), 0.5)  # exact ints
+  assert_close(L.leslie(c1[:4], np.abs(c1[:3])),
+               sla.leslie(c1[:4], np.abs(c1[:3])), 1e-14)
+  for mode in ("full", "same", "valid"):
+    assert_close(L.convolution_matrix(c1, 10, mode),
+                 sla.convolution_matrix(c1, 10, mode), 1e-14)
+
+
+def test_convolution_matrix_matches_convolve():
+  a, v = rng.normal(size=6), rng.normal(size=9)
+  for mode in ("full", "same", "valid"):
+    assert_close(sp.dot(L.convolution_matrix(a, 9, mode), v),
+                 np.convolve(a, v, mode), 1e-13)
+
+
+def test_diagnostics():
+  assert L.bandwidth(np.triu(A)) == (0, 15)
+  assert L.bandwidth(np.tril(A, 2)) == (15, 2)
+  assert L.issymmetric(S) and not L.issymmetric(A)
+  assert L.ishermitian(S)
+  assert L.issymmetric(S + 1e-12 * A, atol=1e-10)
+
+
+@pytest.mark.smoke
+def test_schur_family():
+  t, z = L.schur(A)
+  assert_close(sp.dot(sp.dot(z, t), sp.transpose(z)), A, 1e-12)
+  h, q = L.hessenberg(A, calc_q=True)
+  assert_close(sp.dot(sp.dot(q, h), sp.transpose(q)), A, 1e-12)
+  assert_close(L.hessenberg(A), sla.hessenberg(A), 1e-12)
+  assert_close(L.sqrtm(S), sla.sqrtm(S), 1e-11)
+  assert_close(L.logm(S), sla.logm(S), 1e-11)
+  assert_close(L.funm(S, np.exp), sla.funm(S, np.exp), 1e-11)
+  assert_close(L.signm(S), sla.signm(S), 1e-11)
+  for name in ("cosm", "sinm", "tanm", "coshm", "sinhm", "tanhm"):
+    assert_close(getattr(L, name)(0.1 * A),
+                 getattr(sla, name)(0.1 * A), 1e-11)
+
+
+def test_matrix_equation_solvers():
+  X = L.solve_sylvester(A, B, S)
+  assert_close(sp.dot(sp.lazify(A), X) + sp.dot(X, B), S, 1e-10)
+  assert_close(L.solve_continuous_lyapunov(A, S),
+               sla.solve_continuous_lyapunov(A, S), 1e-10)
+  assert_close(L.solve_discrete_lyapunov(0.1 * A, S),
+               sla.solve_discrete_lyapunov(0.1 * A, S), 1e-10)
+
+
+def test_ldl_banded():
+  lu_, d_, perm = L.ldl(S, lower=True)
+  luw, dw, permw = sla.ldl(S, lower=True)
+  assert_close(lu_, luw, 1e-12)
+  assert_close(d_, dw, 1e-12)
+  assert np.array_equal(perm, permw)
+  ab = np.zeros((3, 16))
+  ab[0, 1:] = rng.normal(size=15)
+  ab[1] = 6 + rng.normal(size=16)
+  ab[2, :-1] = rng.normal(size=15)
+  assert_close(L.solve_banded((1, 1), ab, b),
+               sla.solve_banded((1, 1), ab, b), 1e-12)
+  abh = np.zeros((2, 16))
+  abh[0, 1:] = 0.1 * rng.normal(size=15)
+  abh[1] = 6 + rng.normal(size=16)
+  assert_close(L.solveh_banded(abh, b), sla.solveh_banded(abh, b), 1e-12)
+
+
+def test_orth_null_space():
+  M = np.concatenate([A[:, :4], A[:, :4] @ rng.normal(size=(4, 4))],
+                     axis=1)
+  o = g(L.orth(M))
+  assert o.shape == (16, 4)
+  assert np.allclose(o.T @ o, np.eye(4), atol=1e-10)
+  ns = g(L.null_space(M))
+  assert ns.shape == (8, 4)
+  assert np.abs(M @ ns).max() < 1e-10
+  assert_close(L.subspace_angles(A[:, :3], B[:, :3]),
+               sla.subspace_angles(A[:, :3], B[:, :3]), 1e-9)
+  Bb, T = L.matrix_balance(A)
+  Bw, Tw = sla.matrix_balance(A)
+  assert_close(Bb, Bw, 1e-14)
+  assert_close(T, Tw, 1e-14)
+
+
+def test_on_device_names_stay_lazy():
+  """The on-device surface must return exprs (no eager evaluation)."""
+  from spartan_tpu.expr.base import Expr
+  for e in (L.expm(A), L.lu(A)[1], L.cho_factor(S)[0], L.polar(A)[0],
+            L.toeplitz(b), L.circulant(b), L.hilbert(8),
+            L.khatri_rao(A[:3], B[:4]), L.pinvh(S)):
+    assert isinstance(e, Expr) and not isinstance(e, sp.Val), type(e)
+
+
+def test_host_boundary_is_eager():
+  """Schur-family names are HostExprs — the sp.linalg.eig convention."""
+  from spartan_tpu.expr.fio import HostExpr
+  assert isinstance(L.sqrtm(S), HostExpr)
+  assert isinstance(L.orth(A), HostExpr)
+
+
+def test_linalg_namespace_merge():
+  """Non-conflicting names merged into sp.linalg; blocked framework
+  implementations keep priority for the overlap."""
+  for name in ("expm", "lu", "cho_factor", "polar", "schur", "sqrtm",
+               "toeplitz", "block_diag"):
+    assert getattr(sp.linalg, name) is getattr(L, name)
+  # the overlap keeps the sp.linalg originals (NOT scipy variants)
+  import spartan_tpu.linalg as _lin
+  assert sp.linalg.cholesky is _lin.cholesky
+  assert sp.linalg.solve_triangular is _lin.solve_triangular
+
+
+def test_gradients_flow_through_on_device_names():
+  """sp.grad through expm (the whole surface is map-lowered, so one
+  representative suffices)."""
+  X = sp.lazify(0.1 * A)
+  an = np.asarray(sp.grad(sp.sum(L.expm(X) * L.expm(X)), [X])[0].glom())
+  eps = 1e-6
+  fd = np.zeros_like(A)
+  e0 = float(np.sum(sla.expm(0.1 * A) ** 2))
+  for i in range(3):
+    Ap = 0.1 * A.copy()
+    Ap[0, i] += eps
+    fd[0, i] = (float(np.sum(sla.expm(Ap) ** 2)) - e0) / eps
+  assert np.allclose(an[0, :3], fd[0, :3], rtol=1e-3, atol=1e-5)
