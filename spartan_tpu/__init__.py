@@ -86,6 +86,8 @@ sparse.linalg = sparse_linalg  # the scipy idiom: sp.sparse.linalg.cg(...)
 from spartan_tpu import sparse_construct  # noqa: E402  (scipy.sparse builders)
 for _name in sparse_construct.__all__:
   setattr(sparse, _name, getattr(sparse_construct, _name))
+from spartan_tpu import csgraph  # noqa: E402  (scipy.sparse.csgraph)
+sparse.csgraph = csgraph  # the scipy idiom: sp.sparse.csgraph.dijkstra(...)
 from spartan_tpu import scipy_linalg  # noqa: E402  (scipy.linalg surface)
 for _name in scipy_linalg.__all__:
   # merge non-conflicting names into sp.linalg (the array-API pattern);
