@@ -180,3 +180,40 @@ _wt13 = np.linalg.eigvalsh(_Asym13.astype(np.float64))
 _ew13 = np.abs(_w13 - _wt13[-2:]).max()
 print(f"13. sparse.linalg on TPU: cg info={_info13} err={_e13:.2e}, "
       f"eigsh err={_ew13:.2e} ({time.time()-t0:.1f}s)", flush=True)
+
+# 14. csgraph fused relaxation loops + scipy.linalg on-device names
+# (r4s3): bellman_ford/connected_components while_loops, FW fori_loop
+# with traced-index take, and expm/lu/cho_solve/polar map lowerings —
+# all on the chip, f32-tolerant oracles via scipy on the host.
+t0 = time.time()
+import scipy.sparse as _ss14
+import scipy.sparse.csgraph as _cs14
+import scipy.linalg as _sla14
+_r14 = np.random.default_rng(14)
+_W14 = (_r14.random((256, 256)) < 0.03) * _r14.uniform(0.1, 5.0, (256, 256))
+np.fill_diagonal(_W14, 0.0)
+_C14 = sp.sparse.csgraph
+_d14 = _C14.dijkstra(_W14.astype(np.float32), indices=[0, 1, 2])
+_dw14 = _cs14.dijkstra(_ss14.csr_matrix(_W14), indices=[0, 1, 2])
+_fin14 = np.isfinite(_dw14)
+_ed14 = np.abs(np.where(_fin14, _d14, 0) - np.where(_fin14, _dw14, 0)).max()
+assert (np.isfinite(_d14) == _fin14).all()
+_nc14, _lab14 = _C14.connected_components(
+    ((_W14 + _W14.T) > 0).astype(np.float32), directed=False)
+_ncw14, _ = _cs14.connected_components(_ss14.csr_matrix(_W14 + _W14.T),
+                                       directed=False)
+_fw14 = _C14.floyd_warshall(_W14[:128, :128].astype(np.float32))
+_fww14 = _cs14.floyd_warshall(_ss14.csr_matrix(_W14[:128, :128]))
+_f14 = np.isfinite(_fww14)
+_efw14 = np.abs(np.where(_f14, _fw14, 0) - np.where(_f14, _fww14, 0)).max()
+_A14 = _r14.normal(size=(128, 128)).astype(np.float32)
+_S14 = (_A14 @ _A14.T + 128 * np.eye(128, dtype=np.float32))
+_ee14 = np.abs(np.asarray(sp.scipy_linalg.expm(0.02 * _A14).glom())
+               - _sla14.expm(0.02 * _A14.astype(np.float64))).max()
+_c14 = sp.scipy_linalg.cho_factor(_S14, lower=True)
+_b14 = _r14.normal(size=128).astype(np.float32)
+_x14 = np.asarray(sp.scipy_linalg.cho_solve(_c14, _b14).glom())
+_ex14 = np.abs(_S14 @ _x14 - _b14).max()
+print(f"14. csgraph+scipy_linalg on TPU: sssp={_ed14:.2e} "
+      f"cc={_nc14}=={_ncw14} fw={_efw14:.2e} expm={_ee14:.2e} "
+      f"cho={_ex14:.2e} ({time.time()-t0:.1f}s)", flush=True)
