@@ -27,8 +27,6 @@ zero-weight-edge corner needs its masked-array form even upstream).
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import spartan_tpu as sp
@@ -73,12 +71,20 @@ def _as_sparse(csgraph) -> SparseArray:
   if dense.ndim != 2 or dense.shape[0] != dense.shape[1]:
     raise ValueError(f"csgraph must be square 2-D, got {dense.shape}")
   import scipy.sparse as ss
+  # scipy's dense-ingest contract: 0, inf and nan all mean "no edge"
+  dense = np.where(np.isfinite(dense), dense, 0.0)
   return from_scipy(ss.csr_matrix(dense))
 
 
-def csgraph_from_dense(graph, null_value=0):
-  """Dense → sparse graph (entries equal to ``null_value`` dropped)."""
+def csgraph_from_dense(graph, null_value=0, nan_null=True,
+                       infinity_null=True):
+  """Dense → sparse graph (``null_value`` entries dropped; inf/nan
+  dropped by default — scipy contract)."""
   dense = np.array(np.asarray(sp.lazify(graph).glom()), copy=True)
+  if nan_null:
+    dense = np.where(np.isnan(dense), 0.0, dense)
+  if infinity_null:
+    dense = np.where(np.isinf(dense), 0.0, dense)
   if null_value != 0:
     dense = np.where(dense == null_value, 0.0, dense)
   import scipy.sparse as ss
@@ -241,8 +247,7 @@ def dijkstra(csgraph, directed=True, indices=None,
   mechanism).  Raises ValueError on negative weights (scipy contract:
   dijkstra may not be used with them)."""
   G = _as_sparse(csgraph)
-  if not unweighted and G.nnz and float(np.asarray(
-      sp.Val(np.asarray(G.vals)).min().glom())) < 0:
+  if not unweighted and G.nnz and float(np.asarray(G.vals).min()) < 0:
     raise ValueError("dijkstra requires non-negative weights — use "
                      "bellman_ford / johnson")
   srcs = _indices_array(indices, G.shape[0])
@@ -395,28 +400,36 @@ def laplacian(csgraph, normed=False, return_diag=False,
   values, and the diagonal joins via ELL concatenation (no host
   densification).  Dense input stays a lazy expr chain."""
   del copy
+  # scipy contract (probed r4s3): the graph DIAGONAL (self-loops) is
+  # ignored entirely — degrees exclude it and no self-loop entry
+  # survives in L; normed return_diag is sqrt(deg) with isolated
+  # vertices reported as 1 (the safe divisor scipy uses internally).
   G = _as_sparse(csgraph) if not _is_dense(csgraph) else None
   if G is not None:
     import jax.numpy as jnp
     A = (G + G.transpose()) if symmetrized else G
     n = A.shape[0]
+    rows = jnp.arange(n, dtype=A.cols.dtype)[:, None]
+    vals_off = jnp.where(A.cols == rows, 0.0,
+                         A.vals.astype(jnp.float64))
+    Aoff = SparseArray(A.cols, vals_off, A.shape, A.nnz)
     ones = np.ones(n, dtype=np.float64)
     from spartan_tpu.backend.sparse import spmv
-    deg = np.asarray(spmv(A if use_out_degree else A.transpose(), ones),
-                     dtype=np.float64)
+    deg = np.asarray(spmv(Aoff if use_out_degree else Aoff.transpose(),
+                          ones), dtype=np.float64)
     if not normed:
-      L = sp.sparse.diags(deg) + (-A)
+      L = sp.sparse.diags(deg) + (-Aoff)
       d_out = deg
     else:
-      dinv = np.where(deg > 0, 1.0 / np.sqrt(np.where(deg == 0, 1, deg)),
-                      0.0)
-      colscale = jnp.asarray(dinv)[A.cols]              # (n, w)
-      rowscale = jnp.asarray(dinv)[:, None]
-      vals = -A.vals.astype(jnp.float64) * rowscale * colscale
-      offdiag = SparseArray(A.cols, vals, A.shape, A.nnz)
-      diag_vals = (deg > 0).astype(np.float64)
-      L = sp.sparse.diags(diag_vals) + offdiag
-      d_out = diag_vals
+      w = np.where(deg > 0, np.sqrt(np.where(deg == 0, 1, deg)), 1.0)
+      winv = 1.0 / w
+      colscale = jnp.asarray(winv)[Aoff.cols]           # (n, w)
+      rowscale = jnp.asarray(winv)[:, None]
+      offdiag = SparseArray(Aoff.cols,
+                            -Aoff.vals * rowscale * colscale,
+                            A.shape, A.nnz)
+      L = sp.sparse.diags((deg > 0).astype(np.float64)) + offdiag
+      d_out = w
     if dtype is not None:
       L = SparseArray(L.cols, L.vals.astype(dtype), L.shape, L.nnz)
     return (L, d_out) if return_diag else L
@@ -424,18 +437,21 @@ def laplacian(csgraph, normed=False, return_diag=False,
   A = sp.lazify(csgraph)
   if symmetrized:
     A = A + sp.transpose(A)
+  n = A.shape[0]
+  eye_mask = sp.Val(np.eye(n))
+  Aoff = A * (1.0 - eye_mask)
   axis = 1 if use_out_degree else 0
-  deg = sp.sum(A, axis=axis)
+  deg = sp.sum(Aoff, axis=axis)
   if not normed:
-    L = sp.diag(deg) - A
+    L = sp.diag(deg) - Aoff
     d_out = deg
   else:
-    dinv = sp.where(deg > 0, 1.0 / sp.sqrt(sp.where(
-        sp.equal(deg, 0), 1.0, deg)), 0.0)
     isol = sp.equal(deg, 0)
-    eye = sp.diag(sp.where(isol, 0.0, 1.0))
-    L = eye - dinv[:, None] * A * dinv[None, :]
-    d_out = sp.where(isol, 0.0, 1.0)
+    w = sp.where(isol, 1.0, sp.sqrt(sp.where(isol, 1.0, deg)))
+    winv = 1.0 / w
+    conn_eye = sp.diag(sp.where(isol, 0.0, 1.0))
+    L = conn_eye - winv[:, None] * Aoff * winv[None, :]
+    d_out = w
   if dtype is not None:
     L = L.astype(dtype)
   return (L, d_out) if return_diag else L

@@ -240,7 +240,13 @@ def hankel(c, r=None):
 
 
 def companion(a):
-  """Companion matrix of polynomial coefficients ``a`` (length n ≥ 2)."""
+  """Companion matrix of polynomial coefficients ``a`` (length n ≥ 2).
+  The leading-coefficient-nonzero contract is checked when ``a`` is
+  concrete (lazy exprs defer to evaluation)."""
+  if isinstance(a, (np.ndarray, list, tuple)):
+    a0 = np.asarray(a).ravel()
+    if a0.size and a0[0] == 0:
+      raise ValueError("companion: first coefficient must not be zero")
   a = sp.lazify(a)
   n = a.shape[0]
   if n < 2:
@@ -272,12 +278,13 @@ def hilbert(n: int):
 
 
 def invhilbert(n: int, exact: bool = False):
-  """Exact inverse Hilbert matrix (host integer combinatorics —
-  scipy.linalg.invhilbert)."""
+  """Inverse Hilbert matrix (host integer combinatorics —
+  scipy.linalg.invhilbert).  ``exact=True`` returns the exact HOST
+  numpy array (arbitrary-precision ints past int64 — they cannot live
+  on device); ``exact=False`` returns a lazy float expr."""
   import scipy.linalg as sla
   m = sla.invhilbert(int(n), exact=exact)
-  return sp.from_numpy(np.asarray(m, dtype=object if exact else None)
-                       if exact else m)
+  return m if exact else sp.from_numpy(m)
 
 
 def helmert(n: int, full: bool = False):
@@ -295,7 +302,10 @@ def convolution_matrix(a, n: int, mode: str = "full"):
     raise ValueError(f"unknown mode {mode!r}")
   rows = {"full": k + n - 1, "same": max(k, n), "valid":
           max(k, n) - min(k, n) + 1}[mode]
-  offset = {"full": 0, "same": (k - 1) // 2, "valid": k - 1}[mode]
+  # np.convolve trims relative to the SHORTER operand (code review
+  # r4s3: offset=k-1 was wrong for k > n)
+  offset = {"full": 0, "same": (min(k, n) - 1) // 2,
+            "valid": min(k, n) - 1}[mode]
   # A[i, j] = a[i - j + offset] where in range, else 0
   ii = np.arange(rows)[:, None] + offset
   jj = np.arange(n)[None, :]
@@ -307,12 +317,12 @@ def convolution_matrix(a, n: int, mode: str = "full"):
 
 def pascal(n: int, kind: str = "symmetric", exact: bool = False):
   """Pascal matrix (host integer combinatorics — exact binomials don't
-  belong on the VPU)."""
+  belong on the VPU).  ``exact=True`` returns the exact HOST numpy
+  array (scipy returns object dtype past n=34 — exceeds int64);
+  ``exact=False`` returns a lazy float expr."""
   import scipy.linalg as sla
   m = sla.pascal(int(n), kind=kind, exact=exact)
-  return sp.from_numpy(np.asarray(m, dtype=np.int64)
-                       if exact and n <= 62 else np.asarray(m, float)
-                       if not exact else np.asarray(m, float))
+  return m if exact else sp.from_numpy(np.asarray(m, float))
 
 
 def dft(n: int, scale=None):
@@ -354,9 +364,17 @@ def issymmetric(A, atol: float = 0.0, rtol: float = 0.0):
 
 
 def ishermitian(A, atol: float = 0.0, rtol: float = 0.0):
-  # real inputs: hermitian == symmetric (axon cannot fetch complex
-  # buffers anyway — fft.py docstring)
-  return issymmetric(A, atol=atol, rtol=rtol)
+  A = sp.lazify(A)
+  if not np.issubdtype(np.dtype(A.aval().dtype), np.complexfloating):
+    return issymmetric(A, atol=atol, rtol=rtol)
+  # complex path works on CPU/real-TPU runtimes (axon cannot FETCH
+  # complex buffers, but |·| reductions end real — fft.py docstring)
+  d = sp.max(sp.absolute(A - sp.conj(sp.transpose(A))))
+  if atol or rtol:
+    bound = atol + rtol * float(np.asarray(
+        sp.max(sp.absolute(A)).glom()))
+    return bool(float(np.asarray(d.glom())) <= bound)
+  return bool(float(np.asarray(d.glom())) == 0.0)
 
 
 # ---------------------------------------------------------------------

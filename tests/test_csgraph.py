@@ -227,3 +227,41 @@ def test_empty_and_edgeless_graphs():
   assert d[0] == 0 and np.isinf(d[1:]).all()
   nc, lab = C.connected_components(Z, directed=False)
   assert nc == 5 and np.array_equal(np.sort(np.unique(lab)), np.arange(5))
+
+
+def test_from_dense_inf_nan_null():
+  """inf/nan mean 'no edge' on dense ingest (code review r4s3)."""
+  W = np.array([[0., np.inf, 2.], [np.nan, 0., 0.], [0., 0., 0.]])
+  S = C.csgraph_from_dense(W)
+  assert S.nnz == 1
+  nc, _ = C.connected_components(W, directed=False)
+  ncw, _ = cs.connected_components(cs.csgraph_from_dense(W),
+                                   directed=False)
+  assert nc == ncw == 2
+
+
+def test_laplacian_self_loops_and_isolated():
+  """scipy ignores the graph diagonal; isolated vertices report d=1
+  under normed (code review r4s3)."""
+  W = np.array([[2., 1, 0], [1, 0, 3], [0, 3, 0]])
+  for normed in (False, True):
+    Lw, dw = cs.laplacian(ss.csr_matrix(W), normed=normed,
+                          return_diag=True)
+    Ls, d_s = C.laplacian(sp.sparse.from_scipy(ss.csr_matrix(W)),
+                          normed=normed, return_diag=True)
+    assert np.allclose(np.asarray(Ls.todense()), Lw.toarray(),
+                       atol=1e-12), normed
+    assert np.allclose(d_s, dw), normed
+    Ld, dd = C.laplacian(W, normed=normed, return_diag=True)
+    assert np.allclose(np.asarray(sp.lazify(Ld).glom()), Lw.toarray(),
+                       atol=1e-12), normed
+    assert np.allclose(np.asarray(sp.lazify(dd).glom()), dw), normed
+  Wi = np.zeros((4, 4))
+  Wi[0, 1] = Wi[1, 0] = 2.0  # vertices 2, 3 isolated
+  for normed in (False, True):
+    Lw, dw = cs.laplacian(ss.csr_matrix(Wi), normed=normed,
+                          return_diag=True)
+    Ls, d_s = C.laplacian(sp.sparse.from_scipy(ss.csr_matrix(Wi)),
+                          normed=normed, return_diag=True)
+    assert np.allclose(np.asarray(Ls.todense()), Lw.toarray())
+    assert np.allclose(d_s, dw)

@@ -244,3 +244,39 @@ def test_gradients_flow_through_on_device_names():
     Ap[0, i] += eps
     fd[0, i] = (float(np.sum(sla.expm(Ap) ** 2)) - e0) / eps
   assert np.allclose(an[0, :3], fd[0, :3], rtol=1e-3, atol=1e-5)
+
+
+def test_convolution_matrix_kernel_longer_than_n():
+  """same/valid offsets trim relative to the SHORTER operand (code
+  review r4s3: k > n was shifted)."""
+  a, v = rng.normal(size=5), rng.normal(size=3)
+  for mode in ("full", "same", "valid"):
+    assert_close(sp.dot(L.convolution_matrix(a, 3, mode), v),
+                 np.convolve(a, v, mode), 1e-13)
+    assert_close(L.convolution_matrix(a, 3, mode),
+                 sla.convolution_matrix(a, 3, mode), 1e-14)
+
+
+def test_exact_constructors_return_host_arrays():
+  """exact=True integer matrices exceed int64 — returned as exact
+  HOST numpy arrays (code review r4s3: the device route crashed)."""
+  m = L.pascal(36, exact=True)
+  assert isinstance(m, np.ndarray)
+  assert (m == sla.pascal(36, exact=True)).all()
+  ih = L.invhilbert(6, exact=True)
+  assert isinstance(ih, np.ndarray)
+  assert (ih == sla.invhilbert(6, exact=True)).all()
+
+
+def test_ishermitian_complex():
+  Ac = np.array([[1.0, 1j], [1j, 1.0]])  # symmetric, NOT hermitian
+  assert L.issymmetric(np.real(Ac) * 0 + np.eye(2))
+  assert not L.ishermitian(Ac)
+  H = np.array([[2.0, 1 - 1j], [1 + 1j, 3.0]])
+  assert L.ishermitian(H)
+
+
+def test_companion_rejects_zero_leading():
+  import pytest as _pt
+  with _pt.raises(ValueError):
+    L.companion(np.array([0., 1., 2.]))
