@@ -217,3 +217,28 @@ _ex14 = np.abs(_S14 @ _x14 - _b14).max()
 print(f"14. csgraph+scipy_linalg on TPU: sssp={_ed14:.2e} "
       f"cc={_nc14}=={_ncw14} fw={_efw14:.2e} expm={_ee14:.2e} "
       f"cho={_ex14:.2e} ({time.time()-t0:.1f}s)", flush=True)
+
+# 15. sp.optimize fused loops on the chip (r4s3): LM least_squares,
+# Newton vector root, golden-section scalar — each one compiled
+# while_loop, f32 oracles via scipy on the host.
+t0 = time.time()
+import jax.numpy as _jnp15
+import scipy.optimize as _so15
+_t15 = np.linspace(0, 3, 64, dtype=np.float32)
+_y15 = (2.5 * np.exp(-1.3 * _t15) + 0.4).astype(np.float32)
+_r15 = sp.optimize.least_squares(
+    lambda p: p[0] * _jnp15.exp(-p[1] * _t15) + p[2] - _y15,
+    np.ones(3, np.float32))
+_rw15 = _so15.least_squares(
+    lambda p: p[0] * np.exp(-p[1] * _t15) + p[2] - _y15, np.ones(3))
+_el15 = np.abs(_r15.x - _rw15.x).max()
+_rr15 = sp.optimize.root(
+    lambda p: _jnp15.array([p[0] ** 2 + p[1] - 3.0,
+                            p[0] - p[1] ** 3 + 1.0]),
+    np.array([1.0, 1.0], np.float32), tol=1e-5)
+_er15 = np.abs(np.asarray(_rr15.fun)).max()
+_ms15 = sp.optimize.minimize_scalar(lambda x: (x - 1.7) ** 2 + 0.3,
+                                    bounds=(0.0, 5.0), xtol=1e-6)
+print(f"15. sp.optimize on TPU: lsq={_el15:.2e} root|f|={_er15:.2e} "
+      f"scalar={abs(_ms15.x - 1.7):.2e} ({time.time()-t0:.1f}s)",
+      flush=True)
