@@ -129,7 +129,7 @@ def _sssp(G: SparseArray, sources: np.ndarray, directed: bool,
           unweighted: bool, detect_negative: bool):
   """Multi-source shortest paths: fused while_loop of relaxation rounds.
 
-  Returns (dist (k, n) np.float64, hit_round_limit bool)."""
+  Returns (dist (k, n) np.float64, hit_round_limit bool, rounds int)."""
   n = G.shape[0]
   k = len(sources)
   dist0 = np.full((k, n), _INF)
@@ -162,7 +162,7 @@ def _sssp(G: SparseArray, sources: np.ndarray, directed: bool,
   if detect_negative and hit_limit:
     raise NegativeCycleError(
         "negative-weight cycle reachable from the given sources")
-  return np.asarray(dist.glom()), hit_limit
+  return np.asarray(dist.glom()), hit_limit, int(np.asarray(it.glom()))
 
 
 def _predecessors(G: SparseArray, dist: np.ndarray, sources: np.ndarray,
@@ -229,7 +229,7 @@ def bellman_ford(csgraph, directed=True, indices=None,
   when a negative cycle is reachable.  One fused device while_loop."""
   G = _as_sparse(csgraph)
   srcs = _indices_array(indices, G.shape[0])
-  dist, _ = _sssp(G, srcs, directed, unweighted, detect_negative=True)
+  dist, _, _ = _sssp(G, srcs, directed, unweighted, detect_negative=True)
   if not return_predecessors:
     return _maybe_squeeze(dist, indices)
   pred = _predecessors(G, dist, srcs, directed, unweighted)
@@ -251,7 +251,7 @@ def dijkstra(csgraph, directed=True, indices=None,
     raise ValueError("dijkstra requires non-negative weights — use "
                      "bellman_ford / johnson")
   srcs = _indices_array(indices, G.shape[0])
-  dist, _ = _sssp(G, srcs, directed, unweighted, detect_negative=False)
+  dist, _, _ = _sssp(G, srcs, directed, unweighted, detect_negative=False)
   if limit != _INF:
     dist = np.where(dist > limit, _INF, dist)
   if not return_predecessors:
@@ -288,18 +288,41 @@ def floyd_warshall(csgraph, directed=True, return_predecessors=False,
   if not directed:
     D0 = np.minimum(D0, D0.T)
 
-  def body(k, D):
+  if not return_predecessors:
+    def body(k, D):
+      row = sp.take(D, k, axis=0)
+      col = sp.take(D, k, axis=1)
+      return k + 1, sp.minimum(D, col[:, None] + row[None, :])
+
+    _, Df = sp.fori_loop(n, body, (sp.Val(np.int32(0)), sp.Val(D0)))
+    dist = np.asarray(Df.glom())
+    if np.diag(dist).min() < 0:
+      raise NegativeCycleError("negative-weight cycle in the graph")
+    return dist
+
+  # Predecessors are carried INSIDE the pivot loop (standard FW pred
+  # recurrence: pred[i,j] <- pred[k,j] wherever D[i,k]+D[k,j] < D[i,j]).
+  # A post-hoc equality match against dist is 1-ulp fragile — FW's
+  # addition order differs from a fresh D[i,p]+w(p,j) pass.
+  P0 = np.full((n, n), _NULL, dtype=np.int32)
+  edge = np.isfinite(D0) & ~np.eye(n, dtype=bool)
+  P0[edge] = np.broadcast_to(np.arange(n)[:, None], (n, n))[edge]
+
+  def body_p(k, D, P):
     row = sp.take(D, k, axis=0)
     col = sp.take(D, k, axis=1)
-    return k + 1, sp.minimum(D, col[:, None] + row[None, :])
+    cand = col[:, None] + row[None, :]
+    better = sp.less(cand, D)
+    predk = sp.take(P, k, axis=0)
+    newP = sp.where(better, sp.broadcast_to(predk[None, :], (n, n)), P)
+    return k + 1, sp.where(better, cand, D), newP
 
-  _, Df = sp.fori_loop(n, body, (sp.Val(np.int32(0)), sp.Val(D0)))
+  _, Df, Pf = sp.fori_loop(
+      n, body_p, (sp.Val(np.int32(0)), sp.Val(D0), sp.Val(P0)))
   dist = np.asarray(Df.glom())
   if np.diag(dist).min() < 0:
     raise NegativeCycleError("negative-weight cycle in the graph")
-  if not return_predecessors:
-    return dist
-  pred = _predecessors(G, dist, np.arange(n), directed, unweighted)
+  pred = np.asarray(Pf.glom()).astype(np.int32)
   return dist, pred
 
 
@@ -482,7 +505,7 @@ def breadth_first_order(csgraph, i_start, directed=True,
   n = G.shape[0]
   src = _indices_array(int(i_start), n)[:1] if np.ndim(i_start) == 0 \
       else _indices_array(i_start, n)[:1]
-  dist, _ = _sssp(G, src, directed, unweighted=True,
+  dist, _, _ = _sssp(G, src, directed, unweighted=True,
                   detect_negative=False)
   levels = dist[0]
   reach = np.flatnonzero(np.isfinite(levels))

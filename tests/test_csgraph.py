@@ -75,6 +75,35 @@ def test_predecessor_validity():
         assert abs(d[si, p[si, j]] + W[p[si, j], j] - d[si, j]) < 1e-9
 
 
+@pytest.mark.parametrize("directed", [True, False])
+def test_fw_predecessor_validity(directed):
+  # Advisor r4 repro: 1-decimal weights make FW's pivot-order sums differ
+  # by 1 ulp from a post-hoc D[i,p]+w(p,j) pass; the in-loop pred carry
+  # must give a valid predecessor for EVERY finite off-diagonal distance.
+  for seed in range(12):
+    r = np.random.default_rng(seed)
+    n = 12
+    W = np.round(rand_graph(n, 0.25, seed, symmetric=not directed), 1)
+    W[W == 0.0] = 0.0  # drop rounded-to-zero edges (null convention)
+    d, p = C.floyd_warshall(W, directed=directed, return_predecessors=True)
+    want = cs.floyd_warshall(ss.csr_matrix(W), directed=directed)
+    assert np.allclose(d, want, equal_nan=True)
+    assert p.dtype == np.int32
+    Wd = W if directed else np.where(W != 0, W, W.T)
+    for i in range(n):
+      assert p[i, i] == -9999
+      for j in range(n):
+        if i == j:
+          continue
+        if np.isfinite(d[i, j]):
+          q = p[i, j]
+          assert q >= 0, (seed, i, j)
+          assert Wd[q, j] != 0
+          assert abs(d[i, q] + Wd[q, j] - d[i, j]) < 1e-9
+        else:
+          assert p[i, j] == -9999
+
+
 @pytest.mark.smoke
 def test_negative_cycle_raises():
   W = np.zeros((4, 4))
