@@ -532,6 +532,87 @@ def _arnoldi_cycle(matvec, V0, H0, j0: int, m: int, dt):
   return V, H
 
 
+def _arnoldi_cycle_eager(matvec, V0, H0, j0: int, m: int, dt):
+  """Driver-paced Arnoldi cycle — same math as :func:`_arnoldi_cycle`
+  via the same ``_arnoldi_body``, one Python step per position.  Used
+  when the matvec is itself a fused solver call (inexact shift-invert:
+  minres/gmres inner solves), which cannot be traced INTO a fori body
+  — each inner solve is one compiled dispatch through the loop-runner
+  cache instead."""
+  V = sp.lazify(V0)
+  H = sp.lazify(H0)
+  vj = sp.Val(_hi_dot(_onehot(j0, m + 1, dt), V).evaluate())
+  body = _arnoldi_body(matvec, m, dt)
+  j = int(j0)
+  for _ in range(m - j0):
+    V, H, vj, j = body(V, H, vj, j)
+    V = sp.Val(sp.lazify(V).evaluate())
+    H = sp.Val(sp.lazify(H).evaluate())
+    vj = sp.Val(sp.lazify(vj).evaluate())
+    j = int(j)
+  return V, H
+
+
+_DENSE_SI_MAX = 4096  # densified-LU shift-invert size bound (n² memory)
+
+
+def _shift_invert_op(A, sigma: float, OPinv, mode: str, sym: bool, dt,
+                     n: int):
+  """(A − σI)⁻¹ as a matvec — ARPACK mode-3 operator.
+
+  Returns ``(matvec, fused)``:
+
+  * ``OPinv`` given → the user's operator, traced into the fused cycle.
+  * dense path (materializable A, or ``mode='dense'``): one on-device
+    ``lu_factor`` of the shifted matrix, matvec = lazy ``lu_solve`` —
+    stays inside the fused Arnoldi ``fori_loop`` (the exact-solve
+    regime, like scipy's splu default).
+  * iterative path (LinearOperator / big sparse, or
+    ``mode='iterative'``): each matvec is one fused :func:`minres`
+    (symmetric) / :func:`gmres` (general) solve on the shifted
+    operator — inexact shift-invert; the Arnoldi cycle runs
+    driver-paced (``fused=False``)."""
+  if OPinv is not None:
+    return aslinearoperator(OPinv).matvec, True
+  if mode in ("auto", "normal"):
+    mode = "auto"
+  if mode not in ("auto", "dense", "iterative"):
+    raise ValueError(f"mode must be auto/dense/iterative, got {mode!r}")
+  from spartan_tpu.backend import sparse as sps
+  is_sparse = isinstance(A, (sps.SparseArray, sps.BlockSparseArray))
+  is_lo = isinstance(A, LinearOperator)
+  dense_ok = (not is_lo) and (not is_sparse or n <= _DENSE_SI_MAX)
+  if mode == "dense" and not dense_ok:
+    raise ValueError("mode='dense' needs a materializable operator "
+                     f"(got {type(A).__name__}, n={n})")
+  if mode == "dense" or (mode == "auto" and dense_ok):
+    from spartan_tpu import scipy_linalg as sla
+    Ad = np.asarray(A.todense()) if is_sparse else np.asarray(
+        sp.lazify(A).glom())
+    As = Ad.astype(dt) - np.asarray(sigma, dtype=dt) * np.eye(n, dtype=dt)
+    lu_, piv = sla.lu_factor(sp.lazify(As))
+    lu_v = sp.Val(sp.lazify(lu_).evaluate())
+    piv_v = sp.Val(sp.lazify(piv).evaluate())
+    return (lambda x: sla.lu_solve((lu_v, piv_v), x)), True
+  op = aslinearoperator(A)
+  sig = np.asarray(sigma, dtype=dt)
+  shifted = LinearOperator(
+      op.shape, lambda x: op.matvec(x) - sig * sp.lazify(x), dtype=dt)
+  inner_rtol = 1e-11 if np.dtype(dt) == np.float64 else 1e-6
+  solver = minres if sym else gmres
+
+  def mv(x):
+    y, info = solver(shifted, x, rtol=inner_rtol)
+    if info != 0:
+      from spartan_tpu.util import log_warn
+      log_warn("shift-invert inner solve did not fully converge "
+               "(info=%s) — eigenpair accuracy is bounded by the inner "
+               "residual; raise its budget or use mode='dense'", info)
+    return y
+
+  return mv, False
+
+
 def _pick(vals: np.ndarray, k: int, which: str) -> np.ndarray:
   order = {
       "LM": np.argsort(np.abs(vals))[-k:],
@@ -545,7 +626,8 @@ def _pick(vals: np.ndarray, k: int, which: str) -> np.ndarray:
 
 
 def eigsh(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
-          maxiter: int = None, tol: float = 0.0):
+          maxiter: int = None, tol: float = 0.0, sigma=None, OPinv=None,
+          mode: str = "auto"):
   """k eigenpairs of symmetric ``A`` by THICK-RESTART Lanczos: fused
   ``ncv``-step Arnoldi cycles (doubled full reorthogonalization — every
   step is MXU work over the ``(ncv+1, n)`` basis block) with TRLan
@@ -559,7 +641,16 @@ def eigsh(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
   single cycle err 0.87, restarted 1e-13).  Returns ``(w (k,) numpy
   ascending, v (n, k) SpartanArray)``.  ``maxiter`` counts restart
   cycles (default 20); ``tol`` is the Ritz-residual bound relative to
-  the spectral scale (0 → near machine precision for the dtype)."""
+  the spectral scale (0 → near machine precision for the dtype).
+
+  SHIFT-INVERT (``sigma=σ``, ARPACK mode 3): the Lanczos recursion runs
+  on ``(A − σI)⁻¹`` (see :func:`_shift_invert_op` for the dense-LU /
+  inner-iterative routing) and eigenvalues map back ``λ = σ + 1/ν`` —
+  with the default ``which='LM'`` this returns the k eigenvalues
+  NEAREST σ (scipy semantics: ``which`` selects in the transformed
+  spectrum).  Interior/smallest eigenvalues converge in a handful of
+  cycles where the plain operator stalls.  ``OPinv`` (an operator
+  applying ``(A − σI)⁻¹``) overrides the routing."""
   op = aslinearoperator(A)
   n = op.shape[1]
   if op.shape[0] != n:
@@ -577,6 +668,12 @@ def eigsh(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
     v0 = sp.lazify(np.random.default_rng(0).standard_normal(n)).astype(dt)
   else:
     v0 = sp.lazify(v0).astype(dt)
+  if sigma is not None:
+    matvec, fused = _shift_invert_op(A, float(sigma), OPinv, mode,
+                                     sym=True, dt=dt, n=n)
+  else:
+    matvec, fused = op.matvec, True
+  cycle_fn = _arnoldi_cycle if fused else _arnoldi_cycle_eager
   nrm = sp.sqrt(_hi_dot(v0, v0))
   V = sp.outer(_onehot(0, m + 1, dt), v0 / sp.maximum(nrm, _TINY))
   H = sp.zeros((m + 1, m), dtype=dt)
@@ -586,7 +683,7 @@ def eigsh(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
   # practice) both speeds convergence and avoids locking onto the wrong
   # member of a near-tied cluster
   for cycle in range(maxiter):
-    V, H = _arnoldi_cycle(op.matvec, V, H, j0, m, dt)
+    V, H = cycle_fn(matvec, V, H, j0, m, dt)
     Hh = np.asarray(sp.lazify(H).glom())
     # exact-breakdown guard: a zero column means an invariant subspace
     dead = np.nonzero(np.abs(Hh).max(axis=0)
@@ -623,6 +720,12 @@ def eigsh(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
     H = sp.lazify(Hn)
     j0 = l
   w = w_all[idx]
+  if sigma is not None:
+    # map back from the shift-inverted spectrum and re-sort ascending
+    lam = float(sigma) + 1.0 / w
+    order = np.argsort(lam)
+    w = lam[order]
+    idx = idx[order]
   # Ritz vectors: Yᵀ (k, m_eff) · V rows (m_eff, n) -> (k, n) -> (n, k)
   coef = np.ascontiguousarray(Y[:, idx].T.astype(dt))
   pad = np.zeros((coef.shape[0], m + 1 - m_eff), dtype=dt)
@@ -631,7 +734,8 @@ def eigsh(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
 
 
 def eigs(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
-         maxiter: int = None, tol: float = 0.0):
+         maxiter: int = None, tol: float = 0.0, sigma=None, OPinv=None,
+         mode: str = "auto"):
   """k eigenpairs of a general (nonsymmetric) operator by KRYLOV-SCHUR
   restarted Arnoldi: fused ``ncv``-step cycles; on restart the leading
   (which-ordered) real Schur vectors of the small Hessenberg matrix are
@@ -643,11 +747,20 @@ def eigs(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
   two real device contractions, so the device path stays real (the
   axon runtime has no complex buffers).  ``maxiter`` counts restart
   cycles (default 20); ``tol`` bounds the Ritz residual relative to the
-  spectral scale."""
+  spectral scale.
+
+  SHIFT-INVERT (``sigma=σ``, real σ): Arnoldi runs on ``(A − σI)⁻¹``
+  (dense on-device LU, or fused :func:`gmres` inner solves for
+  matrix-free operators — :func:`_shift_invert_op`); eigenvalues map
+  back ``λ = σ + 1/ν``, so the default ``which='LM'`` returns the k
+  eigenvalues nearest σ (scipy semantics)."""
   op = aslinearoperator(A)
   n = op.shape[1]
   if op.shape[0] != n:
     raise ValueError("eigs needs a square operator")
+  if sigma is not None and np.iscomplexobj(sigma):
+    raise ValueError("complex sigma is not supported (the device path "
+                     "is real — axon has no complex buffers)")
   k = int(k)
   m = min(n, int(ncv) if ncv else max(2 * k + 1, 20))
   if not 0 < k < m:
@@ -657,6 +770,12 @@ def eigs(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
   tol_eff = float(tol) if tol else (1e-12 if dt == np.float64 else 1e-5)
   rng = np.random.default_rng(0)
   v0e = sp.lazify(rng.standard_normal(n) if v0 is None else v0).astype(dt)
+  if sigma is not None:
+    matvec, fused = _shift_invert_op(A, float(sigma), OPinv, mode,
+                                     sym=False, dt=dt, n=n)
+  else:
+    matvec, fused = op.matvec, True
+  cycle_fn = _arnoldi_cycle if fused else _arnoldi_cycle_eager
   nrm = sp.sqrt(_hi_dot(v0e, v0e))
   V = sp.outer(_onehot(0, m + 1, dt), v0e / sp.maximum(nrm, _TINY))
   H = sp.zeros((m + 1, m), dtype=dt)
@@ -672,7 +791,7 @@ def eigs(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
 
   bigger_is_better = which.upper() in ("LM", "LA")
   for cycle in range(maxiter):
-    V, H = _arnoldi_cycle(op.matvec, V, H, j0, m, dt)
+    V, H = cycle_fn(matvec, V, H, j0, m, dt)
     Hh = np.asarray(sp.lazify(H).glom())
     Hm = Hh[:m, :m]
     beta_last = float(Hh[m, m - 1])
@@ -740,6 +859,8 @@ def eigs(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
     H = sp.lazify(Hn)
     j0 = l_eff
   w = w_all[idx]
+  if sigma is not None:
+    w = sigma + 1.0 / w  # columns of S[:, idx] are unchanged eigenvectors
   cr = np.ascontiguousarray(S[:, idx].T.real.astype(dt))
   ci = np.ascontiguousarray(S[:, idx].T.imag.astype(dt))
   Vr = np.asarray(_hi_dot(sp.lazify(cr),
@@ -748,10 +869,20 @@ def eigs(A, k: int = 6, *, which: str = "LM", ncv: int = None, v0=None,
   return w, (Vr + 1j * Vi).T
 
 
-def svds(A, k: int = 6, *, ncv: int = None):
-  """Top-k singular triplets via fused Lanczos on the Gram operator of
-  the smaller side (``AᵀA`` or ``AAᵀ``).  Returns ``(u (p, k), s (k,)
-  ascending, vt (k, q))`` — scipy's shapes and (ascending) order."""
+def svds(A, k: int = 6, *, ncv: int = None, which: str = "LM"):
+  """Top-k (``which='LM'``) or bottom-k (``'SM'``) singular triplets via
+  fused Lanczos on the Gram operator of the smaller side (``AᵀA`` or
+  ``AAᵀ``).  Returns ``(u (p, k), s (k,) ascending, vt (k, q))`` —
+  scipy's shapes and (ascending) order.
+
+  ``'SM'`` runs SHIFT-INVERT Lanczos on the Gram operator at a small
+  NEGATIVE shift ``σ = −δ`` (δ ∝ an estimated spectral scale): the
+  eigenvalues nearest −δ are exactly the smallest ones, and ``G + δI``
+  stays positive-definite, so the dense LU / inner minres never hits a
+  singular shifted operator even for rank-deficient ``A``.  Zero
+  singular values return an arbitrary orthonormal ``u`` basis (scipy
+  likewise)."""
+  from spartan_tpu.backend import sparse as sps
   op = aslinearoperator(A)
   p, q = op.shape
   if op._rmatvec is None:
@@ -763,7 +894,30 @@ def svds(A, k: int = 6, *, ncv: int = None):
   else:
     gram = LinearOperator((p, p), lambda x: op.matvec(op.rmatvec(x)),
                           dtype=op.dtype)
-  w, y = eigsh(gram, k, which="LM", ncv=ncv)
+  which = which.upper()
+  if which == "LM":
+    w, y = eigsh(gram, k, which="LM", ncv=ncv)
+  elif which == "SM":
+    if isinstance(A, LinearOperator):
+      G_si, mode = gram, "iterative"
+      # spectral-scale estimate: two host-driven power steps on G
+      v = np.random.default_rng(0).standard_normal(gram.shape[1])
+      v /= np.linalg.norm(v)
+      for _ in range(2):
+        gv = np.asarray(sp.lazify(gram.matvec(sp.lazify(v))).glom())
+        scale = float(np.linalg.norm(gv))
+        v = gv / max(scale, _TINY)
+    else:
+      Ad = np.asarray(A.todense()) if isinstance(
+          A, (sps.SparseArray, sps.BlockSparseArray)) else np.asarray(
+              sp.lazify(A).glom())
+      G_si = Ad.T @ Ad if small_right else Ad @ Ad.T
+      scale = float(np.abs(G_si).sum(axis=1).max())  # ≥ λmax bound
+      mode = "auto"
+    delta = max(1e-6 * scale, 1e-30)
+    w, y = eigsh(G_si, k, which="LM", ncv=ncv, sigma=-delta, mode=mode)
+  else:
+    raise ValueError(f"which={which!r} not in LM/SM")
   s = np.sqrt(np.clip(w, 0.0, None))
   ye = sp.lazify(y)
   cols_small = [ye[:, i] for i in range(k)]

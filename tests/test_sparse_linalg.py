@@ -262,3 +262,86 @@ def test_linear_operator_surface(rng, cluster):
   with pytest.raises(ValueError, match="rmatvec"):
     mv_only.rmatvec(x)
   assert spl.aslinearoperator(mv_only) is mv_only
+
+
+# ---------------------------------------------------------------------
+# round 5: shift-invert (ARPACK mode 3) + svds smallest
+# ---------------------------------------------------------------------
+
+def _sym_spectrum(rng, n, lo=-5.0, hi=5.0):
+  Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+  lam = np.linspace(lo, hi, n)
+  A = (Q * lam) @ Q.T
+  return (A + A.T) / 2, lam
+
+
+def test_eigsh_shift_invert_dense_lu(rng, cluster):
+  import scipy.sparse.linalg as sla
+  A, _ = _sym_spectrum(rng, 200)
+  for sigma in (0.3, -2.7):
+    w, v = spl.eigsh(A, k=4, sigma=sigma)
+    ww, _ = sla.eigsh(A, k=4, sigma=sigma)
+    np.testing.assert_allclose(np.sort(w), np.sort(ww), atol=1e-10)
+    vn = np.asarray(sp.lazify(v).glom())
+    assert np.abs(A @ vn - vn * w).max() < 1e-9  # true eigenpairs of A
+    # orthonormal vectors
+    np.testing.assert_allclose(vn.T @ vn, np.eye(4), atol=1e-10)
+
+
+def test_eigsh_shift_invert_iterative_inner_solve(rng, cluster):
+  import scipy.sparse.linalg as sla
+  A, _ = _sym_spectrum(rng, 160)
+  w, _ = spl.eigsh(A, k=3, sigma=0.1, mode="iterative")
+  ww, _ = sla.eigsh(A, k=3, sigma=0.1)
+  np.testing.assert_allclose(np.sort(w), np.sort(ww), atol=1e-8)
+
+
+def test_eigsh_shift_invert_sparse_and_which_sm(rng, cluster):
+  import scipy.sparse.linalg as sla
+  A = _sparse_spd(300)
+  S = sp.sparse.from_scipy(A)
+  # SM-style: smallest eigenvalues via sigma near 0 (SPD: all positive)
+  w, _ = spl.eigsh(S, k=3, sigma=0.0)
+  ww, _ = sla.eigsh(A, k=3, sigma=0.0)
+  np.testing.assert_allclose(np.sort(w), np.sort(ww), atol=1e-9)
+
+
+def test_eigsh_opinv_override(rng, cluster):
+  A, _ = _sym_spectrum(rng, 120)
+  sigma = 0.5
+  inv = np.linalg.inv(A - sigma * np.eye(120))
+  w, _ = spl.eigsh(A, k=3, sigma=sigma, OPinv=inv)
+  import scipy.sparse.linalg as sla
+  ww, _ = sla.eigsh(A, k=3, sigma=sigma)
+  np.testing.assert_allclose(np.sort(w), np.sort(ww), atol=1e-9)
+
+
+def test_eigs_shift_invert(rng, cluster):
+  import scipy.sparse.linalg as sla
+  n = 150
+  B = rng.standard_normal((n, n)) * 0.3 + np.diag(np.linspace(1, 10, n))
+  w, v = spl.eigs(B, k=3, sigma=4.0)
+  ww, _ = sla.eigs(B, k=3, sigma=4.0)
+  assert np.abs(np.sort(w.real) - np.sort(ww.real)).max() < 1e-9
+  assert np.abs(np.sort(w.imag) - np.sort(ww.imag)).max() < 1e-9
+  # residual in the ORIGINAL problem
+  res = np.abs(B @ v - v * w).max()
+  assert res < 1e-7
+  with pytest.raises(ValueError):
+    spl.eigs(B, k=2, sigma=1.0 + 2.0j)
+
+
+def test_svds_smallest(rng, cluster):
+  A = rng.standard_normal((120, 80))
+  u, s, vt = spl.svds(A, k=3, which="SM")
+  sw = np.sort(np.linalg.svd(A, compute_uv=False))[:3]
+  np.testing.assert_allclose(np.sort(s), sw, atol=1e-9)
+  un = np.asarray(sp.lazify(u).glom())
+  vn = np.asarray(sp.lazify(vt).glom())
+  assert np.abs(A @ vn.T - un * s).max() < 1e-9
+  # rank-deficient A: zero singular values handled (PD-shifted gram)
+  Ad = A[:, :40] @ rng.standard_normal((40, 80))  # rank <= 40
+  _, s2, _ = spl.svds(Ad, k=2, which="SM")
+  np.testing.assert_allclose(s2, 0.0, atol=1e-6)
+  with pytest.raises(ValueError):
+    spl.svds(A, k=2, which="XX")
