@@ -242,3 +242,47 @@ _ms15 = sp.optimize.minimize_scalar(lambda x: (x - 1.7) ** 2 + 0.3,
 print(f"15. sp.optimize on TPU: lsq={_el15:.2e} root|f|={_er15:.2e} "
       f"scalar={abs(_ms15.x - 1.7):.2e} ({time.time()-t0:.1f}s)",
       flush=True)
+
+# 16. round-5 surfaces on the chip: shift-invert eigsh (dense-LU route
+# through on-device lu_factor/lu_solve inside the fused Arnoldi loop,
+# plus the driver-paced minres inner-solve route), svds which='SM', and
+# bounded least_squares/minimize (projected LM / projected Newton box
+# loops) — f32, scipy host oracles.
+t0 = time.time()
+import scipy.sparse.linalg as _ssl16
+import scipy.optimize as _so16
+_r16 = np.random.default_rng(16)
+_Q16, _ = np.linalg.qr(_r16.standard_normal((384, 384)))
+_lam16 = np.linspace(-4.0, 4.0, 384)
+_A16 = ((_Q16 * _lam16) @ _Q16.T).astype(np.float32)
+_A16 = (_A16 + _A16.T) / 2
+_w16, _ = sp.sparse.linalg.eigsh(_A16, k=3, sigma=0.37)
+_ww16, _ = _ssl16.eigsh(_A16.astype(np.float64), k=3, sigma=0.37)
+_esi16 = np.abs(np.sort(_w16) - np.sort(_ww16)).max()
+_wi16, _ = sp.sparse.linalg.eigsh(_A16[:160, :160], k=2, sigma=0.1,
+                                  mode="iterative")
+_wwi16, _ = _ssl16.eigsh(_A16[:160, :160].astype(np.float64), k=2,
+                         sigma=0.1)
+_eit16 = np.abs(np.sort(_wi16) - np.sort(_wwi16)).max()
+_M16 = _r16.standard_normal((192, 96)).astype(np.float32)
+_, _s16, _ = sp.sparse.linalg.svds(_M16, k=2, which="SM")
+_sw16 = np.sort(np.linalg.svd(_M16.astype(np.float64),
+                              compute_uv=False))[:2]
+_esv16 = np.abs(np.sort(_s16) - _sw16).max()
+_t16 = np.linspace(0, 3, 64, dtype=np.float32)
+_y16 = (2.5 * np.exp(-1.3 * _t16) + 0.4).astype(np.float32)
+_lb16 = np.array([0.0, 1.5, 0.0]); _ub16 = np.array([5.0, 5.0, 1.0])
+_rb16 = sp.optimize.least_squares(
+    lambda p: p[0] * _jnp15.exp(-p[1] * _t16) + p[2] - _y16,
+    np.array([1.0, 2.0, 0.5], np.float32), bounds=(_lb16, _ub16))
+_rbw16 = _so16.least_squares(
+    lambda p: p[0] * np.exp(-p[1] * _t16) + p[2] - _y16,
+    np.array([1.0, 2.0, 0.5]), bounds=(_lb16, _ub16))
+_eb16 = np.abs(_rb16.x - _rbw16.x).max()
+_mb16 = sp.optimize.minimize(
+    lambda p: (p[0] - 3.0) ** 2 + 10.0 * (p[1] + 2.0) ** 2,
+    np.zeros(2, np.float32), bounds=[(-1.0, 1.0), (-1.0, 1.0)])
+_emb16 = np.abs(np.asarray(_mb16.x) - np.array([1.0, -1.0])).max()
+print(f"16. shift-invert+bounded-opt on TPU: si={_esi16:.2e} "
+      f"si_iter={_eit16:.2e} svds_sm={_esv16:.2e} lsq_b={_eb16:.2e} "
+      f"min_b={_emb16:.2e} ({time.time()-t0:.1f}s)", flush=True)
