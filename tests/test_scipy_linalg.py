@@ -213,10 +213,72 @@ def test_on_device_names_stay_lazy():
 
 
 def test_host_boundary_is_eager():
-  """Schur-family names are HostExprs — the sp.linalg.eig convention."""
+  """TRUE Schur-family names are HostExprs — the sp.linalg.eig
+  convention (sqrtm/logm/orth moved ON-device in r5)."""
   from spartan_tpu.expr.fio import HostExpr
-  assert isinstance(L.sqrtm(S), HostExpr)
-  assert isinstance(L.orth(A), HostExpr)
+  assert isinstance(L.funm(S, np.exp), HostExpr)
+  assert isinstance(L.solve_sylvester(A, B, S), HostExpr)
+
+
+def test_matrix_functions_on_device():
+  """sqrtm/logm/signm run as fused device kernels (NOT HostExprs) on
+  branch-safe inputs; residuals are packed so disp=False is free."""
+  from spartan_tpu.expr.fio import HostExpr
+
+  def _no_host(e):
+    from spartan_tpu.expr.base import Expr
+    assert isinstance(e, Expr) and not isinstance(e, HostExpr), type(e)
+
+  X = L.sqrtm(S)
+  _no_host(X)
+  assert_close(X, sla.sqrtm(S), 1e-10)
+  Xd, err = L.sqrtm(S, disp=False)
+  assert err < 1e-10
+  _no_host(L.logm(S))
+  _no_host(L.signm(S))
+  _no_host(L.cosm(0.1 * A))
+  _no_host(L.orth(A))
+  # non-symmetric but branch-safe (spectrum shifted right of 0)
+  G = 0.1 * A + 3 * np.eye(16)
+  assert_close(L.sqrtm(G), sla.sqrtm(G), 1e-9)
+  assert_close(L.logm(G), sla.logm(G), 1e-9)
+  # signm on an indefinite symmetric matrix (mixed-sign spectrum)
+  Ind = S - 20.0 * np.eye(16)
+  assert_close(L.signm(Ind), sla.signm(Ind), 1e-8)
+
+
+def test_matrix_functions_host_fallback():
+  """Branch-cut inputs (negative real eigenvalues → complex principal
+  sqrt/log) gate on the packed residual and fall back to the host
+  Schur path — scipy parity everywhere."""
+  N = A @ np.diag(np.concatenate([[-2.0, -0.5], 3 + np.arange(14.)])) \
+      @ np.linalg.inv(A)
+  got = g(L.sqrtm(N))
+  want = sla.sqrtm(N)
+  assert np.iscomplexobj(got)
+  assert np.max(np.abs(got - want)) / np.max(np.abs(want)) < 1e-8
+  gotl = g(L.logm(N))
+  wantl = sla.logm(N)
+  assert np.max(np.abs(gotl - wantl)) / np.max(np.abs(wantl)) < 1e-8
+  # complex INPUT routes host directly
+  from spartan_tpu.expr.fio import HostExpr
+  assert isinstance(L.sqrtm(N.astype(complex)), HostExpr)
+
+
+def test_orth_null_space_rcond_and_wide():
+  """rcond= honored; null_space of a WIDE matrix needs full_matrices
+  SVD (row space smaller than n)."""
+  W = rng.normal(size=(4, 10))
+  ns = g(L.null_space(W))
+  assert ns.shape == (10, 6)
+  assert np.abs(W @ ns).max() < 1e-10
+  assert np.allclose(ns.T @ ns, np.eye(6), atol=1e-10)
+  # rcond large enough to cut every direction of a scaled matrix
+  o = g(L.orth(A[:, :5], rcond=None))
+  assert o.shape == (16, 5)
+  M2 = np.concatenate([A[:, :3], 1e-12 * A[:, 3:5]], axis=1)
+  o2 = g(L.orth(M2, rcond=1e-9))
+  assert o2.shape == sla.orth(M2, rcond=1e-9).shape == (16, 3)
 
 
 def test_linalg_namespace_merge():

@@ -286,3 +286,33 @@ _emb16 = np.abs(np.asarray(_mb16.x) - np.array([1.0, -1.0])).max()
 print(f"16. shift-invert+bounded-opt on TPU: si={_esi16:.2e} "
       f"si_iter={_eit16:.2e} svds_sm={_esv16:.2e} lsq_b={_eb16:.2e} "
       f"min_b={_emb16:.2e} ({time.time()-t0:.1f}s)", flush=True)
+
+# 17. on-device matrix functions (r5: scipy_linalg iteration-lowered
+# names): sqrtm = determinant-scaled Denman-Beavers fused while_loop,
+# logm = inverse scaling-and-squaring + 16-node Gauss-Legendre, signm =
+# scaled Newton, cosm = complex-INTERNAL expm (real output — axon-safe),
+# orth = on-device SVD with s-only fetch.  f32 vs scipy f64 oracles.
+t0 = time.time()
+import scipy.linalg as _sla17
+_r17 = np.random.default_rng(17)
+_B17 = _r17.standard_normal((96, 96)).astype(np.float32)
+_S17 = (_B17 @ _B17.T + 96 * np.eye(96, dtype=np.float32))
+_esq17 = np.abs(np.asarray(sp.scipy_linalg.sqrtm(_S17).glom())
+                - _sla17.sqrtm(_S17.astype(np.float64))).max()
+_elg17 = np.abs(np.asarray(sp.scipy_linalg.logm(_S17).glom())
+                - _sla17.logm(_S17.astype(np.float64))).max()
+_I17 = _S17 - 140.0 * np.eye(96, dtype=np.float32)   # indefinite
+_esg17 = np.abs(np.asarray(sp.scipy_linalg.signm(_I17).glom())
+                - _sla17.signm(_I17.astype(np.float64))).max()
+_ecs17 = np.abs(np.asarray(sp.scipy_linalg.cosm(0.1 * _B17).glom())
+                - _sla17.cosm(0.1 * _B17.astype(np.float64))).max()
+_M17 = np.concatenate([_B17[:, :40],
+                       _B17[:, :40] @ _r17.standard_normal(
+                           (40, 24)).astype(np.float32)], axis=1)
+_O17 = np.asarray(sp.scipy_linalg.orth(_M17).glom())
+_eor17 = (abs(_O17.shape[1] - 40)
+          + np.abs(_O17.T @ _O17 - np.eye(_O17.shape[1])).max())
+print(f"17. matrix functions on TPU: sqrtm={_esq17:.2e} "
+      f"logm={_elg17:.2e} signm={_esg17:.2e} cosm={_ecs17:.2e} "
+      f"orth(rank+ortho)={_eor17:.2e} ({time.time()-t0:.1f}s)",
+      flush=True)
