@@ -38,7 +38,7 @@ from spartan_tpu.expr.base import Expr, Val, lazify
 class SparseArray:
   """A 2-D sparse matrix in padded-ELL device layout."""
 
-  __slots__ = ("cols", "vals", "shape", "nnz", "_bsr_cache",
+  __slots__ = ("cols", "vals", "shape", "nnz", "fmt", "_bsr_cache",
                "_windowed_cache", "_winsh_cache", "_t_cache",
                "_owner_cache", "_winmm_cache", "_winmmsh_cache",
                "_dense_cache")
@@ -54,6 +54,12 @@ class SparseArray:
     self.vals = vals    # (rows, max_nnz) dtype
     self.shape = tuple(shape)
     self.nnz = int(nnz)
+    # Declared-intent format tag (scipy `.format` parity).  The DEVICE
+    # layout is always padded ELL; the tag records which scipy format
+    # the user asked for (csr_matrix/coo_matrix/... constructors,
+    # format= kwargs) so `isspmatrix_csr`-style predicates and round
+    # trips behave like scipy's.  Ingest canonicalizes via CSR → "csr".
+    self.fmt = "csr"
     self._bsr_cache = None  # (bs, BlockSparseArray|None) from auto_route
     self._windowed_cache = None  # WindowedELL from to_windowed()
     self._winsh_cache = None  # (n_shards, ShardedWindowedELL)
@@ -66,6 +72,12 @@ class SparseArray:
   @property
   def dtype(self):
     return self.vals.dtype
+
+  @property
+  def format(self) -> str:
+    """scipy ``.format`` attribute — the declared-intent tag (the device
+    layout itself is always padded ELL)."""
+    return self.fmt
 
   @property
   def max_nnz_per_row(self) -> int:

@@ -400,3 +400,158 @@ def rand(m: int, n: int, density: float = 0.01, format=None,
          dtype=np.float64, random_state=None) -> SparseArray:
   return random(m, n, density, format=format, dtype=dtype,
                 random_state=random_state)
+
+
+# ---------------------------------------------------------------------------
+# scipy format constructors + predicates (r5 parity sweep).
+#
+# The DEVICE layout is always padded ELL (one format, chosen for the TPU
+# gather/MXU paths); these constructors accept every input form their
+# scipy namesakes do (dense, sparse, (M,N), (data,(row,col)),
+# (data,indices,indptr), (data,offsets)) by delegating the PARSING to
+# scipy's own constructor (host-side one-shot ingest, the documented
+# convention) and converting to ELL.  Each tags the result's declared
+# format so `.format` / `isspmatrix_*` behave like scipy's.
+# ---------------------------------------------------------------------------
+
+_KNOWN_FORMATS = ("csr", "csc", "coo", "bsr", "dia", "dok", "lil")
+
+
+def _format_ctor(fmt: str):
+  def ctor(arg1, shape=None, dtype=None, copy=False, *, maxprint=None):
+    del copy, maxprint
+    import scipy.sparse as ss
+    if isinstance(arg1, SparseArray):
+      if shape is not None and tuple(shape) != arg1.shape:
+        raise ValueError(
+            f"cannot reshape sparse matrix {arg1.shape} -> {tuple(shape)}")
+      out = SparseArray(arg1.cols, arg1.vals, arg1.shape, arg1.nnz)
+      if dtype is not None and np.dtype(dtype) != out.dtype:
+        out = out.astype(dtype)
+    else:
+      out = from_scipy(
+          getattr(ss, f"{fmt}_matrix")(arg1, shape=shape, dtype=dtype))
+    out.fmt = fmt
+    return out
+
+  ctor.__name__ = f"{fmt}_matrix"
+  ctor.__qualname__ = f"{fmt}_matrix"
+  ctor.__doc__ = (
+      f"scipy.sparse.{fmt}_matrix-compatible constructor — accepts the "
+      f"same input forms, stores padded ELL on device, tags "
+      f"``.format='{fmt}'``.")
+  return ctor
+
+
+csr_matrix = _format_ctor("csr")
+csc_matrix = _format_ctor("csc")
+coo_matrix = _format_ctor("coo")
+bsr_matrix = _format_ctor("bsr")
+dia_matrix = _format_ctor("dia")
+# scipy's new sparse-ARRAY API: same constructors (our SparseArray
+# already has array (not matrix) elementwise-multiply semantics only
+# through .multiply, matching the classic API surface we document).
+csr_array = _format_ctor("csr")
+csc_array = _format_ctor("csc")
+coo_array = _format_ctor("coo")
+bsr_array = _format_ctor("bsr")
+dia_array = _format_ctor("dia")
+
+
+def _isspmatrix_for(fmt: str):
+  def pred(x) -> bool:
+    return isinstance(x, SparseArray) and x.fmt == fmt
+
+  pred.__name__ = f"isspmatrix_{fmt}"
+  pred.__qualname__ = f"isspmatrix_{fmt}"
+  pred.__doc__ = (
+      f"True when ``x`` is a device sparse array whose DECLARED format "
+      f"tag is ``'{fmt}'`` (the device layout is always padded ELL; "
+      f"the tag records the constructor/format= the user asked for)."
+      + ("  Always False in practice: this host-mutation format is a "
+         "documented non-goal." if fmt in ("dok", "lil") else ""))
+  return pred
+
+
+isspmatrix_csr = _isspmatrix_for("csr")
+isspmatrix_csc = _isspmatrix_for("csc")
+isspmatrix_coo = _isspmatrix_for("coo")
+isspmatrix_bsr = _isspmatrix_for("bsr")
+isspmatrix_dia = _isspmatrix_for("dia")
+isspmatrix_dok = _isspmatrix_for("dok")
+isspmatrix_lil = _isspmatrix_for("lil")
+
+
+def find(A):
+  """``(row, col, value)`` arrays of the nonzeros (duplicates summed,
+  explicit zeros dropped) — host fetch, scipy contract."""
+  import scipy.sparse as ss
+  return ss.find(_as_sparse(A).to_scipy())
+
+
+def save_npz(file, matrix, compressed: bool = True) -> None:
+  """Persist to scipy's ``.npz`` container (host boundary — file IO).
+  The declared format tag rides along via the stored scipy format."""
+  import scipy.sparse as ss
+  m = _as_sparse(matrix)
+  out = m.to_scipy()
+  if m.fmt in ("csc", "coo", "bsr", "dia"):
+    out = getattr(out, f"to{m.fmt}")()
+  ss.save_npz(file, out, compressed=compressed)
+
+
+def load_npz(file) -> SparseArray:
+  """Load a scipy ``.npz`` sparse container onto the device (host
+  boundary — file IO); the stored scipy format becomes the tag."""
+  import scipy.sparse as ss
+  m = ss.load_npz(file)
+  out = from_scipy(m)
+  if m.format in _KNOWN_FORMATS:
+    out.fmt = m.format
+  return out
+
+
+class SparseWarning(Warning):
+  """Base sparse warning (scipy.sparse.SparseWarning parity)."""
+
+
+class SparseEfficiencyWarning(SparseWarning):
+  """Emitted when an operation falls off the efficient device path."""
+
+
+# scipy 1.x sparse-ARRAY builder aliases (keyword-only signatures).
+
+def eye_array(m, n=None, *, k: int = 0, dtype=float,
+              format=None) -> SparseArray:
+  return eye(m, n, k=k, dtype=dtype, format=format)
+
+
+def diags_array(diagonals, /, *, offsets=0, shape=None, format=None,
+                dtype=None) -> SparseArray:
+  return diags(diagonals, offsets, shape=shape, format=format, dtype=dtype)
+
+
+def block_array(blocks, *, format=None, dtype=None) -> SparseArray:
+  return bmat(blocks, format=format, dtype=dtype)
+
+
+def random_array(shape, *, density: float = 0.01, format=None,
+                 dtype=None, rng=None, data_sampler=None,
+                 random_state=None) -> SparseArray:
+  m, n = shape
+  out = random(m, n, density, format=format,
+               dtype=(dtype if dtype is not None else np.float64),
+               random_state=(rng if rng is not None else random_state),
+               data_rvs=data_sampler)
+  return out
+
+
+__all__ += [
+    "csr_matrix", "csc_matrix", "coo_matrix", "bsr_matrix", "dia_matrix",
+    "csr_array", "csc_array", "coo_array", "bsr_array", "dia_array",
+    "isspmatrix_csr", "isspmatrix_csc", "isspmatrix_coo", "isspmatrix_bsr",
+    "isspmatrix_dia", "isspmatrix_dok", "isspmatrix_lil",
+    "find", "save_npz", "load_npz",
+    "SparseWarning", "SparseEfficiencyWarning",
+    "eye_array", "diags_array", "block_array", "random_array",
+]

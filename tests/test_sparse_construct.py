@@ -222,3 +222,83 @@ def test_issparse(rng):
   assert sp.sparse.issparse(sp.sparse.from_scipy(_rand_sparse(rng, 3, 3)))
   assert not sp.sparse.issparse(np.eye(3))
   assert sp.sparse.isspmatrix is sp.sparse.issparse
+
+
+# ---------------------------------------------------------------------------
+# r5 parity sweep: format constructors, predicates, find, npz IO
+# ---------------------------------------------------------------------------
+
+def test_format_constructors_all_input_forms(rng, tmp_path):
+  D = np.array([[1.0, 0, 2], [0, 0, 3], [4, 5, 0]])
+  S = ss.csr_matrix(D)
+  coo = S.tocoo()
+  for name in ["csr_matrix", "csc_matrix", "coo_matrix", "dia_matrix",
+               "csr_array", "coo_array"]:
+    ctor = getattr(sp.sparse, name)
+    # dense, scipy-sparse, and (M, N) empty forms
+    np.testing.assert_array_equal(_dense(ctor(D)), D)
+    np.testing.assert_array_equal(_dense(ctor(S)), D)
+    assert ctor((3, 4)).nnz == 0 and ctor((3, 4)).shape == (3, 4)
+  # COO triplet form
+  got = sp.sparse.coo_matrix((coo.data, (coo.row, coo.col)), shape=(3, 3))
+  np.testing.assert_array_equal(_dense(got), D)
+  assert got.format == "coo"
+  # CSR compressed form
+  got = sp.sparse.csr_matrix((S.data, S.indices, S.indptr), shape=(3, 3))
+  np.testing.assert_array_equal(_dense(got), D)
+  # dtype= casts; SparseArray passthrough retags without sharing
+  f32 = sp.sparse.csr_matrix(D, dtype=np.float32)
+  assert f32.dtype == np.float32
+  re = sp.sparse.coo_matrix(f32)
+  assert re.format == "coo" and f32.format == "csr"
+
+
+def test_isspmatrix_predicates():
+  A = sp.sparse.csc_matrix(np.eye(3))
+  assert sp.sparse.isspmatrix_csc(A) and not sp.sparse.isspmatrix_csr(A)
+  assert not sp.sparse.isspmatrix_dok(A) and not sp.sparse.isspmatrix_lil(A)
+  assert sp.sparse.issparse(A)
+  B = sp.sparse.from_dense(np.eye(3))
+  assert sp.sparse.isspmatrix_csr(B)  # ingest canonicalizes via CSR
+
+
+def test_find_matches_scipy(rng):
+  M = _rand_sparse(rng, 9, 7)
+  r, c, v = sp.sparse.find(sp.sparse.csr_matrix(M))
+  rr, cc, vv = ss.find(M)
+  np.testing.assert_array_equal(r, rr)
+  np.testing.assert_array_equal(c, cc)
+  np.testing.assert_allclose(v, vv)
+
+
+def test_npz_roundtrip(tmp_path, rng):
+  M = _rand_sparse(rng, 8, 8)
+  A = sp.sparse.coo_matrix(M)
+  p = str(tmp_path / "m.npz")
+  sp.sparse.save_npz(p, A)
+  back = sp.sparse.load_npz(p)
+  np.testing.assert_allclose(_dense(back), M.toarray())
+  assert back.format == "coo"
+  # scipy can read what we wrote
+  np.testing.assert_allclose(ss.load_npz(p).toarray(), M.toarray())
+
+
+def test_array_api_builders():
+  np.testing.assert_array_equal(
+      _dense(sp.sparse.eye_array(4, k=1)), ss.eye_array(4, k=1).toarray())
+  np.testing.assert_array_equal(
+      _dense(sp.sparse.diags_array([1., 2, 3], offsets=1, shape=(4, 4))),
+      ss.diags_array([1., 2, 3], offsets=1, shape=(4, 4)).toarray())
+  blocks = [[np.eye(2), None], [None, 2 * np.eye(2)]]
+  np.testing.assert_array_equal(
+      _dense(sp.sparse.block_array(blocks)),
+      ss.block_array([[ss.csr_matrix(np.eye(2)), None],
+                      [None, ss.csr_matrix(2 * np.eye(2))]]).toarray())
+  R = sp.sparse.random_array((20, 10), density=0.3,
+                             rng=np.random.default_rng(3))
+  assert R.shape == (20, 10) and R.nnz == round(0.3 * 200)
+
+
+def test_sparse_warnings_exist():
+  assert issubclass(sp.sparse.SparseEfficiencyWarning,
+                    sp.sparse.SparseWarning)
