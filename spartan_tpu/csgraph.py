@@ -30,7 +30,7 @@ from __future__ import annotations
 import numpy as np
 
 import spartan_tpu as sp
-from spartan_tpu.backend.sparse import SparseArray, from_scipy
+from spartan_tpu.backend.sparse import SparseArray, from_coo, from_scipy
 from spartan_tpu.util import log_info
 
 
@@ -592,3 +592,96 @@ def structural_rank(csgraph):
 def maximum_bipartite_matching(csgraph, perm_type="row"):
   return _host_cs("maximum_bipartite_matching", csgraph,
                   perm_type=perm_type)
+
+
+def yen(csgraph, source, sink, K, *, directed=True,
+        return_predecessors=False, unweighted=False):
+  """Yen's K-shortest loopless paths — inherently sequential (each
+  candidate spur re-runs a blocked Dijkstra on a mutated graph), host
+  boundary."""
+  return _host_cs("yen", csgraph, int(source), int(sink), int(K),
+                  directed=directed,
+                  return_predecessors=return_predecessors,
+                  unweighted=unweighted)
+
+
+def maximum_flow(csgraph, source, sink, *, method="dinic"):
+  """Max flow (Dinic/Edmonds-Karp) — augmenting-path search is
+  inherently sequential, host boundary.  Returns scipy's
+  ``MaximumFlowResult`` (``.flow`` is a scipy CSR — wrap with
+  ``sp.sparse.csr_matrix`` to move it on-device)."""
+  _host_notice("maximum_flow")
+  import scipy.sparse.csgraph as cs
+  G = _as_sparse(csgraph).to_scipy().tocsr()
+  return cs.maximum_flow(G.astype(np.int32) if G.dtype != np.int32 else G,
+                         int(source), int(sink), method=method)
+
+
+def min_weight_full_bipartite_matching(biadjacency, maximize=False):
+  """Min-weight full bipartite matching (LAPJVsp) — sequential
+  augmenting shortest paths, host boundary."""
+  return _host_cs("min_weight_full_bipartite_matching", biadjacency,
+                  maximize=maximize)
+
+
+def _sym_weight(G, GT, p, j):
+  """Edge weight w(p→j); for undirected graphs csgraph uses the lighter
+  of the two stored directions (0 = absent)."""
+  w = np.asarray(G[p, j]).ravel()
+  if GT is None:
+    return w
+  w2 = np.asarray(GT[p, j]).ravel()
+  return np.where((w != 0) & (w2 != 0), np.minimum(w, w2), w + w2)
+
+
+def reconstruct_path(csgraph, predecessors, directed=True):
+  """Tree from a predecessor vector: one vectorized edge-list build
+  (edge ``(pred[j], j)`` with the graph's weight), no path walking.
+  Returns the tree as a device :class:`SparseArray` (scipy returns
+  CSR)."""
+  G = _as_sparse(csgraph).to_scipy().tocsr()
+  n = G.shape[0]
+  pred = np.asarray(predecessors).ravel()
+  if pred.shape != (n,):
+    raise ValueError(f"predecessors must have shape ({n},)")
+  j = np.flatnonzero(pred >= 0)
+  p = pred[j]
+  w = _sym_weight(G, None if directed else G.T.tocsr(), p, j)
+  # unweighted trees (BFS) store implicit weight 1 per edge
+  w = np.where(w == 0, 1.0, w)
+  return from_coo(p, j, w, (n, n))
+
+
+def construct_dist_matrix(graph, predecessors, directed=True,
+                          null_value=np.inf):
+  """Distances implied by a full (N, N) predecessor matrix (row i
+  rooted at i) — a LEVEL-SYNCHRONOUS gather recurrence instead of
+  scipy's per-pair path walk: ``D[i, j] = D[i, pred[i, j]] + w``,
+  iterated with `take_along_axis` until fixed point (path-depth
+  rounds, each one vectorized over all N² entries)."""
+  G = _as_sparse(graph).to_scipy().tocsr()
+  n = G.shape[0]
+  pred = np.asarray(predecessors)
+  if pred.shape != (n, n):
+    raise ValueError(f"predecessors must have shape ({n}, {n})")
+  valid = pred >= 0
+  rows_p = np.where(valid, pred, 0)
+  cols_j = np.broadcast_to(np.arange(n), (n, n))
+  w = _sym_weight(G, None if directed else G.T.tocsr(),
+                  rows_p.ravel(), cols_j.ravel()).reshape(n, n)
+  d = np.full((n, n), np.inf)
+  np.fill_diagonal(d, 0.0)
+  for _ in range(n):
+    dp = np.take_along_axis(d, rows_p, axis=1)
+    nd = np.where(valid, dp + w, d)
+    np.fill_diagonal(nd, 0.0)
+    if np.array_equal(nd, d):
+      break
+    d = nd
+  if not np.isinf(null_value):
+    d = np.where(np.isinf(d), null_value, d)
+  return d
+
+
+__all__ += ["yen", "maximum_flow", "min_weight_full_bipartite_matching",
+            "reconstruct_path", "construct_dist_matrix"]

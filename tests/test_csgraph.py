@@ -294,3 +294,52 @@ def test_laplacian_self_loops_and_isolated():
                           normed=normed, return_diag=True)
     assert np.allclose(np.asarray(Ls.todense()), Lw.toarray())
     assert np.allclose(d_s, dw)
+
+
+def test_reconstruct_path_matches_scipy():
+  import scipy.sparse.csgraph as cs
+  rng = np.random.default_rng(11)
+  for directed in (True, False):
+    D = rng.random((12, 12)) * (rng.random((12, 12)) < 0.4)
+    np.fill_diagonal(D, 0)
+    G = ss.csr_matrix(D)
+    _, pred = cs.dijkstra(G, directed=directed, indices=0,
+                          return_predecessors=True)
+    want = cs.reconstruct_path(G, pred, directed=directed).toarray()
+    got = sp.sparse.csgraph.reconstruct_path(
+        sp.sparse.csr_matrix(G), pred, directed=directed).todense()
+    np.testing.assert_allclose(np.asarray(got), want)
+
+
+def test_construct_dist_matrix_matches_scipy():
+  import scipy.sparse.csgraph as cs
+  rng = np.random.default_rng(12)
+  for directed in (True, False):
+    D = rng.random((10, 10)) * (rng.random((10, 10)) < 0.35)
+    np.fill_diagonal(D, 0)
+    G = ss.csr_matrix(D)
+    dist, pred = cs.shortest_path(G, directed=directed,
+                                  return_predecessors=True)
+    want = cs.construct_dist_matrix(G, pred, directed=directed)
+    got = sp.sparse.csgraph.construct_dist_matrix(
+        sp.sparse.csr_matrix(G), pred, directed=directed)
+    np.testing.assert_allclose(got, want)
+
+
+def test_yen_and_flow_and_matching_host_wrappers():
+  import scipy.sparse.csgraph as cs
+  D = np.array([[0, 4, 2, 0], [0, 0, 5, 10], [0, 0, 0, 3], [0, 0, 0, 0]],
+               dtype=float)
+  G = sp.sparse.csr_matrix(D)
+  got = sp.sparse.csgraph.yen(G, 0, 3, 2)
+  want = cs.yen(ss.csr_matrix(D), 0, 3, 2)
+  np.testing.assert_allclose(got, want)
+  r = sp.sparse.csgraph.maximum_flow(
+      sp.sparse.csr_matrix(D.astype(np.int32)), 0, 3)
+  assert r.flow_value == cs.maximum_flow(
+      ss.csr_matrix(D.astype(np.int32)), 0, 3).flow_value
+  B = np.array([[2.0, 0, 1], [0, 3, 0], [4, 0, 6]])
+  rr, cc = sp.sparse.csgraph.min_weight_full_bipartite_matching(
+      sp.sparse.csr_matrix(B))
+  wr, wc = cs.min_weight_full_bipartite_matching(ss.csr_matrix(B))
+  assert B[rr, cc].sum() == B[wr, wc].sum()
