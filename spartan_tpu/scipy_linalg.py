@@ -911,3 +911,504 @@ def matrix_balance(A, permute: bool = True, scale: bool = True):
   st = _host_call("matrix_balance", [A], multi_n=2,
                   permute=permute, scale=scale)
   return st[:n], st[n:]
+
+
+# ---------------------------------------------------------------------
+# r5 parity sweep: remaining scipy.linalg names.
+#
+# On-device where the math is MXU/FFT-shaped (rq via flipped QR,
+# orthogonal_procrustes via SVD, fractional_matrix_power via the gated
+# logm/expm pair, circulant/Toeplitz solves+products via FFT); host
+# boundary for the LAPACK specialties with no XLA kernel (QZ family,
+# banded eig/Cholesky, Riccati, QR updates, Levinson).
+# ---------------------------------------------------------------------
+
+def eigvalsh_tridiagonal(d, e, select="a", select_range=None,
+                         check_finite=True, tol=0.0, lapack_driver="auto"):
+  """Eigenvalues of a symmetric tridiagonal matrix — ON-DEVICE
+  (``eigh_tridiagonal`` already lowers jax's values-only kernel)."""
+  del check_finite, tol, lapack_driver
+  if select != "a" or select_range is not None:
+    raise NotImplementedError(
+        "eigvalsh_tridiagonal: select= subsets need the host "
+        "eig_banded path")
+  return eigh_tridiagonal(d, e)
+
+
+def diagsvd(s, M: int, N: int):
+  """``(M, N)`` rectangular diagonal from singular values — a lazy
+  gather (the convolution_matrix idiom), stays on device."""
+  s = sp.lazify(s)
+  k = s.shape[0]
+  if k != min(M, N):
+    raise ValueError(f"diagsvd: len(s)={k} != min(M, N)={min(M, N)}")
+  g = sp.concatenate([s, sp.zeros((1,), dtype=s.aval().dtype)])
+  ii = np.arange(int(M))[:, None]
+  jj = np.arange(int(N))[None, :]
+  return g[np.where((ii == jj) & (ii < k), np.minimum(ii, k - 1), k)]
+
+
+def hadamard(n: int, dtype=int):
+  """Sylvester Hadamard matrix via the bit-parity closed form
+  ``H[i,j] = (-1)^popcount(i & j)`` (no recursion).  Integer dtypes
+  return the exact HOST array (the pascal/invpascal convention);
+  float dtypes return a lazy device expr."""
+  n = int(n)
+  if n < 1 or (n & (n - 1)):
+    raise ValueError("n must be a positive power of 2")
+  i = np.arange(n)
+  par = np.bitwise_count(i[:, None] & i[None, :]) & 1
+  H = np.where(par, -1, 1).astype(dtype)
+  if np.issubdtype(np.dtype(dtype), np.floating):
+    return sp.from_numpy(H)
+  return H
+
+
+def invpascal(n: int, kind: str = "symmetric", exact: bool = True):
+  """Inverse Pascal matrix (host integer combinatorics, the pascal
+  convention): ``exact=True`` returns the exact HOST array (object
+  dtype past int64), ``exact=False`` a lazy float expr."""
+  import scipy.linalg as sla
+  m = sla.invpascal(int(n), kind=kind, exact=exact)
+  return m if exact else sp.from_numpy(np.asarray(m, float))
+
+
+def clarkson_woodruff_transform(input_matrix, sketch_size: int,
+                                rng=None, *, seed=None):
+  """Count-sketch ``S @ A`` — the sketch is applied as ONE one-hot
+  signed matmul on the MXU (the framework's segment-sum idiom: 47x a
+  scatter on v5e), not a host scatter.  Sketch support is sampled
+  host-side (RNG contract)."""
+  A = sp.lazify(input_matrix)
+  m = A.shape[0]
+  g = (rng if isinstance(rng, np.random.Generator)
+       else np.random.default_rng(rng if rng is not None else seed))
+  rows = g.integers(0, int(sketch_size), size=m)
+  signs = g.integers(0, 2, size=m) * 2.0 - 1.0
+  S = np.zeros((int(sketch_size), m))
+  S[rows, np.arange(m)] = signs
+  return sp.dot(sp.Val(S.astype(np.dtype(A.aval().dtype), copy=False)), A)
+
+
+def orthogonal_procrustes(A, B, check_finite: bool = True):
+  """``min_R ||A R - B||_F`` over orthogonal R — ON-DEVICE SVD of
+  ``A^T B``; the rotation stays lazy, only the packed scale row is
+  fetched."""
+  del check_finite
+  A, B = sp.lazify(A), sp.lazify(B)
+  _replication_guard(A, "orthogonal_procrustes")
+
+  def kern(a, b):
+    import jax.numpy as jnp
+    dt = jnp.result_type(a.dtype, b.dtype, jnp.float32)
+    u, s, vt = jnp.linalg.svd(a.astype(dt).T @ b.astype(dt))
+    r = u @ vt
+    return jnp.concatenate(
+        [r, jnp.full((1, r.shape[1]), jnp.sum(s), r.dtype)], axis=0)
+
+  st = sp.map([A, B], kern)
+  n = A.shape[1]
+  scale = float(np.asarray(st[n, 0].glom()))
+  return st[:n], scale
+
+
+def rq(a, overwrite_a=False, lwork=None, mode: str = "full",
+       check_finite=True):
+  """RQ decomposition ``A = R Q`` — ON-DEVICE via the flipped-QR
+  identity (one fused jnp.linalg.qr kernel), no LAPACK gerqf.  Signs
+  follow jax's QR convention (decompositions are unique only up to
+  per-row signs; reconstruction and triangularity match scipy).
+  ``mode='r'`` returns R alone."""
+  del overwrite_a, lwork, check_finite
+  if mode not in ("full", "economic", "r"):
+    raise ValueError(f"unknown mode {mode!r}")
+  A = sp.lazify(a)
+  _replication_guard(A, "rq")
+  m, n = A.shape
+  k = min(m, n)
+  full = mode == "full"
+
+  cols = n if full else k
+
+  def kern(x):
+    import jax.numpy as jnp
+    dt = jnp.result_type(x.dtype, jnp.float32)
+    # RQ(A): QR of the reversed transpose.  flip = reversal along both
+    # axes of the triangular factor maps lower<->upper.
+    q1, r1 = jnp.linalg.qr(jnp.flipud(x.astype(dt)).T,
+                           mode="complete" if full else "reduced")
+    q = jnp.flipud(q1.T)                      # (cols, n)
+    r = jnp.flip(r1.T)                        # (m, cols) upper-right tri
+    if cols < n:                              # pack: pad r's width to n
+      r = jnp.concatenate([r, jnp.zeros((r.shape[0], n - cols), dt)],
+                          axis=1)
+    return jnp.concatenate([r, q], axis=0)
+
+  st = sp.map([A], kern)
+  R = st[:m, :cols]
+  if mode == "r":
+    return R
+  return R, st[m:]
+
+
+def fractional_matrix_power(A, t):
+  """``A^t`` — integer ``t`` is one fused device ``matrix_power``
+  (binary powering on the MXU, negative t via inv); fractional ``t``
+  composes the gated on-device ``logm``/``expm`` pair
+  (``expm(t·logm(A))``), falling back to the host Schur path when the
+  spectrum touches the principal branch cut."""
+  A = sp.lazify(A)
+  t = float(t)
+  if _is_complex(A):
+    return _host_call("fractional_matrix_power", [A], t=t)
+  if t.is_integer():
+    _replication_guard(A, "fractional_matrix_power")
+
+    def kern(x, _n=int(t)):
+      import jax.numpy as jnp
+      dt = jnp.result_type(x.dtype, jnp.float32)
+      return jnp.linalg.matrix_power(x.astype(dt), _n)
+
+    return sp.map([A], kern)
+  L = logm(A)
+  if isinstance(L, HostExpr):
+    return _host_call("fractional_matrix_power", [A], t=t)
+  return expm(t * L)
+
+
+def _fft_localize(*arrays):
+  """Constrain operands fully local before an in-kernel FFT — the same
+  dodge fft.py uses for the XLA:CPU fft-thunk layout RET_CHECK that
+  aborts programs whose transform axis is sharded (and on TPU these
+  utility transforms are small enough that replication is the right
+  layout anyway)."""
+  import jax
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  from spartan_tpu.core.mesh import get_mesh
+  mesh = get_mesh()
+  if mesh is None or mesh.devices.size <= 1:
+    return arrays
+  return tuple(
+      jax.lax.with_sharding_constraint(
+          x, NamedSharding(mesh, P(*([None] * x.ndim))))
+      for x in arrays)
+
+
+def _cr_pair(c_or_cr, what):
+  if isinstance(c_or_cr, tuple):
+    c, r = c_or_cr
+    return sp.lazify(c), sp.lazify(r)
+  c = sp.lazify(c_or_cr)
+  if _is_complex(c):
+    raise NotImplementedError(
+        f"{what}: bare complex c (implicit r = conj(c)) routes host — "
+        "pass (c, r) explicitly")
+  return c, c
+
+
+def matmul_toeplitz(c_or_cr, x, check_finite=False, workers=None):
+  """Toeplitz @ x by FFT circulant embedding — ONE fused device kernel
+  (rfft · rfft → irfft), O((m+n) log(m+n)) instead of the O(mn)
+  matmul.  Complex inputs route host (axon cannot fetch complex)."""
+  del check_finite, workers
+  c, r = _cr_pair(c_or_cr, "matmul_toeplitz")
+  X = sp.lazify(x)
+  if _is_complex(c) or _is_complex(r) or _is_complex(X):
+    import scipy.linalg as sla
+    _host_notice("matmul_toeplitz")
+    return HostExpr(
+        [c, r, X],
+        lambda cc, rr, xx: sla.matmul_toeplitz((cc, rr), xx))
+  m, n = c.shape[0], r.shape[0]
+  vec = len(X.shape) == 1
+  if X.shape[0] != n:
+    raise ValueError(f"x has {X.shape[0]} rows, needs {n}")
+  _replication_guard(X, "matmul_toeplitz")
+
+  def kern(cc, rr, xx, _m=m, _n=n):
+    import jax.numpy as jnp
+    cc, rr, xx = _fft_localize(cc, rr, xx)
+    dt = jnp.result_type(cc.dtype, rr.dtype, xx.dtype, jnp.float32)
+    L = _m + _n - 1
+    # first circulant column: [c_0..c_{m-1}, r_{n-1}..r_1].  FFTs run
+    # along the LAST axis of transposed operands — the XLA:CPU fft
+    # thunk RET_CHECKs non-dim0-major input layouts, and last-axis
+    # transforms of row-major arrays are always contiguous.
+    emb = jnp.concatenate([cc.astype(dt), jnp.flip(rr.astype(dt)[1:])])
+    xt = xx.astype(dt).reshape(_n, -1).T          # (k, n)
+    pad = jnp.zeros((xt.shape[0], L - _n), dt)
+    fx = jnp.fft.rfft(jnp.concatenate([xt, pad], axis=1), axis=1)
+    fe = jnp.fft.rfft(emb)
+    return jnp.fft.irfft(fe[None, :] * fx, n=L, axis=1)[:, :_m].T
+
+  out = sp.map([c, r, X], kern)
+  return out[:, 0] if vec else out
+
+
+def solve_circulant(c, b, singular: str = "raise", tol=None,
+                    caxis: int = -1, baxis: int = 0, outaxis: int = 0):
+  """Solve ``circulant(c) x = b`` by FFT diagonalization — one fused
+  device kernel.  The 1-D-c core runs on device; the general
+  broadcast/axis form routes host (rare, pure plumbing).  With
+  ``singular='lstsq'`` near-zero frequencies are zeroed IN-KERNEL
+  (tol computed on device); ``'raise'`` fetches the two scalar
+  extremes first (scipy contract needs a host exception)."""
+  C, B = sp.lazify(c), sp.lazify(b)
+  if (len(C.shape) != 1 or caxis not in (-1, 0) or baxis != 0
+      or outaxis != 0 or _is_complex(C) or _is_complex(B)):
+    import scipy.linalg as sla
+    _host_notice("solve_circulant")
+    return HostExpr([C, B], functools.partial(
+        sla.solve_circulant, singular=singular, tol=tol,
+        caxis=caxis, baxis=baxis, outaxis=outaxis))
+  n = C.shape[0]
+  if B.shape[0] != n:
+    raise ValueError(f"b has {B.shape[0]} rows, needs {n}")
+  if singular not in ("raise", "lstsq"):
+    raise ValueError(f"singular must be 'raise' or 'lstsq'")
+  _replication_guard(B, "solve_circulant")
+  vec = len(B.shape) == 1
+
+  def fextremes(cc):
+    import jax.numpy as jnp
+    (cc,) = _fft_localize(cc)
+    fc = jnp.abs(jnp.fft.fft(cc.astype(
+        jnp.result_type(cc.dtype, jnp.float32))))
+    return jnp.stack([jnp.min(fc), jnp.max(fc)])
+
+  if singular == "raise":
+    lo, hi = np.asarray(sp.map([C], fextremes).glom())
+    t = float(tol) if tol is not None else (
+        float(hi) * n * np.finfo(np.float64).eps)
+    if lo <= t:
+      raise np.linalg.LinAlgError("Singular circulant matrix.")
+
+  def kern(cc, bb, _n=n, _tol=tol, _lstsq=(singular == "lstsq")):
+    import jax.numpy as jnp
+    cc, bb = _fft_localize(cc, bb)
+    dt = jnp.result_type(cc.dtype, bb.dtype, jnp.float32)
+    # real inputs (complex routed host above) → rfft half-spectrum;
+    # |fc| is conjugate-symmetric so the lstsq cut mask matches the
+    # full-spectrum one.  Last-axis transforms (fft-thunk layout) — the
+    # complex-fft thunk RET_CHECKs batched non-dim0-major layouts that
+    # the rfft one tolerates.
+    fc = jnp.fft.rfft(cc.astype(dt))
+    fb = jnp.fft.rfft(bb.astype(dt).reshape(_n, -1).T, axis=1)
+    if _lstsq:
+      afc = jnp.abs(fc)
+      cut = (jnp.asarray(_tol, afc.dtype) if _tol is not None
+             else jnp.max(afc) * _n * jnp.finfo(afc.dtype).eps)
+      q = jnp.where((afc <= cut)[None, :], 0.0, fb / fc[None, :])
+    else:
+      q = fb / fc[None, :]
+    return jnp.fft.irfft(q, n=_n, axis=1).T
+
+  out = sp.map([C, B], kern)
+  return out[:, 0] if vec else out
+
+
+def cdf2rdf(w, v):
+  """Complex eigen-pairs → real block-diagonal form — a vectorized
+  host transform of (already-host) ``eig`` outputs: conjugate pairs
+  ``a ± bi`` become ``[[a, b], [-b, a]]`` blocks, the paired
+  eigenvector's real/imag parts become the two real columns."""
+  w = np.asarray(sp.lazify(w).glom())
+  v = np.asarray(sp.lazify(v).glom())
+  if w.ndim != 1 or v.ndim != 2:
+    raise NotImplementedError("cdf2rdf: stacked inputs route via scipy")
+  cm = np.flatnonzero(np.imag(w) != 0)
+  if cm.size % 2:
+    raise ValueError("expected complex-conjugate pairs of eigenvalues")
+  # scipy pairs consecutive complex entries (not necessarily adjacent
+  # in w) and builds columns (-imag, real) via v @ u, u the 2x2 block
+  # [[i, 1], [-i, 1]]/2 — mirror that exactly
+  j, k = cm[0::2], cm[1::2]
+  M = np.diag(np.real(w))
+  M[j, k] = np.imag(w[j])
+  M[k, j] = np.imag(w[k])
+  vr = np.real(v).copy()
+  vr[:, j] = -0.5 * (np.imag(v[:, j]) - np.imag(v[:, k]))
+  vr[:, k] = 0.5 * (np.real(v[:, j]) + np.real(v[:, k]))
+  return M, vr
+
+
+# --- host-boundary LAPACK specialties (no XLA kernel) ----------------
+
+def qz(A, B, output: str = "real", lwork=None, sort=None,
+       overwrite_a=False, overwrite_b=False, check_finite=True):
+  """Generalized Schur (QZ) — host boundary, one factorization
+  stacked (AA, BB, Q, Z)."""
+  del lwork, overwrite_a, overwrite_b, check_finite
+  if sort is not None:
+    raise ValueError("qz: sort= was removed by scipy; use ordqz")
+  n = sp.lazify(A).shape[0]
+  st = _host_call("qz", [A, B], multi_n=4, output=output)
+  return st[:n], st[n:2 * n], st[2 * n:3 * n], st[3 * n:]
+
+
+def ordqz(A, B, sort="lhp", output: str = "real",
+          overwrite_a=False, overwrite_b=False, check_finite=True):
+  """Reordered QZ — EAGER host utility (mixed real/complex output
+  shapes do not stack into one HostExpr; callers inspect these
+  immediately)."""
+  del overwrite_a, overwrite_b, check_finite
+  import scipy.linalg as sla
+  _host_notice("ordqz")
+  return sla.ordqz(np.asarray(sp.lazify(A).glom()),
+                   np.asarray(sp.lazify(B).glom()),
+                   sort=sort, output=output)
+
+
+def cossin(X, p=None, q=None, separate: bool = False,
+           swap_sign: bool = False, compute_u: bool = True,
+           compute_vh: bool = True):
+  """Cosine-sine decomposition — EAGER host utility (LAPACK uncsd)."""
+  import scipy.linalg as sla
+  _host_notice("cossin")
+  if isinstance(X, (tuple, list)):
+    xs = tuple(np.asarray(sp.lazify(x).glom()) for x in X)
+  else:
+    xs = np.asarray(sp.lazify(X).glom())
+  return sla.cossin(xs, p=p, q=q, separate=separate,
+                    swap_sign=swap_sign, compute_u=compute_u,
+                    compute_vh=compute_vh)
+
+
+def eig_banded(a_band, lower=False, eigvals_only=False,
+               overwrite_a_band=False, select="a", select_range=None,
+               max_ev=0, check_finite=True):
+  """Banded symmetric eigenproblem — host boundary (one stacked
+  factorization: w row + v block)."""
+  del overwrite_a_band, check_finite
+  if eigvals_only:
+    return _host_call("eigvals_banded", [a_band], lower=lower,
+                      select=select, select_range=select_range)
+  if select != "a":
+    raise NotImplementedError(
+        "eig_banded select= subsets have data-dependent width; use "
+        "eigvals_banded or host scipy directly")
+  st = _host_call("eig_banded", [a_band], multi_n=2, lower=lower,
+                  max_ev=max_ev)
+  return st[0], st[1:]
+
+
+def eigvals_banded(a_band, lower=False, overwrite_a_band=False,
+                   select="a", select_range=None, check_finite=True):
+  del overwrite_a_band, check_finite
+  return _host_call("eigvals_banded", [a_band], lower=lower,
+                    select=select, select_range=select_range)
+
+
+def cholesky_banded(ab, overwrite_ab=False, lower=False,
+                    check_finite=True):
+  """Banded Cholesky — host boundary (returns the band form)."""
+  del overwrite_ab, check_finite
+  return _host_call("cholesky_banded", [ab], lower=lower)
+
+
+def cho_solve_banded(cb_and_lower, b, overwrite_b=False,
+                     check_finite=True):
+  """Solve with a banded Cholesky factor — host boundary."""
+  del overwrite_b, check_finite
+  import scipy.linalg as sla
+  cb, lower = cb_and_lower
+  _host_notice("cho_solve_banded")
+  return HostExpr([sp.lazify(cb), sp.lazify(b)],
+                  lambda c, bb: sla.cho_solve_banded((c, bool(lower)), bb))
+
+
+def solve_continuous_are(a, b, q, r, e=None, s=None, balanced=True):
+  """Continuous algebraic Riccati — host boundary (Schur-based)."""
+  args = [a, b, q, r] + ([e] if e is not None else []) \
+      + ([s] if s is not None else [])
+  if e is None and s is None:
+    return _host_call("solve_continuous_are", args, balanced=balanced)
+  import scipy.linalg as sla
+  _host_notice("solve_continuous_are")
+  return HostExpr([sp.lazify(x) for x in [a, b, q, r]],
+                  lambda aa, bb, qq, rr: sla.solve_continuous_are(
+                      aa, bb, qq, rr,
+                      e=None if e is None else np.asarray(sp.lazify(e).glom()),
+                      s=None if s is None else np.asarray(sp.lazify(s).glom()),
+                      balanced=balanced))
+
+
+def solve_discrete_are(a, b, q, r, e=None, s=None, balanced=True):
+  """Discrete algebraic Riccati — host boundary (Schur-based)."""
+  if e is None and s is None:
+    return _host_call("solve_discrete_are", [a, b, q, r],
+                      balanced=balanced)
+  import scipy.linalg as sla
+  _host_notice("solve_discrete_are")
+  return HostExpr([sp.lazify(x) for x in [a, b, q, r]],
+                  lambda aa, bb, qq, rr: sla.solve_discrete_are(
+                      aa, bb, qq, rr,
+                      e=None if e is None else np.asarray(sp.lazify(e).glom()),
+                      s=None if s is None else np.asarray(sp.lazify(s).glom()),
+                      balanced=balanced))
+
+
+def solve_toeplitz(c_or_cr, b, check_finite=True):
+  """Toeplitz solve — host boundary (Levinson-Durbin is an inherently
+  sequential O(n²) recursion; the FFT route only PRODUCTS, see
+  matmul_toeplitz)."""
+  del check_finite
+  import scipy.linalg as sla
+  c, r = _cr_pair(c_or_cr, "solve_toeplitz")
+  _host_notice("solve_toeplitz")
+  return HostExpr([c, r, sp.lazify(b)],
+                  lambda cc, rr, bb: sla.solve_toeplitz((cc, rr), bb))
+
+
+def expm_cond(A, check_finite=True):
+  """Relative condition number of expm — EAGER host scalar (scipy's
+  estimator is a Frechet-derivative norm power iteration)."""
+  del check_finite
+  import scipy.linalg as sla
+  _host_notice("expm_cond")
+  return float(sla.expm_cond(np.asarray(sp.lazify(A).glom())))
+
+
+def _qr_mod(name, arrays, **kw):
+  import scipy.linalg as sla
+  _host_notice(name)
+  fn = getattr(sla, name)
+  return fn(*[np.asarray(sp.lazify(a).glom()) for a in arrays], **kw)
+
+
+def qr_update(Q, R, u, v, overwrite_qruv=False, check_finite=True):
+  """Rank-1 QR update — EAGER host utility (sequential Givens sweeps;
+  on TPU, re-factorizing with sp.linalg.qr is usually faster)."""
+  del overwrite_qruv, check_finite
+  return _qr_mod("qr_update", [Q, R, u, v])
+
+
+def qr_insert(Q, R, u, k, which="row", rcond=None,
+              overwrite_qru=False, check_finite=True):
+  del overwrite_qru, check_finite
+  return _qr_mod("qr_insert", [Q, R, u], k=int(k), which=which,
+                 rcond=rcond)
+
+
+def qr_delete(Q, R, k, p=1, which="row", overwrite_qr=False,
+              check_finite=True):
+  del overwrite_qr, check_finite
+  return _qr_mod("qr_delete", [Q, R], k=int(k), p=int(p), which=which)
+
+
+def qr_multiply(a, c, mode="right", pivoting=False, conjugate=False,
+                overwrite_a=False, overwrite_c=False):
+  del overwrite_a, overwrite_c
+  return _qr_mod("qr_multiply", [a, c], mode=mode, pivoting=pivoting,
+                 conjugate=conjugate)
+
+
+__all__ += [
+    "eigvalsh_tridiagonal", "diagsvd", "hadamard", "invpascal",
+    "clarkson_woodruff_transform", "orthogonal_procrustes", "rq",
+    "fractional_matrix_power", "matmul_toeplitz", "solve_circulant",
+    "cdf2rdf", "qz", "ordqz", "cossin", "eig_banded", "eigvals_banded",
+    "cholesky_banded", "cho_solve_banded", "solve_continuous_are",
+    "solve_discrete_are", "solve_toeplitz", "expm_cond",
+    "qr_update", "qr_insert", "qr_delete", "qr_multiply",
+]

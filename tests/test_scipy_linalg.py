@@ -342,3 +342,175 @@ def test_companion_rejects_zero_leading():
   import pytest as _pt
   with _pt.raises(ValueError):
     L.companion(np.array([0., 1., 2.]))
+
+
+# ---------------------------------------------------------------------------
+# r5 parity sweep: remaining scipy.linalg names
+# ---------------------------------------------------------------------------
+
+def test_diagsvd_hadamard_invpascal():
+  s = np.array([3.0, 2.0, 1.0])
+  np.testing.assert_array_equal(g(L.diagsvd(s, 5, 3)),
+                                sla.diagsvd(s, 5, 3))
+  np.testing.assert_array_equal(g(L.diagsvd(s, 3, 6)),
+                                sla.diagsvd(s, 3, 6))
+  np.testing.assert_array_equal(L.hadamard(8), sla.hadamard(8))
+  np.testing.assert_array_equal(g(L.hadamard(4, dtype=float)),
+                                sla.hadamard(4, dtype=float))
+  with pytest.raises(ValueError):
+    L.hadamard(6)
+  np.testing.assert_array_equal(L.invpascal(5), sla.invpascal(5))
+  np.testing.assert_allclose(g(L.invpascal(5, exact=False)),
+                             sla.invpascal(5, exact=False))
+
+
+def test_rq_reconstruction():
+  for shape, mode in [((6, 6), "full"), ((4, 7), "full"), ((7, 4), "full"),
+                      ((4, 7), "economic"), ((7, 4), "economic")]:
+    M = rng.normal(size=shape)
+    R, Q = L.rq(M, mode=mode)
+    Rv, Qv = g(R), g(Q)
+    wr, wq = sla.rq(M, mode=mode)
+    assert Rv.shape == wr.shape and Qv.shape == wq.shape
+    np.testing.assert_allclose(Rv @ Qv, M, atol=1e-10)
+    np.testing.assert_allclose(Qv @ Qv.T, np.eye(Qv.shape[0]), atol=1e-10)
+    # same structural-zero pattern as scipy's R (signs may differ)
+    np.testing.assert_allclose(Rv[wr == 0], 0, atol=1e-10)
+  Ronly = g(L.rq(rng.normal(size=(5, 5)), mode="r")[0] * 1.0) \
+      if False else g(L.rq(rng.normal(size=(5, 5)), mode="r"))
+  assert Ronly.shape == (5, 5)
+
+
+def test_orthogonal_procrustes():
+  M = rng.normal(size=(9, 4))
+  w = rng.normal(size=(4, 4))
+  qw, _ = np.linalg.qr(w)
+  Bm = M @ qw + 0.01 * rng.normal(size=(9, 4))
+  R, scale = L.orthogonal_procrustes(M, Bm)
+  wR, wscale = sla.orthogonal_procrustes(M, Bm)
+  np.testing.assert_allclose(g(R), wR, atol=1e-9)
+  assert abs(scale - wscale) < 1e-8 * abs(wscale)
+
+
+def test_fractional_matrix_power():
+  M = 0.1 * rng.normal(size=(12, 12)) + 2 * np.eye(12)
+  for t in [3, -2, 0.5, 1.7, -0.3]:
+    got = g(L.fractional_matrix_power(M, t))
+    want = sla.fractional_matrix_power(M, t)
+    np.testing.assert_allclose(got, np.real(want), atol=2e-8)
+  # branch-cut spectrum → host fallback, complex result matches scipy
+  N = A @ np.diag(np.concatenate([[-2.0], 2 + np.arange(15.)])) \
+      @ np.linalg.inv(A)
+  got = g(L.fractional_matrix_power(N, 0.5))
+  np.testing.assert_allclose(got, sla.fractional_matrix_power(N, 0.5),
+                             atol=1e-7)
+
+
+def test_matmul_toeplitz_and_solves():
+  c = rng.normal(size=6)
+  r = np.concatenate([[c[0]], rng.normal(size=4)])
+  x1 = rng.normal(size=5)
+  x2 = rng.normal(size=(5, 3))
+  for x in (x1, x2):
+    got = g(L.matmul_toeplitz((c, r), x))
+    np.testing.assert_allclose(got, sla.matmul_toeplitz((c, r), x),
+                               atol=1e-10)
+  got = g(L.matmul_toeplitz(c, rng.normal(size=6)))
+  assert got.shape == (6,)
+  # circulant solve, well-conditioned
+  cc = np.array([5.0, 1, 0.5, 0.2])
+  b = rng.normal(size=4)
+  np.testing.assert_allclose(g(L.solve_circulant(cc, b)),
+                             sla.solve_circulant(cc, b), atol=1e-10)
+  B2 = rng.normal(size=(4, 2))
+  np.testing.assert_allclose(g(L.solve_circulant(cc, B2)),
+                             sla.solve_circulant(cc, B2), atol=1e-10)
+  # singular handling
+  csing = np.array([1.0, -1.0, 1.0, -1.0])
+  with pytest.raises(np.linalg.LinAlgError):
+    L.solve_circulant(csing, b)
+  np.testing.assert_allclose(
+      g(L.solve_circulant(csing, b, singular="lstsq")),
+      sla.solve_circulant(csing, b, singular="lstsq"), atol=1e-10)
+  # Toeplitz SOLVE is host-boundary Levinson
+  np.testing.assert_allclose(g(L.solve_toeplitz((c[:5], r), x1)),
+                             sla.solve_toeplitz((c[:5], r), x1),
+                             atol=1e-10)
+
+
+def test_cdf2rdf():
+  M = rng.normal(size=(6, 6))
+  w, v = np.linalg.eig(M)
+  wr, vr = L.cdf2rdf(w, v)
+  wwr, wvr = sla.cdf2rdf(w, v)
+  np.testing.assert_allclose(wr, wwr, atol=1e-12)
+  np.testing.assert_allclose(vr, wvr, atol=1e-12)
+  # the real form reconstructs the matrix
+  np.testing.assert_allclose(vr @ wr @ np.linalg.inv(vr), M, atol=1e-8)
+
+
+def test_qz_and_banded_host_wrappers():
+  M = rng.normal(size=(6, 6))
+  Bq = rng.normal(size=(6, 6))
+  AA, BB, Q, Z = (g(x) for x in L.qz(M, Bq))
+  np.testing.assert_allclose(Q @ AA @ Z.T, M, atol=1e-9)
+  np.testing.assert_allclose(Q @ BB @ Z.T, Bq, atol=1e-9)
+  res = L.ordqz(M, Bq, sort="lhp")
+  assert len(res) == 6
+  # banded eigh: tridiagonal comparison vs dense eigh
+  d = rng.normal(size=8) + 4
+  e = rng.normal(size=7)
+  band = np.zeros((2, 8)); band[0, 1:] = e; band[1] = d
+  T = np.diag(d) + np.diag(e, 1) + np.diag(e, -1)
+  w, v = L.eig_banded(band)
+  np.testing.assert_allclose(g(w), np.linalg.eigvalsh(T), atol=1e-10)
+  np.testing.assert_allclose(g(L.eigvals_banded(band)),
+                             np.linalg.eigvalsh(T), atol=1e-10)
+  np.testing.assert_allclose(g(L.eigvalsh_tridiagonal(d, e)),
+                             np.linalg.eigvalsh(T), atol=1e-10)
+  # banded cholesky + solve
+  ab = g(L.cholesky_banded(band))
+  np.testing.assert_allclose(ab, sla.cholesky_banded(band), atol=1e-10)
+  b = rng.normal(size=8)
+  np.testing.assert_allclose(g(L.cho_solve_banded((ab, False), b)),
+                             np.linalg.solve(T, b), atol=1e-10)
+
+
+def test_riccati_and_qr_updates():
+  n = 4
+  a = rng.normal(size=(n, n)) - 3 * np.eye(n)
+  b = rng.normal(size=(n, 2))
+  q = np.eye(n)
+  r = np.eye(2)
+  X = g(L.solve_continuous_are(a, b, q, r))
+  np.testing.assert_allclose(
+      a.T @ X + X @ a - X @ b @ np.linalg.inv(r) @ b.T @ X + q,
+      0, atol=1e-8)
+  Xd = g(L.solve_discrete_are(a * 0.1, b, q, r))
+  assert Xd.shape == (n, n)
+  # qr_update matches re-factorization
+  M = rng.normal(size=(6, 4))
+  Q, R = np.linalg.qr(M)
+  u = rng.normal(size=6)
+  v = rng.normal(size=4)
+  Q1, R1 = L.qr_update(Q, R, u, v)
+  np.testing.assert_allclose(Q1 @ R1, M + np.outer(u, v), atol=1e-10)
+  Q2, R2 = L.qr_delete(Q, R, 1, which="row")
+  np.testing.assert_allclose(Q2 @ R2, np.delete(M, 1, axis=0), atol=1e-10)
+  c = float(L.expm_cond(0.1 * rng.normal(size=(5, 5))))
+  assert c > 0
+
+
+def test_clarkson_woodruff_sketch():
+  M = rng.normal(size=(64, 8))
+  S = g(L.clarkson_woodruff_transform(M, 16, rng=np.random.default_rng(5)))
+  assert S.shape == (16, 8)
+  # norm preservation in expectation (loose sanity bound)
+  assert 0.3 < np.linalg.norm(S) / np.linalg.norm(M) < 3.0
+
+
+def test_cossin_host():
+  from scipy.stats import ortho_group
+  X = ortho_group.rvs(6, random_state=3)
+  u, cs, vdh = L.cossin(X, p=3, q=3)
+  np.testing.assert_allclose(u @ cs @ vdh, X, atol=1e-10)
