@@ -393,3 +393,152 @@ def test_eigsh_fused_breakdown_low_rank(rng, cluster):
   np.testing.assert_allclose(w, [3.0, 5.0], atol=1e-8)
   vv = np.asarray(sp.lazify(v).glom())
   assert np.abs(A @ vv - vv * w).max() < 1e-8
+
+
+# ---------------------------------------------------------------------------
+# r5 parity sweep: new solvers + matrix functions + structure + operators
+# ---------------------------------------------------------------------------
+
+def _nonsym(rng, n):
+  A = rng.standard_normal((n, n)) * 0.3 + n * 0.15 * np.eye(n)
+  xt = rng.standard_normal(n)
+  return A, xt, A @ xt
+
+
+def test_bicg_matches_direct(rng, cluster):
+  A, xt, b = _nonsym(rng, 64)
+  x, info = spl.bicg(A, b, rtol=1e-12, maxiter=500)
+  assert info == 0
+  np.testing.assert_allclose(np.asarray(x.glom()), xt, atol=1e-7)
+  # sparse operand (exercises the lazy A.T path)
+  S = _sparse_spd(96)
+  bt = S @ np.ones(96)
+  xs, info = spl.bicg(sp.sparse.csr_matrix(S), bt, rtol=1e-12)
+  assert info == 0
+  np.testing.assert_allclose(np.asarray(xs.glom()), np.ones(96), atol=1e-7)
+
+
+def test_cgs_matches_direct(rng, cluster):
+  A, xt, b = _nonsym(rng, 64)
+  x, info = spl.cgs(A, b, rtol=1e-12, maxiter=500)
+  assert info == 0
+  np.testing.assert_allclose(np.asarray(x.glom()), xt, atol=1e-6)
+
+
+def test_tfqmr_matches_direct(rng, cluster):
+  A, xt, b = _nonsym(rng, 64)
+  x, info = spl.tfqmr(A, b, rtol=1e-10, maxiter=500)
+  assert info == 0
+  np.testing.assert_allclose(np.asarray(x.glom()), xt, atol=1e-6)
+  # SPD sparse
+  S = _sparse_spd(96)
+  bt = S @ np.ones(96)
+  xs, info = spl.tfqmr(sp.sparse.csr_matrix(S), bt, rtol=1e-10)
+  assert info == 0
+  np.testing.assert_allclose(np.asarray(xs.glom()), np.ones(96), atol=1e-6)
+
+
+def test_qmr_matches_direct(rng, cluster):
+  A, xt, b = _nonsym(rng, 48)
+  x, info = spl.qmr(A, b, rtol=1e-11, maxiter=500)
+  assert info == 0
+  np.testing.assert_allclose(np.asarray(x.glom()), xt, atol=1e-6)
+
+
+def test_lsmr_overdetermined_and_damped(rng, cluster):
+  A = rng.standard_normal((80, 24))
+  b = rng.standard_normal(80)
+  x, istop, itn, normr, normar, normA, condA, normx = spl.lsmr(
+      A, b, atol=1e-12, btol=1e-12, maxiter=200)
+  want, *_ = np.linalg.lstsq(A, b, rcond=None)
+  np.testing.assert_allclose(np.asarray(x.glom()), want, atol=1e-7)
+  assert istop in (1, 2)
+  assert normr > 0 and normA > 0 and condA >= 1
+  # damped == ridge
+  damp = 0.7
+  xd = spl.lsmr(A, b, damp=damp, atol=1e-13, btol=1e-13, maxiter=400)[0]
+  ridge = np.linalg.solve(A.T @ A + damp**2 * np.eye(24), A.T @ b)
+  np.testing.assert_allclose(np.asarray(xd.glom()), ridge, atol=1e-7)
+
+
+def test_sparse_expm_inv_power_triangular(rng, cluster):
+  import scipy.sparse.linalg as ssl
+  S = _sparse_spd(24) * 0.05
+  Ssp = sp.sparse.csr_matrix(S)
+  np.testing.assert_allclose(np.asarray(spl.expm(Ssp).glom()),
+                             ssl.expm(S.tocsc()).toarray(), atol=1e-9)
+  np.testing.assert_allclose(np.asarray(spl.inv(Ssp).glom()),
+                             np.linalg.inv(S.toarray()), atol=1e-8)
+  np.testing.assert_allclose(np.asarray(spl.matrix_power(Ssp, 3).glom()),
+                             np.linalg.matrix_power(S.toarray(), 3),
+                             atol=1e-10)
+  # triangular solve
+  T = np.tril(rng.standard_normal((16, 16))) + 8 * np.eye(16)
+  bb = rng.standard_normal(16)
+  np.testing.assert_allclose(
+      np.asarray(spl.spsolve_triangular(
+          sp.sparse.csr_matrix(ss.csr_matrix(T)), bb).glom()),
+      ssl.spsolve_triangular(ss.csr_matrix(T), bb), atol=1e-9)
+
+
+def test_structure_probes(rng, cluster):
+  import scipy.sparse as ssp
+  T = ss.csr_matrix(np.tril(np.ones((6, 6))))
+  lo_up = spl.is_sptriangular(sp.sparse.csr_matrix(T))
+  assert tuple(lo_up) == (True, False)
+  D = ss.diags([np.ones(5), np.ones(6), np.ones(3)], [-1, 0, 3]).tocsr()
+  got = spl.spbandwidth(sp.sparse.csr_matrix(D))
+  assert tuple(got) == (1, 3)
+  if hasattr(ssp, "spbandwidth"):  # scipy >= 1.15 oracle
+    import scipy.sparse.linalg  # noqa
+    from scipy.sparse import csgraph  # noqa
+  # triangular both ways
+  assert spl.is_sptriangular(sp.sparse.eye(4)) == (True, True)
+
+
+def test_laplacian_nd_matches_scipy(rng, cluster):
+  import scipy.sparse.linalg as ssl
+  for bc in ("neumann", "dirichlet", "periodic"):
+    ours = spl.LaplacianNd((4, 5), boundary_conditions=bc)
+    want = ssl.LaplacianNd((4, 5), boundary_conditions=bc)
+    np.testing.assert_allclose(ours.toarray(), want.toarray(), atol=1e-12)
+    np.testing.assert_allclose(ours.eigenvalues(), want.eigenvalues(),
+                               atol=1e-10)
+    v = rng.standard_normal(20)
+    np.testing.assert_allclose(
+        np.asarray(sp.lazify(ours.matvec(v)).glom()),
+        want.toarray() @ v, atol=1e-12)
+  # eigenvalues(m=) subset
+  ours = spl.LaplacianNd((6,), boundary_conditions="dirichlet")
+  want = ssl.LaplacianNd((6,), boundary_conditions="dirichlet")
+  np.testing.assert_allclose(ours.eigenvalues(2), want.eigenvalues(2),
+                             atol=1e-12)
+
+
+def test_host_boundary_superlu_family(rng, cluster):
+  S = _sparse_spd(32)
+  lu = spl.splu(sp.sparse.csr_matrix(S))
+  assert isinstance(lu, spl.SuperLU)
+  b = rng.standard_normal(32)
+  np.testing.assert_allclose(lu.solve(b), np.linalg.solve(S.toarray(), b),
+                             atol=1e-8)
+  solve = spl.factorized(sp.sparse.csr_matrix(S))
+  np.testing.assert_allclose(solve(b), np.linalg.solve(S.toarray(), b),
+                             atol=1e-8)
+  est = spl.onenormest(sp.sparse.csr_matrix(S))
+  assert abs(est - np.abs(S.toarray()).sum(axis=0).max()) < 1e-8
+  x, info = spl.lgmres(sp.sparse.csr_matrix(S), b, rtol=1e-10)
+  assert info == 0
+  np.testing.assert_allclose(x, np.linalg.solve(S.toarray(), b), atol=1e-6)
+  lam, V = spl.lobpcg(sp.sparse.csr_matrix(S),
+                      rng.standard_normal((32, 3)), tol=1e-9, maxiter=200)
+  wl = np.linalg.eigvalsh(S.toarray())[-3:]
+  np.testing.assert_allclose(np.sort(lam), wl, rtol=1e-5)
+
+
+def test_arpack_classes_and_use_solver():
+  err = spl.ArpackNoConvergence("no conv", np.ones(2), np.eye(2))
+  assert isinstance(err, spl.ArpackError)
+  assert err.eigenvalues.shape == (2,)
+  assert issubclass(spl.MatrixRankWarning, UserWarning)
+  spl.use_solver(useUmfpack=False)  # documented no-op
