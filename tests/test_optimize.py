@@ -257,3 +257,189 @@ def test_expr_native_objective_error_surfaces():
     O.least_squares(buggy, np.zeros(2))
   with pytest.raises(RuntimeError, match="buggy"):
     O.minimize(buggy, np.zeros(2))
+
+
+# ---------------------------------------------------------------------------
+# r5 parity sweep: scalar roots, simplex, global optimizers, wrappers
+# ---------------------------------------------------------------------------
+
+def test_rosen_family_matches_scipy():
+  x = np.array([1.3, 0.7, 0.8, 1.9, 1.2])
+  assert abs(float(np.asarray(sp.lazify(
+      sp.optimize.rosen(x)).glom())) - sopt.rosen(x)) < 1e-10
+  np.testing.assert_allclose(
+      np.asarray(sp.lazify(sp.optimize.rosen_der(x)).glom()),
+      sopt.rosen_der(x), atol=1e-10)
+  np.testing.assert_allclose(sp.optimize.rosen_hess(x),
+                             sopt.rosen_hess(x), atol=1e-10)
+  p = np.array([0.1, -0.2, 0.3, 0.4, -0.5])
+  np.testing.assert_allclose(sp.optimize.rosen_hess_prod(x, p),
+                             sopt.rosen_hess_prod(x, p), atol=1e-10)
+
+
+def test_brentq_ridder_match_scipy():
+  f = lambda x: x**3 - 2 * x - 5
+  want = sopt.brentq(f, 2, 3, xtol=1e-13)
+  for name in ("brentq", "brenth", "ridder", "toms748"):
+    got = getattr(sp.optimize, name)(f, 2, 3, xtol=1e-13)
+    assert abs(got - want) < 1e-10, name
+  r, info = sp.optimize.brentq(f, 2, 3, xtol=1e-13, full_output=True)
+  assert info.converged and info.iterations > 0
+  with pytest.raises(ValueError):
+    sp.optimize.brentq(f, 3, 4)
+  # a stiff one
+  g = lambda x: jnp.exp(x) - 10.0
+  assert abs(sp.optimize.brentq(g, 0, 5) - np.log(10)) < 1e-10
+
+
+def test_fixed_point_matches_scipy():
+  f = lambda x: jnp.sqrt(10.0 / (x + 4.0))
+  got = sp.optimize.fixed_point(f, 1.5)
+  want = sopt.fixed_point(lambda x: np.sqrt(10.0 / (x + 4.0)), 1.5)
+  assert abs(float(np.asarray(got)) - float(want)) < 1e-7
+  # vector + plain iteration
+  fv = lambda x: jnp.array([0.5, 0.25]) * x + jnp.array([1.0, 2.0])
+  gotv = sp.optimize.fixed_point(fv, np.zeros(2), method="iteration",
+                                 maxiter=2000)
+  np.testing.assert_allclose(np.asarray(gotv), [2.0, 8.0 / 3], atol=1e-6)
+
+
+def test_fmin_nelder_mead():
+  # scipy's own rosen is not jax-traceable (np.asanyarray on tracers);
+  # the expr-native sp.optimize.rosen exercises the probe's Expr path
+  x = sp.optimize.fmin(sp.optimize.rosen, np.array([1.3, 0.9]),
+                       xtol=1e-8, ftol=1e-12, maxiter=2000)
+  np.testing.assert_allclose(x, [1.0, 1.0], atol=1e-3)
+  xf, fx, it, fc, flag = sp.optimize.fmin(
+      lambda p: jnp.sum((p - 3.0) ** 2), np.zeros(3), xtol=1e-9,
+      ftol=1e-14, full_output=True)
+  np.testing.assert_allclose(xf, 3.0, atol=1e-4)
+  assert flag == 0 and it > 0
+
+
+def test_legacy_min_frontends():
+  f = lambda p: jnp.sum((p - 2.0) ** 2) + p[0] * p[1] * 0.1
+  for name in ("fmin_bfgs", "fmin_cg", "fmin_ncg"):
+    x = getattr(sp.optimize, name)(f, np.zeros(2))
+    want = getattr(sopt, name)(lambda p: p @ p - 4 * p.sum() + 8
+                               + 0.1 * p[0] * p[1], np.zeros(2), disp=0) \
+        if False else None
+    del want
+    g = np.asarray(x)
+    # analytic optimum of f: grad = 2(x-2) + 0.1*swap = 0
+    A = np.array([[2.0, 0.1], [0.1, 2.0]])
+    np.testing.assert_allclose(g, np.linalg.solve(A, [4.0, 4.0]),
+                               atol=1e-5)
+  x, fv, info = sp.optimize.fmin_l_bfgs_b(
+      lambda p: jnp.sum((p - 2.0) ** 2), np.zeros(2),
+      bounds=[(0, 1.0), (0, 1.0)])
+  np.testing.assert_allclose(x, [1.0, 1.0], atol=1e-6)
+  assert info["warnflag"] == 0
+  x, nit, rc = sp.optimize.fmin_tnc(
+      lambda p: jnp.sum(p ** 2), np.ones(2) * 0.5,
+      bounds=[(0.2, 1.0), (0.2, 1.0)])
+  np.testing.assert_allclose(x, [0.2, 0.2], atol=1e-6)
+
+
+def test_leastsq_fsolve_wrappers():
+  def resid(p):
+    return jnp.stack([p[0] * 2.0 - 3.0, p[1] + 1.0, p[0] - p[1] - 2.0])
+  x, ier = sp.optimize.leastsq(resid, np.zeros(2))
+  want = sopt.leastsq(lambda p: [p[0] * 2 - 3, p[1] + 1, p[0] - p[1] - 2],
+                      np.zeros(2))[0]
+  np.testing.assert_allclose(np.asarray(x), want, atol=1e-6)
+  assert ier == 1
+  def F(p):
+    return jnp.stack([p[0] ** 2 - 4.0, p[1] - 1.0])
+  xr = sp.optimize.fsolve(F, np.array([1.0, 0.0]))
+  np.testing.assert_allclose(np.asarray(xr), [2.0, 1.0], atol=1e-8)
+
+
+def test_lsq_linear_bounded_matches_scipy():
+  rng = np.random.default_rng(3)
+  A = rng.normal(size=(20, 5))
+  b = rng.normal(size=20)
+  lb = np.zeros(5)
+  ub = np.full(5, 0.4)
+  got = sp.optimize.lsq_linear(A, b, bounds=(lb, ub), tol=1e-12)
+  want = sopt.lsq_linear(A, b, bounds=(lb, ub), tol=1e-12)
+  assert got.cost <= want.cost * (1 + 1e-6)
+  np.testing.assert_allclose(got.x, want.x, atol=1e-5)
+  # unbounded short-circuit = lstsq
+  got_u = sp.optimize.lsq_linear(A, b)
+  want_u, *_ = np.linalg.lstsq(A, b, rcond=None)
+  np.testing.assert_allclose(got_u.x, want_u, atol=1e-8)
+
+
+def test_differential_evolution_device():
+  # multimodal: Ackley-ish in 2-D; global optimum at (pi, 2)
+  def f(p):
+    return ((p[0] - jnp.pi) ** 2 + (p[1] - 2.0) ** 2
+            + 2.0 * jnp.sin(5 * p[0]) ** 2 * jnp.sin(3 * p[1]) ** 2)
+  res = sp.optimize.differential_evolution(
+      f, [(0, 6), (0, 6)], seed=1, tol=1e-8, maxiter=300)
+  assert res.success
+  np.testing.assert_allclose(res.x, [np.pi, 2.0], atol=1e-3)
+  assert res.fun < 1e-5
+
+
+def test_brute_device_grid():
+  f = lambda p: jnp.squeeze((p[0] - 1.5) ** 2)
+  x = sp.optimize.brute(f, [(-3, 3)], Ns=31)
+  assert abs(float(x) - 1.5) < 1e-4
+  x2, f2, grid, fvals = sp.optimize.brute(
+      lambda p: (p[0] - 1.0) ** 2 + (p[1] + 0.5) ** 2,
+      [(-2, 2), (-2, 2)], Ns=11, full_output=True)
+  np.testing.assert_allclose(x2, [1.0, -0.5], atol=1e-4)
+  assert fvals.shape == (11, 11)
+
+
+def test_scalar_min_frontends():
+  f = lambda x: (x - 1.2) ** 2 + 3.0
+  assert abs(sp.optimize.fminbound(f, -4, 4, xtol=1e-10) - 1.2) < 1e-6
+  assert abs(sp.optimize.brent(f, brack=(-4, 0, 4)) - 1.2) < 1e-5
+  assert abs(sp.optimize.golden(f, brack=(-4, 0, 4)) - 1.2) < 1e-5
+  xa, xb, xc, fa, fb, fc, calls = sp.optimize.bracket(
+      lambda x: float(f(x)), -5.0, -4.0)
+  assert fb < fa and fb < fc and xa < xb < xc or xc < xb < xa
+
+
+def test_derivative_helpers_and_classes():
+  f = lambda x: float(np.sum(x ** 2))
+  g = lambda x: 2 * x
+  x0 = np.array([1.0, -2.0, 0.5])
+  err = sp.optimize.check_grad(f, g, x0)
+  assert err < 1e-5
+  fp = sp.optimize.approx_fprime(x0, f)
+  np.testing.assert_allclose(fp, 2 * x0, atol=1e-5)
+  b = sp.optimize.Bounds(np.zeros(2), np.ones(2))
+  lo_r, hi_r = b.residual(np.array([0.25, 0.5]))
+  np.testing.assert_allclose(lo_r, [0.25, 0.5])
+  lc = sp.optimize.LinearConstraint(np.eye(2), 0, 1)
+  assert lc.A.shape == (2, 2)
+  rr = sp.optimize.RootResults(1.5, 10, 12, 0, method="brentq")
+  assert rr.converged and "1.5" in repr(rr)
+  assert issubclass(sp.optimize.OptimizeWarning, UserWarning)
+  # quasi-Newton classes round-trip (scipy machinery re-exports)
+  H = sp.optimize.BFGS()
+  H.initialize(2, "hess")
+  assert isinstance(H, sp.optimize.HessianUpdateStrategy)
+
+
+def test_host_boundary_optimizers():
+  res = sp.optimize.linprog(np.array([1.0, 2.0]),
+                            A_ub=np.array([[-1.0, -1.0]]),
+                            b_ub=np.array([-1.0]), bounds=[(0, None)] * 2)
+  assert res.success and abs(res.fun - 1.0) < 1e-8
+  y = sp.optimize.isotonic_regression(np.array([3.0, 1.0, 2.0]))
+  assert np.all(np.diff(y.x) >= 0)
+  x = sp.optimize.broyden1(
+      lambda v: np.asarray([v[0] + 0.5 * v[1] - 1.0,
+                            0.5 * v[0] + v[1] - 2.0]),
+      np.zeros(2), f_tol=1e-12)
+  np.testing.assert_allclose(x, np.linalg.solve(
+      np.array([[1.0, 0.5], [0.5, 1.0]]), [1.0, 2.0]), atol=1e-8)
+  sol = sp.optimize.fmin_slsqp(
+      lambda p: np.sum((p - 2.0) ** 2), np.zeros(2),
+      bounds=[(0.0, 1.0)] * 2, iprint=0)
+  np.testing.assert_allclose(sol, [1.0, 1.0], atol=1e-6)

@@ -514,3 +514,19 @@ def test_cossin_host():
   X = ortho_group.rvs(6, random_state=3)
   u, cs, vdh = L.cossin(X, p=3, q=3)
   np.testing.assert_allclose(u @ cs @ vdh, X, atol=1e-10)
+
+
+def test_scipy_parity_audit_is_clean():
+  """The five-namespace scipy audit must stay at zero in-scope missing
+  names and zero stale classification entries (tools/scipy_parity.py;
+  docs/PARITY_SCIPY.md is generated from the same rows)."""
+  import importlib.util
+  spec = importlib.util.spec_from_file_location(
+      "scipy_parity", "tools/scipy_parity.py")
+  mod = importlib.util.module_from_spec(spec)
+  spec.loader.exec_module(mod)
+  for r in mod.audit():
+    assert r["missing"] == [], \
+        f"scipy.{r['ns']} parity regressed: {r['missing']}"
+    assert r["stale"] == [], \
+        f"scipy.{r['ns']} stale classification: {r['stale']}"
