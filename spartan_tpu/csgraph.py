@@ -613,8 +613,18 @@ def maximum_flow(csgraph, source, sink, *, method="dinic"):
   _host_notice("maximum_flow")
   import scipy.sparse.csgraph as cs
   G = _as_sparse(csgraph).to_scipy().tocsr()
-  return cs.maximum_flow(G.astype(np.int32) if G.dtype != np.int32 else G,
-                         int(source), int(sink), method=method)
+  if G.dtype != np.int32:
+    # scipy's contract: integer capacities only.  Casting floats would
+    # silently truncate (0.9 -> 0) and big int64 would wrap — raise
+    # like scipy unless the values round-trip exactly.
+    cast = G.astype(np.int32)
+    if G.nnz and not np.array_equal(np.asarray(cast.data, np.float64),
+                                    np.asarray(G.data, np.float64)):
+      raise ValueError("graph capacities must be integers (int32 "
+                       "representable); got dtype "
+                       f"{G.dtype} with non-representable values")
+    G = cast
+  return cs.maximum_flow(G, int(source), int(sink), method=method)
 
 
 def min_weight_full_bipartite_matching(biadjacency, maximize=False):

@@ -658,12 +658,12 @@ def nnls(A, b, maxiter=None):
 # test functions, derivative helpers.
 # ---------------------------------------------------------------------
 
-class OptimizeWarning(UserWarning):
-  """scipy.optimize.OptimizeWarning parity."""
-
-
-class NoConvergence(Exception):
-  """Raised by the nonlin solvers when iteration fails to converge."""
+# OptimizeWarning / NoConvergence are RE-EXPORTED from scipy (not
+# redefined): the host-boundary wrappers below (linprog, broyden1, ...)
+# raise/emit scipy's classes, and a distinct local class would make
+# `except sp.optimize.NoConvergence` silently never catch (code review
+# r5s5).
+from scipy.optimize import NoConvergence, OptimizeWarning  # noqa: E402
 
 
 class Bounds:
@@ -1242,10 +1242,15 @@ def fmin_powell(func, x0, args=(), xtol: float = 1e-4,
                 ftol: float = 1e-4, maxiter: int = None, **kw):
   """Powell front-end — routed to the fused Nelder–Mead loop (the
   derivative-free contract; direction-set bookkeeping is sequential
-  host logic the simplex loop replaces)."""
-  out = fmin(func, x0, args=args, xtol=xtol, ftol=ftol, maxiter=maxiter,
-             full_output=kw.get("full_output", 0))
-  return out
+  host logic the simplex loop replaces).  ``full_output`` returns
+  scipy's 6-tuple; the ``direc`` slot is the identity (the simplex
+  loop keeps no direction set)."""
+  if not kw.get("full_output"):
+    return fmin(func, x0, args=args, xtol=xtol, ftol=ftol,
+                maxiter=maxiter)
+  x, fx, it, fc, flag = fmin(func, x0, args=args, xtol=xtol, ftol=ftol,
+                             maxiter=maxiter, full_output=True)
+  return x, fx, np.eye(np.atleast_1d(np.asarray(x)).size), it, fc, flag
 
 
 def fmin_l_bfgs_b(func, x0, fprime=None, args=(), approx_grad: int = 0,
@@ -1257,9 +1262,17 @@ def fmin_l_bfgs_b(func, x0, fprime=None, args=(), approx_grad: int = 0,
   tol = max(pgtol, factr * np.finfo(float).eps)
   res = minimize(func, x0, args=args, bounds=bounds, method="l-bfgs-b",
                  tol=tol, options={"maxiter": int(kw.get("maxiter", 500))})
-  return res.x, res.fun, {"grad": res.get("jac"),
+  # the gradient at the minimum (scipy returns it in the info dict) —
+  # one autodiff evaluation of the lowered objective
+  import jax
+  import jax.numpy as jnp
+  lossfn, _ = _lower(func, res.x, args)
+  grad = np.asarray(jax.grad(lambda p: jnp.squeeze(lossfn(p)))(
+      jnp.asarray(np.ravel(res.x), _float_dtype())))
+  return res.x, res.fun, {"grad": grad,
                           "task": b"CONVERGED" if res.success
                           else b"MAXITER", "nit": res.nit,
+                          "funcalls": res.nit,
                           "warnflag": 0 if res.success else 1}
 
 
@@ -1383,8 +1396,13 @@ def differential_evolution(func, bounds, args=(), strategy="best1bin",
   import jax.numpy as jnp
   del strategy, init, kw
   dt = _float_dtype()
-  lob, hib = _parse_bounds(list(bounds), len(list(bounds)), dt,
-                           pairs=True)
+  if hasattr(bounds, "lb"):  # scipy Bounds object
+    n_par = np.broadcast(np.asarray(bounds.lb),
+                         np.asarray(bounds.ub)).size
+    lob, hib = _parse_bounds(bounds, n_par, dt, pairs=True)
+  else:
+    blist = list(bounds)  # materialize ONCE (generators)
+    lob, hib = _parse_bounds(blist, len(blist), dt, pairs=True)
   n = lob.shape[0]
   x0 = np.asarray(0.5 * (np.where(np.isfinite(lob), lob, -1.0)
                          + np.where(np.isfinite(hib), hib, 1.0)))
@@ -1452,8 +1470,13 @@ def brute(func, ranges, args=(), Ns: int = 20, full_output: int = 0,
   axes = []
   for r in ranges:
     if isinstance(r, slice):
-      axes.append(np.arange(r.start, r.stop, r.step) if r.step
-                  else np.linspace(r.start, r.stop, Ns))
+      if r.step is None:
+        axes.append(np.linspace(r.start, r.stop, Ns))
+      elif np.iscomplexobj(r.step):
+        # np.mgrid convention: complex step = point COUNT, inclusive
+        axes.append(np.linspace(r.start, r.stop, int(abs(r.step))))
+      else:
+        axes.append(np.arange(r.start, r.stop, r.step))
     else:
       axes.append(np.linspace(r[0], r[1], Ns))
   grids = np.meshgrid(*axes, indexing="ij")

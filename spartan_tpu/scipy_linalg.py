@@ -1319,10 +1319,9 @@ def cho_solve_banded(cb_and_lower, b, overwrite_b=False,
 
 def solve_continuous_are(a, b, q, r, e=None, s=None, balanced=True):
   """Continuous algebraic Riccati — host boundary (Schur-based)."""
-  args = [a, b, q, r] + ([e] if e is not None else []) \
-      + ([s] if s is not None else [])
   if e is None and s is None:
-    return _host_call("solve_continuous_are", args, balanced=balanced)
+    return _host_call("solve_continuous_are", [a, b, q, r],
+                      balanced=balanced)
   import scipy.linalg as sla
   _host_notice("solve_continuous_are")
   return HostExpr([sp.lazify(x) for x in [a, b, q, r]],

@@ -1616,14 +1616,13 @@ def inv(A):
   """Sparse inverse — densified device ``jnp.linalg.inv`` (the inverse
   of a sparse matrix is generically dense; returns a dense lazy
   expr).  Prefer :func:`spsolve`/:func:`cg` for solves."""
-  import functools as _ft
   Ad = _densified_leaf(A)
 
   def kern(a):
     import jax.numpy as jnp
     return jnp.linalg.inv(a.astype(jnp.result_type(a.dtype,
                                                    jnp.float32)))
-  del _ft
+
   return sp.map([Ad], kern)
 
 
@@ -1747,6 +1746,7 @@ class LaplacianNd(LinearOperator):
             deg = deg + 2.0
       return (out - deg * g).reshape(n)
 
+    self._kern = kern
     super().__init__((n, n),
                      lambda v: sp.map([sp.lazify(v)], kern),
                      lambda v: sp.map([sp.lazify(v)], kern),  # symmetric
@@ -1769,12 +1769,18 @@ class LaplacianNd(LinearOperator):
     return lam if m is None else lam[-m:]
 
   def toarray(self) -> np.ndarray:
+    """Dense form — ONE vmapped application of the stencil kernel to
+    the identity (a per-column python loop would pay n dispatch round
+    trips, seconds each over the axon tunnel — code review r5s5)."""
     n = self.shape[0]
-    out = np.empty((n, n))
-    eye = np.eye(n)
-    for j in range(n):
-      out[:, j] = np.asarray(sp.lazify(self.matvec(eye[:, j])).glom())
-    return out
+    kern = self._kern
+
+    def batched(E):
+      import jax
+      return jax.vmap(kern)(E)
+
+    rows = np.asarray(sp.map([sp.Val(np.eye(n))], batched).glom())
+    return rows.T  # symmetric, but keep the column convention exact
 
   def tosparse(self):
     from spartan_tpu.backend.sparse import from_dense

@@ -343,3 +343,15 @@ def test_yen_and_flow_and_matching_host_wrappers():
       sp.sparse.csr_matrix(B))
   wr, wc = cs.min_weight_full_bipartite_matching(ss.csr_matrix(B))
   assert B[rr, cc].sum() == B[wr, wc].sum()
+
+
+def test_maximum_flow_rejects_fractional_capacities():
+  """Float capacities must raise (scipy contract) instead of silently
+  truncating to int32 (code review r5s5)."""
+  D = np.array([[0, 0.9], [0, 0]])
+  with pytest.raises(ValueError):
+    sp.sparse.csgraph.maximum_flow(sp.sparse.csr_matrix(D), 0, 1)
+  # integral floats round-trip fine
+  D2 = np.array([[0, 3.0], [0, 0]])
+  r = sp.sparse.csgraph.maximum_flow(sp.sparse.csr_matrix(D2), 0, 1)
+  assert r.flow_value == 3

@@ -321,10 +321,6 @@ def test_legacy_min_frontends():
   f = lambda p: jnp.sum((p - 2.0) ** 2) + p[0] * p[1] * 0.1
   for name in ("fmin_bfgs", "fmin_cg", "fmin_ncg"):
     x = getattr(sp.optimize, name)(f, np.zeros(2))
-    want = getattr(sopt, name)(lambda p: p @ p - 4 * p.sum() + 8
-                               + 0.1 * p[0] * p[1], np.zeros(2), disp=0) \
-        if False else None
-    del want
     g = np.asarray(x)
     # analytic optimum of f: grad = 2(x-2) + 0.1*swap = 0
     A = np.array([[2.0, 0.1], [0.1, 2.0]])
@@ -401,7 +397,7 @@ def test_scalar_min_frontends():
   assert abs(sp.optimize.golden(f, brack=(-4, 0, 4)) - 1.2) < 1e-5
   xa, xb, xc, fa, fb, fc, calls = sp.optimize.bracket(
       lambda x: float(f(x)), -5.0, -4.0)
-  assert fb < fa and fb < fc and xa < xb < xc or xc < xb < xa
+  assert fb < fa and fb < fc and (xa < xb < xc or xc < xb < xa)
 
 
 def test_derivative_helpers_and_classes():
@@ -443,3 +439,35 @@ def test_host_boundary_optimizers():
       lambda p: np.sum((p - 2.0) ** 2), np.zeros(2),
       bounds=[(0.0, 1.0)] * 2, iprint=0)
   np.testing.assert_allclose(sol, [1.0, 1.0], atol=1e-6)
+
+
+def test_code_review_r5_regressions():
+  """Fixes from the r5s5 review pass: Bounds-object DE, complex-step
+  brute slices, catchable NoConvergence, powell 6-tuple, l_bfgs_b grad."""
+  import scipy.optimize as so
+  # DE accepts a Bounds object (scipy-standard)
+  res = sp.optimize.differential_evolution(
+      lambda p: jnp.sum((p - 0.5) ** 2),
+      sp.optimize.Bounds(np.zeros(2), np.ones(2)), seed=0, tol=1e-8)
+  np.testing.assert_allclose(res.x, 0.5, atol=1e-3)
+  # brute complex-step slice = point count (mgrid convention)
+  x = sp.optimize.brute(lambda p: jnp.squeeze((p[0] - 1.0) ** 2),
+                        (slice(-3, 3, 61j),), finish=None)
+  assert abs(float(x) - 1.0) < 0.11
+  # NoConvergence raised by wrapped nonlin solvers IS ours
+  assert sp.optimize.NoConvergence is so.NoConvergence
+  with pytest.raises(sp.optimize.NoConvergence):
+    sp.optimize.broyden1(lambda v: np.asarray([v[0] ** 2 + 1.0]),
+                         np.zeros(1), maxiter=3)
+  # powell full_output is scipy's 6-tuple
+  out = sp.optimize.fmin_powell(lambda p: jnp.sum((p - 1.0) ** 2),
+                                np.zeros(2), full_output=True)
+  assert len(out) == 6 and out[2].shape == (2, 2)
+  # l_bfgs_b info dict carries a real gradient + funcalls
+  xb, fb, info = sp.optimize.fmin_l_bfgs_b(
+      lambda p: jnp.sum((p - 2.0) ** 2), np.zeros(2),
+      bounds=[(0, 5.0), (0, 5.0)])
+  assert info["grad"] is not None
+  np.testing.assert_allclose(info["grad"], 2 * (np.asarray(xb) - 2.0),
+                             atol=1e-6)
+  assert "funcalls" in info

@@ -376,8 +376,7 @@ def test_rq_reconstruction():
     np.testing.assert_allclose(Qv @ Qv.T, np.eye(Qv.shape[0]), atol=1e-10)
     # same structural-zero pattern as scipy's R (signs may differ)
     np.testing.assert_allclose(Rv[wr == 0], 0, atol=1e-10)
-  Ronly = g(L.rq(rng.normal(size=(5, 5)), mode="r")[0] * 1.0) \
-      if False else g(L.rq(rng.normal(size=(5, 5)), mode="r"))
+  Ronly = g(L.rq(rng.normal(size=(5, 5)), mode="r"))
   assert Ronly.shape == (5, 5)
 
 

@@ -89,18 +89,20 @@ HOST_BOUNDARY = {
         "solve_continuous_lyapunov", "solve_lyapunov",
         "solve_discrete_lyapunov", "ldl", "solve_banded", "solveh_banded",
         "subspace_angles", "matrix_balance", "eig", "qz", "ordqz",
-        "cossin", "eig_banded", "eigvals_banded", "eigvalsh_tridiagonal",
+        "cossin", "eig_banded", "eigvals_banded",
         "cholesky_banded", "cho_solve_banded", "solve_continuous_are",
         "solve_discrete_are", "qr_update", "qr_insert", "qr_delete",
         "qr_multiply", "solve_toeplitz", "expm_cond", "eigvals",
     },
     "optimize": {
+        # differential_evolution/brute/fmin_tnc are DEVICE (fused
+        # population loop / vmapped grid / projected-Newton box solver)
         "linear_sum_assignment", "nnls", "linprog", "milp",
-        "basinhopping", "differential_evolution", "dual_annealing",
-        "shgo", "direct", "brute", "isotonic_regression",
+        "basinhopping", "dual_annealing",
+        "shgo", "direct", "isotonic_regression",
         "quadratic_assignment", "broyden1", "broyden2", "anderson",
         "linearmixing", "diagbroyden", "excitingmixing", "newton_krylov",
-        "fmin_cobyla", "fmin_slsqp", "fmin_tnc",
+        "fmin_cobyla", "fmin_slsqp", "line_search",
     },
     "sparse": {
         "save_npz", "load_npz",

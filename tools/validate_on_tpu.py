@@ -316,3 +316,73 @@ print(f"17. matrix functions on TPU: sqrtm={_esq17:.2e} "
       f"logm={_elg17:.2e} signm={_esg17:.2e} cosm={_ecs17:.2e} "
       f"orth(rank+ortho)={_eor17:.2e} ({time.time()-t0:.1f}s)",
       flush=True)
+
+# 18. r5 parity-sweep surfaces on chip: new fused Krylov solvers
+# (bicg/cgs/tfqmr/qmr/lsmr), FFT circulant/Toeplitz kernels, fused
+# scalar/simplex/global optimizers, densified sparse matrix functions,
+# LaplacianNd stencil matvec.  f32 hardware vs f64 host oracles.
+t0 = time.time()
+import jax.numpy as _jnp18
+import scipy.linalg as _sla18
+import scipy.sparse as _ss18
+_r18 = np.random.default_rng(18)
+_G18 = _ss18.random(512, 512, 0.02,
+                    random_state=np.random.RandomState(18)).tocsr()
+_A18 = (_G18 + _G18.T + _ss18.diags(
+    np.asarray(np.abs(_G18).sum(axis=1)).ravel() + 1.0)).tocsr() \
+    .astype(np.float32)
+_xt18 = _r18.standard_normal(512).astype(np.float32)
+_b18 = _A18 @ _xt18
+_S18 = sp.sparse.csr_matrix(_A18)
+_errs = {}
+for _name in ("bicg", "cgs", "tfqmr", "qmr"):
+  _x, _info = getattr(sp.sparse.linalg, _name)(_S18, _b18, rtol=1e-6)
+  _errs[_name] = np.abs(np.asarray(sp.lazify(_x).glom()) - _xt18).max()
+_D18 = _r18.standard_normal((256, 48)).astype(np.float32)
+_y18 = _r18.standard_normal(256).astype(np.float32)
+_xl18 = sp.sparse.linalg.lsmr(_D18, _y18, atol=1e-7, btol=1e-7,
+                              maxiter=300)[0]
+_wl18, *_ = np.linalg.lstsq(_D18.astype(np.float64),
+                            _y18.astype(np.float64), rcond=None)
+_errs["lsmr"] = np.abs(np.asarray(sp.lazify(_xl18).glom()) - _wl18).max()
+# FFT kernels
+_c18 = np.array([5.0, 1.0, 0.5, 0.25] + [0.0] * 124, np.float32)
+_bb18 = _r18.standard_normal((128, 4)).astype(np.float32)
+_errs["circ"] = np.abs(
+    np.asarray(sp.scipy_linalg.solve_circulant(_c18, _bb18).glom())
+    - _sla18.solve_circulant(_c18.astype(np.float64),
+                             _bb18.astype(np.float64))).max()
+_cc = _r18.standard_normal(96).astype(np.float32)
+_rr = np.concatenate([[_cc[0]], _r18.standard_normal(63).astype(
+    np.float32)])
+_xx = _r18.standard_normal((64, 3)).astype(np.float32)
+_errs["toep"] = np.abs(
+    np.asarray(sp.scipy_linalg.matmul_toeplitz((_cc, _rr), _xx).glom())
+    - _sla18.matmul_toeplitz((_cc.astype(np.float64),
+                              _rr.astype(np.float64)),
+                             _xx.astype(np.float64))).max()
+# fused optimizers
+_rb = sp.optimize.brentq(lambda x: _jnp18.cos(x) - x, 0.0, 1.0)
+_errs["brentq"] = abs(_rb - 0.7390851332151607)
+_res = sp.optimize.differential_evolution(
+    lambda p: (p[0] - 1.0) ** 2 + (p[1] + 2.0) ** 2,
+    [(-4, 4), (-4, 4)], seed=0, tol=1e-7, maxiter=200)
+_errs["de"] = float(np.abs(_res.x - np.array([1.0, -2.0])).max())
+_xnm = sp.optimize.fmin(sp.optimize.rosen, np.array([0.6, 0.6]),
+                        xtol=1e-7, ftol=1e-10, maxiter=2000)
+_errs["nm"] = float(np.abs(np.asarray(_xnm) - 1.0).max())
+# densified sparse expm + LaplacianNd stencil
+_T18 = sp.sparse.csr_matrix(0.02 * _A18[:64, :64])
+import scipy.sparse.linalg as _ssl18
+_errs["spexpm"] = np.abs(
+    np.asarray(sp.sparse.linalg.expm(_T18).glom())
+    - _ssl18.expm((0.02 * _A18[:64, :64]).astype(np.float64)
+                  .tocsc()).toarray()).max()
+_L18 = sp.sparse.linalg.LaplacianNd((8, 8))
+_v18 = _r18.standard_normal(64).astype(np.float32)
+_errs["lapnd"] = np.abs(
+    np.asarray(sp.lazify(_L18.matvec(_v18)).glom())
+    - _ssl18.LaplacianNd((8, 8)).toarray() @ _v18).max()
+print("18. r5 sweep on TPU: "
+      + " ".join(f"{k}={v:.2e}" for k, v in _errs.items())
+      + f" ({time.time()-t0:.1f}s)", flush=True)
