@@ -32,7 +32,8 @@ def run(n_cases: int = 60) -> int:
     rng = np.random.default_rng(1000 + case)
     n = int(rng.integers(24, 160))
     kind = case % 3            # 0 dense, 1 sparse, 2 matrix-free
-    solver = case % 5          # cg / bicgstab / gmres / minres / lsqr
+    # cg/bicgstab/gmres/minres/lsqr + r5: bicg/cgs/tfqmr/qmr/lsmr
+    solver = case % 10
 
     Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
     if solver in (0,):         # SPD
@@ -75,9 +76,21 @@ def run(n_cases: int = 60) -> int:
                             restart=int(rng.integers(8, 40)))
       elif solver == 3:
         x, info = spl.minres(op, b, rtol=1e-11)
-      else:
+      elif solver == 4:
         x, info, *_ = spl.lsqr(op, b, atol=1e-12)
         info = 0 if info == 1 else info
+      elif solver == 5:
+        x, info = spl.bicg(op, b, rtol=1e-11)
+      elif solver == 6:
+        x, info = spl.cgs(op, b, rtol=1e-11)
+      elif solver == 7:
+        x, info = spl.tfqmr(op, b, rtol=1e-10)
+      elif solver == 8:
+        x, info = spl.qmr(op, b, rtol=1e-11)
+      else:
+        x, istop, *_ = spl.lsmr(op, b, atol=1e-12, btol=1e-12,
+                                maxiter=10 * n)
+        info = 0 if istop in (1, 2) else istop
       got = np.asarray(sp.lazify(x).glom())
       err = np.abs(got - xt).max() / max(np.abs(xt).max(), 1e-9)
       ok = info == 0 and err < 1e-6
