@@ -87,6 +87,7 @@ from spartan_tpu import sparse_construct  # noqa: E402  (scipy.sparse builders)
 for _name in sparse_construct.__all__:
   setattr(sparse, _name, getattr(sparse_construct, _name))
 from spartan_tpu import optimize  # noqa: E402  (scipy.optimize surface)
+from spartan_tpu import integrate  # noqa: E402  (scipy.integrate surface)
 from spartan_tpu import csgraph  # noqa: E402  (scipy.sparse.csgraph)
 sparse.csgraph = csgraph  # the scipy idiom: sp.sparse.csgraph.dijkstra(...)
 from spartan_tpu import scipy_linalg  # noqa: E402  (scipy.linalg surface)
@@ -106,5 +107,5 @@ __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "while_loop", "scan_iters", "cond", "compile", "reduce",
            "grad", "value_and_grad", "jvp", "hessian", "hvp", "minimize", "sgd_train",
            "checkpoint", "from_file", "load", "save", "sparse", "linalg", "fft", "random",
-           "sparse_linalg", "scipy_linalg", "optimize",
+           "sparse_linalg", "scipy_linalg", "optimize", "integrate",
            "SparseArray", "sparse_diagonal", "sprandn"] + list(_builtin_all)

@@ -1579,7 +1579,8 @@ def lsmr(A, b, damp: float = 0.0, atol: float = 1e-6, btol: float = 1e-6,
   init = (x0e, u_init, v_init, v_init, sp.zeros((n,), dtype=dt),
           a0, a0, zs, a0 * b0, one, one, one, zs,
           b0, zs, one, zs, zs, zs, a0 * a0, zs,
-          sp.lazify(np.asarray(1e100, dt)), b0, a0 * b0, _i32(0))
+          sp.lazify(np.asarray(np.finfo(dt).max / 4, dt)), b0,
+          a0 * b0, _i32(0))
   out = sp.while_loop(cond, body, init, max_iters=maxiter)
   (x, *_rest) = out
   k = int(np.asarray(out[-1].glom()))

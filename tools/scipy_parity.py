@@ -57,6 +57,9 @@ OUT_OF_SCOPE = {
         "linprog_verbose_callback": "legacy linprog display callback "
             "(printing machinery)",
     },
+    "integrate": {
+        "test": "scipy's bundled test runner",
+    },
     "sparse": {
         "get_index_dtype": "scipy-internal index-dtype plumbing",
         "safely_cast_index_arrays": "scipy-internal index plumbing",
@@ -107,7 +110,21 @@ HOST_BOUNDARY = {
     "sparse": {
         "save_npz", "load_npz",
     },
+    "integrate": {
+        "quad", "quad_vec", "dblquad", "tplquad", "nquad", "cubature",
+        "nsum", "solve_bvp", "lebedev_rule", "odeint",
+        "cumulative_simpson", "newton_cotes",
+        # host driver classes, re-exported (SuperLU convention)
+        "RK23", "RK45", "DOP853", "Radau", "BDF", "LSODA", "OdeSolver",
+        "OdeSolution", "DenseOutput", "ode", "complex_ode",
+        "IntegrationWarning", "ODEintWarning",
+    },
 }
+
+
+def _integrate_mod():
+  import scipy.integrate
+  return scipy.integrate
 
 
 def _sp_namespaces():
@@ -119,6 +136,7 @@ def _sp_namespaces():
       ("sparse.csgraph", scipy.sparse.csgraph, sp.sparse.csgraph, True),
       ("linalg", scipy.linalg, sp.linalg, False),
       ("optimize", scipy.optimize, sp.optimize, True),
+      ("integrate", _integrate_mod(), sp.integrate, True),
       ("sparse", scipy.sparse, sp.sparse, True),
   ]
 
