@@ -296,6 +296,7 @@ def test_laplacian_self_loops_and_isolated():
     assert np.allclose(d_s, dw)
 
 
+@pytest.mark.smoke
 def test_reconstruct_path_matches_scipy():
   import scipy.sparse.csgraph as cs
   rng = np.random.default_rng(11)

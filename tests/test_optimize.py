@@ -277,6 +277,7 @@ def test_rosen_family_matches_scipy():
                              sopt.rosen_hess_prod(x, p), atol=1e-10)
 
 
+@pytest.mark.smoke
 def test_brentq_ridder_match_scipy():
   f = lambda x: x**3 - 2 * x - 5
   want = sopt.brentq(f, 2, 3, xtol=1e-13)
@@ -367,6 +368,7 @@ def test_lsq_linear_bounded_matches_scipy():
   np.testing.assert_allclose(got_u.x, want_u, atol=1e-8)
 
 
+@pytest.mark.smoke
 def test_differential_evolution_device():
   # multimodal: Ackley-ish in 2-D; global optimum at (pi, 2)
   def f(p):

@@ -405,6 +405,7 @@ def test_fractional_matrix_power():
                              atol=1e-7)
 
 
+@pytest.mark.smoke
 def test_matmul_toeplitz_and_solves():
   c = rng.normal(size=6)
   r = np.concatenate([[c[0]], rng.normal(size=4)])

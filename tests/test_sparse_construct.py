@@ -228,6 +228,7 @@ def test_issparse(rng):
 # r5 parity sweep: format constructors, predicates, find, npz IO
 # ---------------------------------------------------------------------------
 
+@pytest.mark.smoke
 def test_format_constructors_all_input_forms(rng, tmp_path):
   D = np.array([[1.0, 0, 2], [0, 0, 3], [4, 5, 0]])
   S = ss.csr_matrix(D)

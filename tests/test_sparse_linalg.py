@@ -425,6 +425,7 @@ def test_cgs_matches_direct(rng, cluster):
   np.testing.assert_allclose(np.asarray(x.glom()), xt, atol=1e-6)
 
 
+@pytest.mark.smoke
 def test_tfqmr_matches_direct(rng, cluster):
   A, xt, b = _nonsym(rng, 64)
   x, info = spl.tfqmr(A, b, rtol=1e-10, maxiter=500)
