@@ -60,6 +60,9 @@ OUT_OF_SCOPE = {
     "integrate": {
         "test": "scipy's bundled test runner",
     },
+    "signal": {
+        "test": "scipy's bundled test runner",
+    },
     "sparse": {
         "get_index_dtype": "scipy-internal index-dtype plumbing",
         "safely_cast_index_arrays": "scipy-internal index plumbing",
@@ -127,6 +130,11 @@ def _integrate_mod():
   return scipy.integrate
 
 
+def _signal_mod():
+  import scipy.signal
+  return scipy.signal
+
+
 def _sp_namespaces():
   import spartan_tpu as sp
   import scipy.sparse.linalg  # noqa: F401
@@ -137,6 +145,7 @@ def _sp_namespaces():
       ("linalg", scipy.linalg, sp.linalg, False),
       ("optimize", scipy.optimize, sp.optimize, True),
       ("integrate", _integrate_mod(), sp.integrate, True),
+      ("signal", _signal_mod(), sp.signal, True),
       ("sparse", scipy.sparse, sp.sparse, True),
   ]
 
@@ -166,6 +175,10 @@ def audit():
     have = {n for n in dir(ours) if not n.startswith("_")}
     oos = OUT_OF_SCOPE.get(key, {})
     host = HOST_BOUNDARY.get(key, set())
+    if key == "signal":
+      # the signal module declares its own host re-export list (design-
+      # time coefficient utilities) — single source of truth
+      host = set(ours._REEXPORT)
     covered, host_cov, excluded, missing = [], [], [], []
     for n in names:
       if n in have:
