@@ -386,3 +386,40 @@ _errs["lapnd"] = np.abs(
 print("18. r5 sweep on TPU: "
       + " ".join(f"{k}={v:.2e}" for k, v in _errs.items())
       + f" ({time.time()-t0:.1f}s)", flush=True)
+
+# 19. r5 integrate + signal surfaces on chip: fused RK45 solve_ivp,
+# lfilter scan, filtfilt, welch, FFT resample, savgol, DE of a damped
+# oscillator fit.  f32 hardware vs f64 host oracles.
+t0 = time.time()
+import jax.numpy as _jnp19
+import scipy.integrate as _si19
+import scipy.signal as _ss19
+_r19 = np.random.default_rng(19)
+_te19 = np.linspace(0, 8, 17)
+_g19 = sp.integrate.solve_ivp(
+    lambda t, y: _jnp19.stack([y[1], -_jnp19.sin(y[0]) - 0.1 * y[1]]),
+    (0, 8), [1.0, 0.0], t_eval=_te19, rtol=1e-6, atol=1e-8)
+_w19 = _si19.solve_ivp(
+    lambda t, y: [y[1], -np.sin(y[0]) - 0.1 * y[1]],
+    (0, 8), [1.0, 0.0], t_eval=_te19, rtol=1e-10, atol=1e-12)
+_eivp = np.abs(_g19.y - _w19.y).max()
+_x19 = (np.sin(2 * np.pi * 0.05 * np.arange(2048))
+        + 0.5 * _r19.standard_normal(2048)).astype(np.float32)
+_b19, _a19 = _ss19.butter(4, 0.1)
+_elf = np.abs(np.asarray(sp.signal.lfilter(_b19, _a19, _x19).glom())
+              - _ss19.lfilter(_b19, _a19, _x19.astype(np.float64))).max()
+_eff = np.abs(np.asarray(sp.signal.filtfilt(_b19, _a19, _x19).glom())
+              - _ss19.filtfilt(_b19, _a19,
+                               _x19.astype(np.float64))).max()
+_f19, _P19 = sp.signal.welch(_x19, nperseg=256)
+_P19 = np.asarray(_P19.glom())
+_fw19, _Pw19 = _ss19.welch(_x19.astype(np.float64), nperseg=256)
+_ewl = np.abs(_P19 - _Pw19).max() / np.abs(_Pw19).max()
+_ers = np.abs(np.asarray(sp.signal.resample(_x19, 512).glom())
+              - _ss19.resample(_x19.astype(np.float64), 512)).max()
+_esg = np.abs(np.asarray(sp.signal.savgol_filter(_x19, 31, 4).glom())
+              - _ss19.savgol_filter(_x19.astype(np.float64), 31,
+                                    4)).max()
+print(f"19. integrate+signal on TPU: ivp={_eivp:.2e} lfilter={_elf:.2e} "
+      f"filtfilt={_eff:.2e} welch_rel={_ewl:.2e} resample={_ers:.2e} "
+      f"savgol={_esg:.2e} ({time.time()-t0:.1f}s)", flush=True)
