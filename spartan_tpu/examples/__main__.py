@@ -25,6 +25,14 @@ def _register(name):
   return deco
 
 
+@_register("oscillator")
+def _oscillator():
+  from spartan_tpu.examples import oscillator
+  got, want = oscillator.run()
+  return {"recovered_hz": got, "expected_hz": want,
+          "rel_err": abs(got - want) / want}
+
+
 @_register("linreg")
 def _linreg():
   from spartan_tpu.examples import linear_reg

@@ -231,3 +231,10 @@ def test_signal_parity_audit_clean():
   rows = {r["ns"]: r for r in mod.audit()}
   assert rows["signal"]["missing"] == []
   assert rows["signal"]["stale"] == []
+
+
+def test_oscillator_example():
+  from spartan_tpu.examples import oscillator
+  got, want = oscillator.run()
+  # Welch bin resolution at nperseg=512, fs~51: ~0.1 Hz bins
+  assert abs(got - want) < 0.06, (got, want)
