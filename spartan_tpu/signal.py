@@ -29,13 +29,9 @@ sp.optimize/sp.integrate pattern).  Classification:
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 import spartan_tpu as sp
-from spartan_tpu.expr.base import Expr
-from spartan_tpu.util import log_info
 
 # ---------------------------------------------------------------------
 # host design-time re-exports (coefficients in, coefficients out — no
@@ -197,6 +193,11 @@ def lfilter(b, a, x, axis: int = -1, zi=None):
     xf = jnp.moveaxis(xx.astype(dt), ax, 0).reshape(n, Bc)
     if z0 is None:
       z_init = jnp.zeros((k, Bc), dt)
+    elif z0.ndim == xx.ndim:
+      # zi has x's layout with length k on the filter axis — move it
+      # to the front BEFORE flattening (a bare reshape scrambles
+      # which state belongs to which batch row — code review r5s5)
+      z_init = jnp.moveaxis(z0.astype(dt), ax, 0).reshape(k, Bc)
     else:
       z_init = jnp.broadcast_to(z0.astype(dt).reshape(k, -1), (k, Bc))
 
@@ -346,12 +347,78 @@ def sosfilt(sos, x, axis: int = -1, zi=None):
 
 def sosfiltfilt(sos, x, axis: int = -1, padtype: str = "odd",
                 padlen=None):
-  """Zero-phase SOS filtering — convert to transfer form and ride the
-  filtfilt scans (equivalent recurrence; the cascade is numerically
-  benign at the orders TPU workloads use)."""
+  """Zero-phase SOS filtering IN SECTION FORM — forward/backward
+  cascades of biquad scans with sosfilt_zi startup states (collapsing
+  to a transfer function would throw away the numerical robustness SOS
+  exists for — code review r5s5)."""
   sos = np.atleast_2d(np.asarray(sp.lazify(sos).glom(), dtype=float))
-  b, a = _ss.sos2tf(sos)
-  return filtfilt(b, a, x, axis=axis, padtype=padtype, padlen=padlen)
+  if sos.shape[1] != 6:
+    raise ValueError("sos must be (n_sections, 6)")
+  nsec = sos.shape[0]
+  X = sp.lazify(x)
+  nd = len(X.shape)
+  ax = axis % nd
+  n = X.shape[ax]
+  # scipy's default edge: 3 * effective tap count (trailing zero taps
+  # shorten the transient)
+  ntaps = 2 * nsec + 1
+  ntaps -= min(int((sos[:, 2] == 0).sum()), int((sos[:, 5] == 0).sum()))
+  if padlen is None:
+    padlen = 3 * ntaps
+  padlen = int(padlen)
+  if padlen >= n:
+    raise ValueError("The length of the input vector x must be greater "
+                     "than padlen, which is %d." % padlen)
+  if padtype not in ("odd", "even", "constant", None):
+    raise ValueError(f"unknown padtype {padtype!r}")
+  zi = _ss.sosfilt_zi(sos)  # (nsec, 2) host startup states
+
+  def kern(xx):
+    import jax
+    import jax.numpy as jnp
+    dt = jnp.result_type(xx.dtype, jnp.float32)
+    s = jnp.asarray(sos, dt)
+    zj = jnp.asarray(zi, dt)
+    xm = jnp.moveaxis(xx.astype(dt), ax, 0)
+    bs = xm.shape[1:]
+    xf = xm.reshape(xm.shape[0], -1)
+    if padlen and padtype is not None:
+      first, last = xf[0], xf[-1]
+      pre = xf[1:padlen + 1][::-1]
+      post = xf[-padlen - 1:-1][::-1]
+      if padtype == "odd":
+        pre = 2 * first[None] - pre
+        post = 2 * last[None] - post
+      elif padtype == "constant":
+        pre = jnp.broadcast_to(first[None], pre.shape)
+        post = jnp.broadcast_to(last[None], post.shape)
+      ext = jnp.concatenate([pre, xf, post], axis=0)
+    else:
+      ext = xf
+
+    def run(sig, z0):
+      def stepf(z, xt):
+        y = xt
+        zs = []
+        for j in range(nsec):
+          b0, b1, b2, a0, a1, a2 = s[j]
+          yj = b0 / a0 * y + z[j, 0]
+          z0n = b1 / a0 * y + z[j, 1] - a1 / a0 * yj
+          z1n = b2 / a0 * y - a2 / a0 * yj
+          zs.append(jnp.stack([z0n, z1n]))
+          y = yj
+        return jnp.stack(zs), y
+      _, out = jax.lax.scan(stepf, z0, sig)
+      return out
+
+    z0 = zj[:, :, None] * ext[0][None, None, :]
+    y1 = run(ext, z0)
+    z0b = zj[:, :, None] * y1[-1][None, None, :]
+    y2 = run(y1[::-1], z0b)[::-1]
+    core = y2[padlen:padlen + xm.shape[0]] if padtype is not None else y2
+    return jnp.moveaxis(core.reshape((xm.shape[0],) + bs), 0, ax)
+
+  return sp.map([X], kern)
 
 
 # ---------------------------------------------------------------------
@@ -365,6 +432,15 @@ def _spec2(name, kw, x, y=None):
   return _jss_map(name, kw, *args)
 
 
+def _seg_params(n, nperseg, nfft):
+  """scipy's segment clamping: nperseg > n shrinks to n (with scipy
+  emitting a warning), nfft defaults to nperseg — the host-side grid
+  and the kernel must agree on the CLAMPED values."""
+  nps = min(int(nperseg) if nperseg else min(256, n), n)
+  nf = int(nfft) if nfft else nps
+  return nps, max(nf, nps)
+
+
 def welch(x, fs: float = 1.0, window="hann", nperseg=None,
           noverlap=None, nfft=None, detrend="constant",
           return_onesided: bool = True, scaling: str = "density",
@@ -373,12 +449,11 @@ def welch(x, fs: float = 1.0, window="hann", nperseg=None,
     raise NotImplementedError("average='median' routes host")
   X = sp.lazify(x)
   n = X.shape[axis % len(X.shape)]
-  nps = int(nperseg) if nperseg else min(256, n)
-  f = np.fft.rfftfreq(int(nfft) if nfft else nps, 1.0 / fs) \
-      if return_onesided else np.fft.fftfreq(
-          int(nfft) if nfft else nps, 1.0 / fs)
-  kw = (("fs", fs), ("window", window), ("nperseg", nperseg),
-        ("noverlap", noverlap), ("nfft", nfft), ("detrend", detrend),
+  nps, nf = _seg_params(n, nperseg, nfft)
+  f = (np.fft.rfftfreq(nf, 1.0 / fs) if return_onesided
+       else np.fft.fftfreq(nf, 1.0 / fs))
+  kw = (("fs", fs), ("window", window), ("nperseg", nps),
+        ("noverlap", noverlap), ("nfft", nf), ("detrend", detrend),
         ("return_onesided", return_onesided), ("scaling", scaling),
         ("axis", axis))
 
@@ -393,13 +468,15 @@ def csd(x, y, fs: float = 1.0, window="hann", nperseg=None,
         noverlap=None, nfft=None, detrend="constant",
         return_onesided: bool = True, scaling: str = "density",
         axis: int = -1, average: str = "mean"):
-  del average
+  if average != "mean":
+    raise NotImplementedError("average='median' routes host")
   X, Y = sp.lazify(x), sp.lazify(y)
   n = X.shape[axis % len(X.shape)]
-  nps = int(nperseg) if nperseg else min(256, n)
-  f = np.fft.rfftfreq(int(nfft) if nfft else nps, 1.0 / fs)
-  kw = (("fs", fs), ("window", window), ("nperseg", nperseg),
-        ("noverlap", noverlap), ("nfft", nfft), ("detrend", detrend),
+  nps, nf = _seg_params(n, nperseg, nfft)
+  f = (np.fft.rfftfreq(nf, 1.0 / fs) if return_onesided
+       else np.fft.fftfreq(nf, 1.0 / fs))
+  kw = (("fs", fs), ("window", window), ("nperseg", nps),
+        ("noverlap", noverlap), ("nfft", nf), ("detrend", detrend),
         ("return_onesided", return_onesided), ("scaling", scaling),
         ("axis", axis))
 
@@ -446,7 +523,7 @@ def stft(x, fs: float = 1.0, window="hann", nperseg: int = 256,
   itself needs a real-runtime backend or an abs()/real() tail)."""
   X = sp.lazify(x)
   n = X.shape[axis % len(X.shape)]
-  nps = int(nperseg)
+  nps = min(int(nperseg), n)
   nov = int(noverlap) if noverlap is not None else nps // 2
   nf = int(nfft) if nfft else nps
   f = (np.fft.rfftfreq(nf, 1.0 / fs) if return_onesided
@@ -466,8 +543,11 @@ def stft(x, fs: float = 1.0, window="hann", nperseg: int = 256,
     total = n_ext
   step = nps - nov
   nt = (total - nps) // step + 1
-  t = (np.arange(nt) * step + nps / 2 - (nps // 2 if boundary else 0)) \
-      / fs
+  # scipy: segment centers nps/2 + k·step, shifted back by the boundary
+  # extension — measuring scipy 1.17: 'zeros' gives k·step exactly
+  # (odd nps included), boundary=None gives nps/2 + k·step
+  t = (np.arange(nt) * step
+       + (0.0 if boundary == "zeros" else nps / 2)) / fs
   kw = (("fs", fs), ("window", window), ("nperseg", nps),
         ("noverlap", nov), ("nfft", nfft), ("detrend", detrend),
         ("return_onesided", return_onesided), ("boundary", boundary),
@@ -511,9 +591,8 @@ def spectrogram(x, fs: float = 1.0, window=("tukey", 0.25),
                               "host")
   X = sp.lazify(x)
   n = X.shape[axis % len(X.shape)]
-  nps = int(nperseg) if nperseg else min(256, n)
+  nps, nf = _seg_params(n, nperseg, nfft)
   nov = int(noverlap) if noverlap is not None else nps // 8
-  nf = int(nfft) if nfft else nps
   win = _ss.get_window(window, nps)
   f = (np.fft.rfftfreq(nf, 1.0 / fs) if return_onesided
        else np.fft.fftfreq(nf, 1.0 / fs))
@@ -620,11 +699,19 @@ def resample(x, num: int, t=None, axis: int = 0, window=None,
   X = sp.lazify(x)
   n = X.shape[axis % len(X.shape)]
   num = int(num)
-  if window is not None:
-    w = _ss.get_window(window, n) if not isinstance(window, np.ndarray) \
-        else window
-  else:
+  # scipy's window is a FREQUENCY-domain multiplier over the full
+  # fft grid: callable(fftfreq), ndarray as-is, or
+  # ifftshift(get_window(...)) for names (code review r5s5)
+  if window is None:
     w = None
+  elif callable(window):
+    w = window(np.fft.fftfreq(n))
+  elif isinstance(window, np.ndarray):
+    if window.shape != (n,):
+      raise ValueError("window must have the same length as the input")
+    w = window
+  else:
+    w = np.fft.ifftshift(_ss.get_window(window, n))
 
   def kern(xx):
     import jax.numpy as jnp
@@ -632,8 +719,7 @@ def resample(x, num: int, t=None, axis: int = 0, window=None,
     xm = jnp.moveaxis(xx.astype(dt), axis % xx.ndim, -1)
     Xf = jnp.fft.rfft(xm, axis=-1)
     if w is not None:
-      W = np.fft.rfft(np.fft.ifftshift(w)).real
-      Xf = Xf * jnp.asarray(W, Xf.dtype)
+      Xf = Xf * jnp.asarray(w[:Xf.shape[-1]], Xf.dtype)
     nyq_out = num // 2 + 1
     if num < n:
       # downsample: truncate; fold the mirror half of the new Nyquist
@@ -689,11 +775,8 @@ def upfirdn(h, x, up: int = 1, down: int = 1, axis: int = -1,
         xm.shape[:-1] + (n_up,))
     hj = jnp.asarray(h, dt)
     flat = upx.reshape(-1, n_up)
-    out = jnp.stack([jnp.convolve(r, hj, mode="full") for r in flat]) \
-        if flat.shape[0] <= 8 else None
-    if out is None:
-      import jax
-      out = jax.vmap(lambda r: jnp.convolve(r, hj, mode="full"))(flat)
+    import jax
+    out = jax.vmap(lambda r: jnp.convolve(r, hj, mode="full"))(flat)
     y = out[:, ::down][:, :n_out].reshape(xm.shape[:-1] + (n_out,))
     return jnp.moveaxis(y, -1, ax)
 
@@ -719,10 +802,17 @@ def resample_poly(x, up: int, down: int, axis: int = 0,
   n_out = n_out // down + bool(n_out % down)
   if up == down == 1:
     return X
-  max_rate = max(up, down)
-  f_c = 1.0 / max_rate
-  half_len = 10 * max_rate
-  h = _ss.firwin(2 * half_len + 1, f_c, window=window)
+  if isinstance(window, (list, np.ndarray)):
+    # scipy: an array window IS the FIR filter (user-designed)
+    h = np.asarray(window, dtype=float)
+    if h.ndim != 1:
+      raise ValueError("window must be 1-D")
+    half_len = (h.size - 1) // 2
+  else:
+    max_rate = max(up, down)
+    f_c = 1.0 / max_rate
+    half_len = 10 * max_rate
+    h = _ss.firwin(2 * half_len + 1, f_c, window=window)
   h = h * up
   # scipy zero-pads so the filter center lands on sample 0
   n_pre_pad = down - half_len % down
@@ -826,6 +916,10 @@ def savgol_filter(x, window_length: int, polyorder: int, deriv: int = 0,
     c = jnp.asarray(coeffs, dt)
     import jax
     mid = jax.vmap(lambda r: jnp.convolve(r, c, mode="valid"))(flat)
+    if w % 2 == 0:
+      # even windows: scipy's interior starts one sample later (the
+      # half-sample center rounds up) and both edges get w//2 samples
+      mid = mid[:, 1:]
     first = flat[:, :w] @ jnp.asarray(Efirst.T, dt)
     last = flat[:, -w:] @ jnp.asarray(Elast.T, dt)
     y = jnp.concatenate([first, mid, last], axis=-1)
@@ -996,9 +1090,13 @@ def unit_impulse(shape, idx=None, dtype=float):
   out = np.zeros(shape, dtype)
   if idx is None:
     idx = (0,) * out.ndim
-  elif idx == "mid":
+  elif isinstance(idx, str) and idx == "mid":
     idx = tuple(s // 2 for s in out.shape)
-  out[idx if isinstance(idx, tuple) else (idx,)] = 1
+  elif not isinstance(idx, (tuple, list)):
+    # scipy: a scalar idx on an N-D shape addresses (idx,)*ndim —
+    # out[(i,)] alone would set a whole hyperplane (code review r5s5)
+    idx = (int(idx),) * out.ndim
+  out[tuple(idx)] = 1
   return sp.from_numpy(out)
 
 
@@ -1052,7 +1150,9 @@ def czt(x, m=None, w=None, a=1 + 0j, *, axis: int = -1):
 
   def kern(xx):
     import jax.numpy as jnp
-    ct = jnp.complex64 if xx.dtype != jnp.float64 else jnp.complex128
+    # result_type keeps f64/c128 inputs at full precision (a dtype !=
+    # float64 gate silently downcast complex128 — code review r5s5)
+    ct = jnp.result_type(xx.dtype, jnp.complex64)
     xm = jnp.moveaxis(xx.astype(ct), axis % xx.ndim, -1)
     y = xm * jnp.asarray(awk2, ct)
     fy = jnp.fft.fft(y, n=nfft, axis=-1)

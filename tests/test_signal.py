@@ -238,3 +238,68 @@ def test_oscillator_example():
   got, want = oscillator.run()
   # Welch bin resolution at nperseg=512, fs~51: ~0.1 Hz bins
   assert abs(got - want) < 0.06, (got, want)
+
+
+def test_code_review_r5s5_signal_regressions():
+  """Fixes from the review pass: N-D zi layout, two-sided csd grids,
+  oversized nperseg, even savgol windows, scalar unit_impulse idx,
+  czt c128 precision, odd-nperseg stft grid, SOS-form sosfiltfilt,
+  array windows for resample_poly."""
+  b, a = ss.butter(3, 0.2)
+  X = rng.normal(size=(3, 50))
+  zi = np.repeat(ss.lfilter_zi(b, a)[None, :], 3, axis=0) \
+      * X[:, :1]
+  y_o, zf_o = S.lfilter(b, a, X, axis=-1, zi=zi)
+  y_w, zf_w = ss.lfilter(b, a, X, axis=-1, zi=zi)
+  np.testing.assert_allclose(g(y_o), y_w, atol=1e-10)
+  np.testing.assert_allclose(g(zf_o), zf_w, atol=1e-10)
+  # two-sided csd: matching f / Pxy lengths
+  y2 = rng.normal(size=128)
+  f2, P2 = S.csd(x, y2, nperseg=64, return_onesided=False)
+  fw2, Pw2 = ss.csd(x, y2, nperseg=64, return_onesided=False)
+  assert f2.shape == fw2.shape
+  np.testing.assert_allclose(g(sp.real(P2)), Pw2.real, atol=1e-12)
+  with pytest.raises(NotImplementedError):
+    S.csd(x, y2, average="median")
+  # oversized nperseg clamps like scipy (which warns)
+  import warnings
+  with warnings.catch_warnings():
+    warnings.simplefilter("ignore")
+    fo, Po = S.welch(x, nperseg=512)
+    fwo, Pwo = ss.welch(x, nperseg=512)
+  assert fo.shape == fwo.shape
+  np.testing.assert_allclose(g(Po), Pwo, atol=1e-12)
+  # even savgol window, deriv included
+  np.testing.assert_allclose(g(S.savgol_filter(x, 10, 3)),
+                             ss.savgol_filter(x, 10, 3), atol=1e-10)
+  np.testing.assert_allclose(g(S.savgol_filter(x, 10, 3, deriv=1)),
+                             ss.savgol_filter(x, 10, 3, deriv=1),
+                             atol=1e-9)
+  # unit_impulse scalar idx on 2-D
+  np.testing.assert_array_equal(g(S.unit_impulse((3, 3), 1)),
+                                ss.unit_impulse((3, 3), 1))
+  # czt keeps c128 (x64 mesh)
+  from spartan_tpu.expr.base import Expr
+  z = S.czt(x + 0j if False else x, m=64)
+  assert g(z).dtype == np.complex128
+  # stft odd nperseg: integer t grid
+  f3, t3, _ = S.stft(x, nperseg=33)
+  fw3, tw3, _ = ss.stft(x, nperseg=33)
+  np.testing.assert_allclose(t3, tw3)
+  f4, t4, Z4 = S.stft(x, nperseg=32, boundary=None)
+  fw4, tw4, Zw4 = ss.stft(x, nperseg=32, boundary=None)
+  np.testing.assert_allclose(t4, tw4)
+  np.testing.assert_allclose(g(Z4), Zw4, atol=1e-12)
+  # high-order SOS zero-phase stays accurate (section form)
+  sos16 = ss.butter(16, 0.1, output="sos")
+  np.testing.assert_allclose(g(S.sosfiltfilt(sos16, x)),
+                             ss.sosfiltfilt(sos16, x), atol=1e-9)
+  # array window = user FIR for resample_poly
+  h = ss.firwin(21, 1 / 3, window=("kaiser", 5.0))
+  np.testing.assert_allclose(g(S.resample_poly(x, 3, 2, window=h)),
+                             ss.resample_poly(x, 3, 2, window=h),
+                             atol=1e-10)
+  # named window for FFT resample (frequency-domain multiplier)
+  np.testing.assert_allclose(g(S.resample(x, 64, window="hann")),
+                             ss.resample(x, 64, window="hann"),
+                             atol=1e-10)
