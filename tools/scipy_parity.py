@@ -63,6 +63,9 @@ OUT_OF_SCOPE = {
     "signal": {
         "test": "scipy's bundled test runner",
     },
+    "ndimage": {
+        "test": "scipy's bundled test runner",
+    },
     "sparse": {
         "get_index_dtype": "scipy-internal index-dtype plumbing",
         "safely_cast_index_arrays": "scipy-internal index plumbing",
@@ -113,6 +116,14 @@ HOST_BOUNDARY = {
     "sparse": {
         "save_npz", "load_npz",
     },
+    "ndimage": {
+        "distance_transform_edt", "distance_transform_cdt",
+        "distance_transform_bf", "watershed_ift", "generic_filter",
+        "generic_filter1d", "geometric_transform", "spline_filter",
+        "spline_filter1d", "median", "labeled_comprehension",
+        "find_objects", "value_indices", "histogram",
+        "generate_binary_structure", "iterate_structure",
+    },
     "integrate": {
         "quad", "quad_vec", "dblquad", "tplquad", "nquad", "cubature",
         "nsum", "solve_bvp", "lebedev_rule", "odeint",
@@ -135,6 +146,11 @@ def _signal_mod():
   return scipy.signal
 
 
+def _ndimage_mod():
+  import scipy.ndimage
+  return scipy.ndimage
+
+
 def _sp_namespaces():
   import spartan_tpu as sp
   import scipy.sparse.linalg  # noqa: F401
@@ -146,6 +162,7 @@ def _sp_namespaces():
       ("optimize", scipy.optimize, sp.optimize, True),
       ("integrate", _integrate_mod(), sp.integrate, True),
       ("signal", _signal_mod(), sp.signal, True),
+      ("ndimage", _ndimage_mod(), sp.ndimage, True),
       ("sparse", scipy.sparse, sp.sparse, True),
   ]
 
