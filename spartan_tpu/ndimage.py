@@ -1214,13 +1214,20 @@ def zoom(input, zoom, output=None, order: int = 3,
     return _host_nd("zoom", "grid_mode variant", X, z, order=order,
                     mode=mode, cval=cval, prefilter=prefilter,
                     grid_mode=True)
-  # scipy's endpoint-preserving scale: (in_size-1)/(out_size-1)
-  scale = np.array([(s - 1) / max(o - 1, 1)
-                    for s, o in zip(X.shape, shape_out)])
-  return affine_transform(X, np.diag(scale), offset=0.0,
-                          output_shape=shape_out, output=output,
-                          order=order, mode=mode, cval=cval,
-                          prefilter=prefilter)
+  if order > 1 or mode not in _JAX_COORD_MODES:
+    return _host_nd("zoom", f"spline order {order} prefiltering", X, z,
+                    order=order, mode=mode, cval=cval,
+                    prefilter=prefilter)
+  # scipy's endpoint-preserving scale: (in_size-1)/(out_size-1).  Build
+  # the grid as (i*(s-1))/(o-1) — the numerator product of exact ints
+  # keeps the LAST output point at exactly s-1; i*((s-1)/(o-1)) rounds
+  # a hair past it and the exact constant-mode bounds mask then filled
+  # the whole edge row with cval (caught on the 192->96 chip stage).
+  axes_1d = [np.arange(o, dtype=float) * (s - 1) / max(o - 1, 1)
+             for s, o in zip(X.shape, shape_out)]
+  grids = np.meshgrid(*axes_1d, indexing="ij")
+  coords = np.stack(grids)
+  return map_coordinates(X, coords, output, order, mode, cval)
 
 
 def rotate(input, angle: float, axes=(1, 0), reshape: bool = True,

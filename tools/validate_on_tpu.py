@@ -423,3 +423,42 @@ _esg = np.abs(np.asarray(sp.signal.savgol_filter(_x19, 31, 4).glom())
 print(f"19. integrate+signal on TPU: ivp={_eivp:.2e} lfilter={_elf:.2e} "
       f"filtfilt={_eff:.2e} welch_rel={_ewl:.2e} resample={_ers:.2e} "
       f"savgol={_esg:.2e} ({time.time()-t0:.1f}s)", flush=True)
+
+# 20. r5 ndimage surface on chip: separable gaussian (XLA convs with
+# exact boundary pads), shifted-stack median/grey morphology, while_loop
+# fill/label flood, one-hot MXU per-label measurements, order-1 warp.
+# f32 hardware vs scipy.ndimage f64 host oracles.
+t0 = time.time()
+import scipy.ndimage as _ndi20
+_r20 = np.random.default_rng(20)
+_x20 = _r20.standard_normal((192, 256)).astype(np.float32)
+_eg20 = np.abs(np.asarray(sp.ndimage.gaussian_filter(_x20, 2.5).glom())
+               - _ndi20.gaussian_filter(_x20.astype(np.float64),
+                                        2.5)).max()
+_em20 = np.abs(np.asarray(sp.ndimage.median_filter(_x20, size=5).glom())
+               - _ndi20.median_filter(_x20, size=5)).max()
+_ed20 = np.abs(np.asarray(sp.ndimage.grey_dilation(_x20, size=(3, 5))
+                          .glom())
+               - _ndi20.grey_dilation(_x20, size=(3, 5))).max()
+_m20 = (_ndi20.gaussian_filter(_r20.standard_normal((96, 128)), 4.0)
+        > 0.1)
+_fh20 = np.asarray(sp.ndimage.binary_fill_holes(_m20).glom())
+_fhw20 = _ndi20.binary_fill_holes(_m20)
+_efh20 = int((_fh20 != _fhw20).sum())
+_lab20, _n20 = sp.ndimage.label(_m20)   # host ndarray + count
+_labw20, _nw20 = _ndi20.label(_m20)
+# labels are arbitrary ids — compare the partition via matched sums
+_s20 = np.sort(np.asarray(sp.lazify(sp.ndimage.sum_labels(
+    np.ones_like(_m20, np.float32), _lab20,
+    index=np.arange(1, _n20 + 1))).glom()))
+_sw20 = np.sort(_ndi20.sum_labels(np.ones_like(_m20, np.float64),
+                                  _labw20, np.arange(1, _nw20 + 1)))
+_esl20 = (abs(_n20 - _nw20)
+          + (np.abs(_s20 - _sw20).max() if _n20 == _nw20 else np.inf))
+_ez20 = np.abs(np.asarray(sp.ndimage.zoom(_x20, 0.5, order=1).glom())
+               - _ndi20.zoom(_x20.astype(np.float64), 0.5,
+                             order=1)).max()
+print(f"20. ndimage on TPU: gauss={_eg20:.2e} median={_em20:.2e} "
+      f"dilate={_ed20:.2e} fill_holes_diff={_efh20} "
+      f"label+sums={_esl20:.2e} zoom={_ez20:.2e} "
+      f"({time.time()-t0:.1f}s)", flush=True)
