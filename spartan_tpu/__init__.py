@@ -90,6 +90,7 @@ from spartan_tpu import optimize  # noqa: E402  (scipy.optimize surface)
 from spartan_tpu import integrate  # noqa: E402  (scipy.integrate surface)
 from spartan_tpu import signal  # noqa: E402  (scipy.signal surface)
 from spartan_tpu import ndimage  # noqa: E402  (scipy.ndimage surface)
+from spartan_tpu import special  # noqa: E402  (scipy.special surface)
 from spartan_tpu import csgraph  # noqa: E402  (scipy.sparse.csgraph)
 sparse.csgraph = csgraph  # the scipy idiom: sp.sparse.csgraph.dijkstra(...)
 from spartan_tpu import scipy_linalg  # noqa: E402  (scipy.linalg surface)

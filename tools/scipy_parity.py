@@ -66,6 +66,9 @@ OUT_OF_SCOPE = {
     "ndimage": {
         "test": "scipy's bundled test runner",
     },
+    "special": {
+        "test": "scipy's bundled test runner",
+    },
     "sparse": {
         "get_index_dtype": "scipy-internal index-dtype plumbing",
         "safely_cast_index_arrays": "scipy-internal index plumbing",
@@ -151,6 +154,11 @@ def _ndimage_mod():
   return scipy.ndimage
 
 
+def _special_mod():
+  import scipy.special
+  return scipy.special
+
+
 def _sp_namespaces():
   import spartan_tpu as sp
   import scipy.sparse.linalg  # noqa: F401
@@ -163,6 +171,7 @@ def _sp_namespaces():
       ("integrate", _integrate_mod(), sp.integrate, True),
       ("signal", _signal_mod(), sp.signal, True),
       ("ndimage", _ndimage_mod(), sp.ndimage, True),
+      ("special", _special_mod(), sp.special, True),
       ("sparse", scipy.sparse, sp.sparse, True),
   ]
 
@@ -196,6 +205,9 @@ def audit():
       # the signal module declares its own host re-export list (design-
       # time coefficient utilities) — single source of truth
       host = set(ours._REEXPORT)
+    if key == "special":
+      # auto-generated host wrappers — single source of truth
+      host = set(ours._HOST_NAMES)
     covered, host_cov, excluded, missing = [], [], [], []
     for n in names:
       if n in have:
