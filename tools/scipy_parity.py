@@ -69,6 +69,9 @@ OUT_OF_SCOPE = {
     "special": {
         "test": "scipy's bundled test runner",
     },
+    "stats": {
+        "test": "scipy's bundled test runner",
+    },
     "sparse": {
         "get_index_dtype": "scipy-internal index-dtype plumbing",
         "safely_cast_index_arrays": "scipy-internal index plumbing",
@@ -159,6 +162,11 @@ def _special_mod():
   return scipy.special
 
 
+def _stats_mod():
+  import scipy.stats
+  return scipy.stats
+
+
 def _sp_namespaces():
   import spartan_tpu as sp
   import scipy.sparse.linalg  # noqa: F401
@@ -172,6 +180,7 @@ def _sp_namespaces():
       ("signal", _signal_mod(), sp.signal, True),
       ("ndimage", _ndimage_mod(), sp.ndimage, True),
       ("special", _special_mod(), sp.special, True),
+      ("stats", _stats_mod(), sp.stats, True),
       ("sparse", scipy.sparse, sp.sparse, True),
   ]
 
@@ -205,7 +214,7 @@ def audit():
       # the signal module declares its own host re-export list (design-
       # time coefficient utilities) — single source of truth
       host = set(ours._REEXPORT)
-    if key == "special":
+    if key in ("special", "stats"):
       # auto-generated host wrappers — single source of truth
       host = set(ours._HOST_NAMES)
     covered, host_cov, excluded, missing = [], [], [], []
