@@ -1403,3 +1403,8 @@ def sparse_dot(A, b, precision=None) -> Expr:
   if nd == 2:
     return SpMMExpr(A, b, precision=precision)
   raise ValueError(f"sparse dot supports 1-D/2-D right operands, got {nd}-D")
+
+
+# scipy idiom: toarray is the ndarray-returning sibling of todense
+SparseArray.toarray = SparseArray.todense
+BlockSparseArray.toarray = BlockSparseArray.todense

@@ -72,6 +72,23 @@ OUT_OF_SCOPE = {
     "stats": {
         "test": "scipy's bundled test runner",
     },
+    "spatial": {
+        "test": "scipy's bundled test runner",
+        "convex_hull_plot_2d": "matplotlib plotting helper",
+        "delaunay_plot_2d": "matplotlib plotting helper",
+        "voronoi_plot_2d": "matplotlib plotting helper",
+    },
+    "spatial.distance": {
+        "CDistMetricWrapper": "scipy-internal metric plumbing",
+        "PDistMetricWrapper": "scipy-internal metric plumbing",
+        "MetricInfo": "scipy-internal metric registry",
+        "Callable": "leaked typing import in scipy's namespace",
+        "partial": "leaked functools import in scipy's namespace",
+        "norm": "leaked numpy.linalg import in scipy's namespace",
+    },
+    "spatial.transform": {
+        "test": "scipy's bundled test runner",
+    },
     "sparse": {
         "get_index_dtype": "scipy-internal index-dtype plumbing",
         "safely_cast_index_arrays": "scipy-internal index plumbing",
@@ -167,6 +184,12 @@ def _stats_mod():
   return scipy.stats
 
 
+def _spatial_mod():
+  import scipy.spatial
+  import scipy.spatial.transform  # noqa: F401
+  return scipy.spatial
+
+
 def _sp_namespaces():
   import spartan_tpu as sp
   import scipy.sparse.linalg  # noqa: F401
@@ -181,6 +204,11 @@ def _sp_namespaces():
       ("ndimage", _ndimage_mod(), sp.ndimage, True),
       ("special", _special_mod(), sp.special, True),
       ("stats", _stats_mod(), sp.stats, True),
+      ("spatial", _spatial_mod(), sp.spatial, True),
+      ("spatial.distance", _spatial_mod().distance,
+       sp.spatial.distance, True),
+      ("spatial.transform", _spatial_mod().transform,
+       sp.spatial.transform, True),
       ("sparse", scipy.sparse, sp.sparse, True),
   ]
 
@@ -214,8 +242,9 @@ def audit():
       # the signal module declares its own host re-export list (design-
       # time coefficient utilities) — single source of truth
       host = set(ours._REEXPORT)
-    if key in ("special", "stats"):
-      # auto-generated host wrappers — single source of truth
+    elif hasattr(ours, "_HOST_NAMES"):
+      # module-declared host boundary — single source of truth
+      # (special/stats auto-wraps, spatial qhull/transform re-exports)
       host = set(ours._HOST_NAMES)
     covered, host_cov, excluded, missing = [], [], [], []
     for n in names:
