@@ -89,6 +89,18 @@ OUT_OF_SCOPE = {
     "spatial.transform": {
         "test": "scipy's bundled test runner",
     },
+    "cluster.vq": {
+        "array_namespace": "leaked array-api-compat internal",
+        "check_random_state": "leaked scipy._lib internal",
+        "rng_integers": "leaked scipy._lib internal",
+        "is_lazy_array": "leaked array-api internal",
+        "xp_capabilities": "leaked array-api internal",
+        "xp_copy": "leaked array-api internal",
+        "xp_size": "leaked array-api internal",
+        "cdist": "leaked import — lives at sp.spatial.distance.cdist",
+        "deque": "leaked collections import",
+    },
+    "cluster.hierarchy": {},
     "sparse": {
         "get_index_dtype": "scipy-internal index-dtype plumbing",
         "safely_cast_index_arrays": "scipy-internal index plumbing",
@@ -190,6 +202,13 @@ def _spatial_mod():
   return scipy.spatial
 
 
+def _cluster_mod():
+  import scipy.cluster
+  import scipy.cluster.vq  # noqa: F401
+  import scipy.cluster.hierarchy  # noqa: F401
+  return scipy.cluster
+
+
 def _sp_namespaces():
   import spartan_tpu as sp
   import scipy.sparse.linalg  # noqa: F401
@@ -209,6 +228,9 @@ def _sp_namespaces():
        sp.spatial.distance, True),
       ("spatial.transform", _spatial_mod().transform,
        sp.spatial.transform, True),
+      ("cluster.vq", _cluster_mod().vq, sp.cluster.vq, True),
+      ("cluster.hierarchy", _cluster_mod().hierarchy,
+       sp.cluster.hierarchy, True),
       ("sparse", scipy.sparse, sp.sparse, True),
   ]
 
