@@ -363,3 +363,369 @@ def fftfreq(n, d=1.0):
 
 def rfftfreq(n, d=1.0):
   return sp.from_numpy(np.fft.rfftfreq(int(n), d))
+
+
+# ---------------------------------------------------------------------
+# scipy.fft extras: DCT/DST families, Hermitian n-D, fast Hankel.
+#
+# TPU-first shapes: every cosine/sine transform lowers to ONE real FFT
+# of a symmetric extension (types 1/2) or a half-sample-phased
+# zero-padded complex FFT (types 3/4) — no quadratic basis matmuls and
+# no data-dependent control flow; the n-D variants apply the 1-D kernel
+# per axis.  fht/ifht are FFTLog (Hamilton 2000): the u_m coefficients
+# are data-independent and computed once on the HOST (complex loggamma
+# has no XLA lowering — the signal.py design-time convention), the
+# transform itself is a device rfft·u·irfft.
+# ---------------------------------------------------------------------
+
+__all__ += ["dct", "idct", "dst", "idst", "dctn", "idctn", "dstn",
+            "idstn", "hfft2", "hfftn", "ihfft2", "ihfftn", "fht",
+            "ifht", "fhtoffset", "next_fast_len", "prev_fast_len",
+            "set_workers", "get_workers"]
+
+
+def _dct1d(x, type):
+  """Backward-normed DCT along the last axis (concrete jnp)."""
+  import jax.numpy as jnp
+  N = x.shape[-1]
+  if type == 1:
+    if N < 2:
+      raise ValueError("DCT-I requires length >= 2")
+    w = jnp.concatenate([x, x[..., -2:0:-1]], -1)      # 2N-2 sym ext
+    return jnp.fft.rfft(w)[..., :N].real
+  if type == 2:
+    w = jnp.zeros(x.shape[:-1] + (4 * N,), x.dtype)    # interleaved
+    w = w.at[..., 1:2 * N:2].set(x)                    # sym extension
+    w = w.at[..., 2 * N + 1:4 * N:2].set(x[..., ::-1])
+    return jnp.fft.rfft(w)[..., :N].real
+  ar = jnp.arange(N)
+  if type == 3:
+    xt = x * jnp.where(ar == 0, 1.0, 2.0)
+    z = xt * jnp.exp(1j * jnp.pi * ar / (2 * N))
+    z = jnp.concatenate([z, jnp.zeros_like(z)], -1)
+    return (jnp.fft.ifft(z, axis=-1) * (2 * N))[..., :N].real
+  if type == 4:
+    z = x * jnp.exp(-1j * jnp.pi * ar / (2 * N))
+    z = jnp.concatenate([z, jnp.zeros_like(z)], -1)
+    F = jnp.fft.fft(z, axis=-1)[..., :N]
+    ph = jnp.exp(-1j * jnp.pi * (2 * ar + 1) / (4 * N))
+    return 2.0 * (ph * F).real
+  raise ValueError(f"DCT type must be 1-4, got {type}")
+
+
+def _dst1d(x, type):
+  """Backward-normed DST along the last axis — types 2-4 ride the DCT
+  kernels via the exact flip/alternating-sign identities."""
+  import jax.numpy as jnp
+  N = x.shape[-1]
+  ar = jnp.arange(N)
+  if type == 1:
+    w = jnp.zeros(x.shape[:-1] + (2 * N + 2,), x.dtype)  # odd ext
+    w = w.at[..., 1:N + 1].set(x)
+    w = w.at[..., N + 2:].set(-x[..., ::-1])
+    return -jnp.fft.rfft(w)[..., 1:N + 1].imag
+  s = jnp.where(ar % 2 == 0, 1.0, -1.0).astype(x.dtype)
+  if type == 2:
+    return _dct1d(x * s, 2)[..., ::-1]
+  if type == 3:
+    return _dct1d(x[..., ::-1], 3) * s
+  if type == 4:
+    return _dct1d(x[..., ::-1], 4) * s
+  raise ValueError(f"DST type must be 1-4, got {type}")
+
+
+def _cos_den(kind, type, N):
+  if type == 1:
+    return 2.0 * (N - 1) if kind == "dct" else 2.0 * (N + 1)
+  return 2.0 * N
+
+
+_INV_TYPE = {1: 1, 2: 3, 3: 2, 4: 4}
+_INV_NORM = {"backward": "forward", "forward": "backward",
+             "ortho": "ortho"}
+
+
+def _cosine_axis(x, kind, type, n, axis, norm, orthogonalize):
+  """Full scipy-semantics 1-axis transform on a concrete array."""
+  import jax.numpy as jnp
+  x = jnp.moveaxis(x, axis, -1)
+  if n is not None:
+    cur = x.shape[-1]
+    if n < cur:
+      x = x[..., :n]
+    elif n > cur:
+      pad = [(0, 0)] * (x.ndim - 1) + [(0, n - cur)]
+      x = jnp.pad(x, pad)
+  N = x.shape[-1]
+  adj = orthogonalize if orthogonalize is not None else norm == "ortho"
+  r2 = float(np.sqrt(2.0))
+  if adj:
+    if kind == "dct" and type == 3:
+      x = x.at[..., 0].multiply(r2)
+    elif kind == "dct" and type == 1:
+      x = x.at[..., 0].multiply(r2).at[..., -1].multiply(r2)
+    elif kind == "dst" and type == 3:
+      x = x.at[..., -1].multiply(r2)
+  y = _dct1d(x, type) if kind == "dct" else _dst1d(x, type)
+  if adj:
+    if kind == "dct" and type == 2:
+      y = y.at[..., 0].divide(r2)
+    elif kind == "dct" and type == 1:
+      y = y.at[..., 0].divide(r2).at[..., -1].divide(r2)
+    elif kind == "dst" and type == 2:
+      y = y.at[..., -1].divide(r2)
+  den = _cos_den(kind, type, N)
+  if norm == "ortho":
+    y = y / np.sqrt(den)
+  elif norm == "forward":
+    y = y / den
+  return jnp.moveaxis(y, -1, axis)
+
+
+def _localize_axes(a, axes):
+  """Constrain the given dims local on >1-device meshes (the _fft_call
+  fallback — keeps batch dims sharded, dodges the XLA:CPU fft-layout
+  RET_CHECK on sharded transform axes)."""
+  import jax
+  from jax.sharding import NamedSharding, PartitionSpec as P
+  from spartan_tpu.core.mesh import get_mesh
+  mesh = get_mesh()
+  if mesh is None or mesh.devices.size <= 1:
+    return a
+  axes = tuple(ax % a.ndim for ax in axes)
+  spec = P(*[None if d in axes else P.UNCONSTRAINED
+             for d in range(a.ndim)])
+  return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+
+def _cos_dtype(x):
+  """ints -> default float; complex splits (types 1/2 ride rfft,
+  which needs real input — scipy transforms re/im independently)."""
+  import jax.numpy as jnp
+  if jnp.issubdtype(x.dtype, jnp.complexfloating):
+    return x, True
+  if not jnp.issubdtype(x.dtype, jnp.floating):
+    return x.astype(jnp.result_type(x.dtype, 1.0)), False
+  return x, False
+
+
+def _cosine_call(kind, inverse, type, n, axis, norm, orthogonalize, x):
+  if norm not in (None, "backward", "ortho", "forward"):
+    raise ValueError(f"Invalid norm value {norm!r}")
+  norm = norm or "backward"
+  if inverse:
+    type, norm = _INV_TYPE[int(type)], _INV_NORM[norm]
+  x = _localize_axes(x, (axis,))
+  x, cplx = _cos_dtype(x)
+  if cplx:
+    return (_cosine_axis(x.real, kind, int(type), n, axis, norm,
+                         orthogonalize)
+            + 1j * _cosine_axis(x.imag, kind, int(type), n, axis,
+                                norm, orthogonalize))
+  return _cosine_axis(x, kind, int(type), n, axis, norm, orthogonalize)
+
+
+def _cosine_map(v, kind, inverse, type, n, axis, norm, orthogonalize):
+  return sp.map([sp.lazify(v)],
+                functools.partial(_cosine_call, kind, inverse, type, n,
+                                  axis, norm, orthogonalize))
+
+
+def dct(x, type=2, n=None, axis=-1, norm=None, overwrite_x=False,
+        workers=None, *, orthogonalize=None):
+  """scipy.fft.dct — one real-FFT device kernel (see module header)."""
+  return _cosine_map(x, "dct", False, type, n, axis, norm, orthogonalize)
+
+
+def idct(x, type=2, n=None, axis=-1, norm=None, overwrite_x=False,
+         workers=None, *, orthogonalize=None):
+  return _cosine_map(x, "dct", True, type, n, axis, norm, orthogonalize)
+
+
+def dst(x, type=2, n=None, axis=-1, norm=None, overwrite_x=False,
+        workers=None, *, orthogonalize=None):
+  return _cosine_map(x, "dst", False, type, n, axis, norm, orthogonalize)
+
+
+def idst(x, type=2, n=None, axis=-1, norm=None, overwrite_x=False,
+         workers=None, *, orthogonalize=None):
+  return _cosine_map(x, "dst", True, type, n, axis, norm, orthogonalize)
+
+
+def _cosine_nd_call(kind, inverse, type, s, axes, norm, orthogonalize,
+                    x):
+  if norm not in (None, "backward", "ortho", "forward"):
+    raise ValueError(f"Invalid norm value {norm!r}")
+  nrm = norm or "backward"
+  t = int(type)
+  if inverse:
+    t, nrm = _INV_TYPE[t], _INV_NORM[nrm]
+  if axes is None:
+    axes = (tuple(range(x.ndim)) if s is None
+            else tuple(range(x.ndim - len(s), x.ndim)))
+  axes = tuple(ax % x.ndim for ax in axes)
+  ss = (None,) * len(axes) if s is None else tuple(s)
+  x = _localize_axes(x, axes)
+  x, cplx = _cos_dtype(x)
+  if cplx:
+    re, im = x.real, x.imag
+    for ax, nn in zip(axes, ss):
+      re = _cosine_axis(re, kind, t, nn, ax, nrm, orthogonalize)
+      im = _cosine_axis(im, kind, t, nn, ax, nrm, orthogonalize)
+    return re + 1j * im
+  for ax, nn in zip(axes, ss):
+    x = _cosine_axis(x, kind, t, nn, ax, nrm, orthogonalize)
+  return x
+
+
+def _cosine_nd_map(v, kind, inverse, type, s, axes, norm,
+                   orthogonalize):
+  s = None if s is None else tuple(int(i) for i in s)
+  axes = None if axes is None else tuple(int(a) for a in axes)
+  return sp.map([sp.lazify(v)],
+                functools.partial(_cosine_nd_call, kind, inverse, type,
+                                  s, axes, norm, orthogonalize))
+
+
+def dctn(x, type=2, s=None, axes=None, norm=None, overwrite_x=False,
+         workers=None, *, orthogonalize=None):
+  """scipy.fft.dctn — the 1-D kernel applied per axis."""
+  return _cosine_nd_map(x, "dct", False, type, s, axes, norm,
+                        orthogonalize)
+
+
+def idctn(x, type=2, s=None, axes=None, norm=None, overwrite_x=False,
+          workers=None, *, orthogonalize=None):
+  return _cosine_nd_map(x, "dct", True, type, s, axes, norm,
+                        orthogonalize)
+
+
+def dstn(x, type=2, s=None, axes=None, norm=None, overwrite_x=False,
+         workers=None, *, orthogonalize=None):
+  return _cosine_nd_map(x, "dst", False, type, s, axes, norm,
+                        orthogonalize)
+
+
+def idstn(x, type=2, s=None, axes=None, norm=None, overwrite_x=False,
+          workers=None, *, orthogonalize=None):
+  return _cosine_nd_map(x, "dst", True, type, s, axes, norm,
+                        orthogonalize)
+
+
+# -- Hermitian n-D (real-spectrum signals) ------------------------------
+
+def _hfftn_call(inverse, s, axes, norm, x):
+  """hfftn = irfftn(conj(x)) * Ntot with forward-direction norms;
+  ihfftn = conj(rfftn(x)) with inverse-direction norms."""
+  import jax.numpy as jnp
+  if norm not in (None, "backward", "ortho", "forward"):
+    raise ValueError(f"Invalid norm value {norm!r}")
+  if axes is None:
+    axes = (tuple(range(x.ndim)) if s is None
+            else tuple(range(x.ndim - len(s), x.ndim)))
+  axes = tuple(ax % x.ndim for ax in axes)
+  x = _localize_axes(x, axes)
+  if inverse:
+    y = jnp.conj(jnp.fft.rfftn(x, s=s, axes=axes))
+    n_tot = float(np.prod([x.shape[ax] if s is None else s[i]
+                           for i, ax in enumerate(axes)]))
+    if norm in (None, "backward"):
+      return y / n_tot
+    return y / np.sqrt(n_tot) if norm == "ortho" else y
+  y = jnp.fft.irfftn(jnp.conj(x), s=s, axes=axes)
+  n_tot = float(np.prod([y.shape[ax] for ax in axes]))
+  y = y * n_tot
+  if norm == "ortho":
+    return y / np.sqrt(n_tot)
+  return y / n_tot if norm == "forward" else y
+
+
+def _hfftn_map(v, inverse, s, axes, norm):
+  s = None if s is None else tuple(int(i) for i in s)
+  axes = None if axes is None else tuple(int(a) for a in axes)
+  return sp.map([sp.lazify(v)],
+                functools.partial(_hfftn_call, inverse, s, axes, norm))
+
+
+def hfft2(x, s=None, axes=(-2, -1), norm=None):
+  return _hfftn_map(x, False, s, tuple(axes), norm)
+
+
+def hfftn(x, s=None, axes=None, norm=None):
+  return _hfftn_map(x, False, s, axes, norm)
+
+
+def ihfft2(x, s=None, axes=(-2, -1), norm=None):
+  return _hfftn_map(x, True, s, tuple(axes), norm)
+
+
+def ihfftn(x, s=None, axes=None, norm=None):
+  return _hfftn_map(x, True, s, axes, norm)
+
+
+# -- fast Hankel transform (FFTLog) --------------------------------------
+
+def _fht_coeff(n, dln, mu, offset, bias):
+  """FFTLog u_m coefficients (Hamilton 2000 eq. 16-18) — host once per
+  (n, dln, mu, offset, bias): complex loggamma has no XLA lowering."""
+  from scipy.special import loggamma
+  m = np.arange(n // 2 + 1)
+  y = np.pi * m / (n * dln)
+  xp = (mu + 1 + bias) / 2
+  xm = (mu + 1 - bias) / 2
+  v = loggamma(xp + 1j * y) - loggamma(xm - 1j * y)
+  u = np.exp((bias + 2j * y) * np.log(2.0) - 2j * y * offset + v)
+  if n % 2 == 0:
+    u[-1] = u[-1].real  # low-ringing: Nyquist coefficient real
+  return u
+
+
+def _fht_call(dln, mu, offset, bias, inverse, a):
+  import jax.numpy as jnp
+  n = a.shape[-1]
+  u = jnp.asarray(_fht_coeff(n, float(dln), float(mu), float(offset),
+                             float(bias)))
+  j = np.arange(n)
+  pre = np.exp(-bias * (j - (n - 1) / 2) * dln) if bias else None
+  post = (np.exp(-bias * ((j - (n - 1) / 2) * dln + offset))
+          if bias else None)
+  a = _localize_axes(a, (-1,))
+  if not inverse:
+    if pre is not None:
+      a = a * jnp.asarray(pre)
+    A = jnp.fft.irfft(jnp.fft.rfft(a, axis=-1) * u, n,
+                      axis=-1)[..., ::-1]
+    if post is not None:
+      A = A * jnp.asarray(post)
+    return A
+  if post is not None:
+    a = a / jnp.asarray(post)
+  out = jnp.fft.irfft(jnp.fft.rfft(a, axis=-1) / jnp.conj(u), n,
+                      axis=-1)[..., ::-1]
+  if pre is not None:
+    out = out / jnp.asarray(pre)
+  return out
+
+
+def fht(a, dln, mu, offset=0.0, bias=0.0):
+  """scipy.fft.fht — FFTLog: host-computed u_m, device rfft·u·irfft."""
+  return sp.map([sp.lazify(a)],
+                functools.partial(_fht_call, float(dln), float(mu),
+                                  float(offset), float(bias), False))
+
+
+def ifht(A, dln, mu, offset=0.0, bias=0.0):
+  """scipy.fft.ifht — the exact inverse (divide by conj(u))."""
+  return sp.map([sp.lazify(A)],
+                functools.partial(_fht_call, float(dln), float(mu),
+                                  float(offset), float(bias), True))
+
+
+# -- host helpers (tiny scalar/integer utilities, scipy re-exports) ------
+
+from scipy.fft import fhtoffset  # noqa: E402  (low-ringing offset search)
+from scipy.fft import next_fast_len, prev_fast_len  # noqa: E402
+from scipy.fft import get_workers, set_workers  # noqa: E402
+
+_HOST_NAMES = ["fhtoffset", "next_fast_len", "prev_fast_len",
+               "get_workers", "set_workers"]

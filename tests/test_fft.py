@@ -3,6 +3,7 @@ widening for the NumPy-user surface, SURVEY.md §2.1 builtins row)."""
 
 import jax
 import numpy as np
+import pytest
 
 import spartan_tpu as sp
 
@@ -284,3 +285,118 @@ def test_fft_norm_and_s_kwargs(rng, cluster):
                              rtol=1e-9, atol=1e-9)
   with np.testing.assert_raises(ValueError):
     sp.fft.fft2(sp.from_numpy(z), norm="bogus").glom()
+
+
+# ---------------------------------------------------------------------
+# scipy.fft extras: DCT/DST families, Hermitian n-D, fast Hankel
+# ---------------------------------------------------------------------
+
+def _g(e):
+  import numpy as _np
+  return _np.asarray(sp.lazify(e).glom())
+
+
+@pytest.mark.smoke
+@pytest.mark.parametrize("kind", ["dct", "dst"])
+@pytest.mark.parametrize("type", [1, 2, 3, 4])
+def test_cosine_transforms_all_types(kind, type):
+  import scipy.fft as sfft
+  rng = np.random.default_rng(5)
+  x = rng.standard_normal((6, 32))
+  for norm in (None, "ortho", "forward"):
+    ours = _g(getattr(sp.fft, kind)(x, type=type, norm=norm))
+    ref = getattr(sfft, kind)(x, type=type, norm=norm)
+    np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-11)
+    iours = _g(getattr(sp.fft, "i" + kind)(x, type=type, norm=norm))
+    iref = getattr(sfft, "i" + kind)(x, type=type, norm=norm)
+    np.testing.assert_allclose(iours, iref, rtol=1e-9, atol=1e-11)
+
+
+def test_cosine_orthogonalize_and_axis_n():
+  import scipy.fft as sfft
+  rng = np.random.default_rng(6)
+  x = rng.standard_normal((5, 24))
+  for o in (True, False):
+    np.testing.assert_allclose(
+        _g(sp.fft.dct(x, norm="ortho", orthogonalize=o)),
+        sfft.dct(x, norm="ortho", orthogonalize=o), rtol=1e-10)
+  # axis + n pad/truncate
+  np.testing.assert_allclose(_g(sp.fft.dct(x, n=32, axis=0)),
+                             sfft.dct(x, n=32, axis=0), rtol=1e-9,
+                             atol=1e-11)
+  np.testing.assert_allclose(_g(sp.fft.dst(x, n=10, axis=-1)),
+                             sfft.dst(x, n=10, axis=-1), rtol=1e-9,
+                             atol=1e-11)
+  # int and complex inputs
+  xi = rng.integers(-5, 5, (4, 16))
+  np.testing.assert_allclose(_g(sp.fft.dct(xi)), sfft.dct(xi),
+                             rtol=1e-10)
+  xc = x[:, :16] + 1j * x[:, 8:24]
+  np.testing.assert_allclose(_g(sp.fft.dct(xc, type=3)),
+                             sfft.dct(xc, type=3), rtol=1e-9,
+                             atol=1e-11)
+
+
+@pytest.mark.smoke
+def test_cosine_nd():
+  import scipy.fft as sfft
+  rng = np.random.default_rng(7)
+  x = rng.standard_normal((8, 12, 10))
+  np.testing.assert_allclose(_g(sp.fft.dctn(x)), sfft.dctn(x),
+                             rtol=1e-9, atol=1e-10)
+  np.testing.assert_allclose(
+      _g(sp.fft.idctn(x, norm="ortho")), sfft.idctn(x, norm="ortho"),
+      rtol=1e-9, atol=1e-11)
+  np.testing.assert_allclose(
+      _g(sp.fft.dstn(x, type=3, axes=(0, 2))),
+      sfft.dstn(x, type=3, axes=(0, 2)), rtol=1e-9, atol=1e-10)
+  np.testing.assert_allclose(
+      _g(sp.fft.idstn(x, s=(8, 12), axes=(1, 2), norm="forward")),
+      sfft.idstn(x, s=(8, 12), axes=(1, 2), norm="forward"),
+      rtol=1e-9, atol=1e-12)
+  # roundtrip
+  np.testing.assert_allclose(_g(sp.fft.idctn(_g(sp.fft.dctn(x)))), x,
+                             rtol=1e-9, atol=1e-11)
+
+
+def test_hermitian_nd():
+  import scipy.fft as sfft
+  rng = np.random.default_rng(8)
+  # hermitian input: spectrum of a real signal
+  sig = rng.standard_normal((6, 10, 16))
+  x = np.fft.rfftn(sig)
+  for norm in (None, "ortho", "forward"):
+    np.testing.assert_allclose(_g(sp.fft.hfftn(x, norm=norm)),
+                               sfft.hfftn(x, norm=norm), rtol=1e-9,
+                               atol=1e-10)
+  np.testing.assert_allclose(_g(sp.fft.hfft2(x[0])),
+                             sfft.hfft2(x[0]), rtol=1e-9, atol=1e-10)
+  r = rng.standard_normal((6, 10, 16))
+  for norm in (None, "ortho", "forward"):
+    np.testing.assert_allclose(_g(sp.fft.ihfftn(r, norm=norm)),
+                               sfft.ihfftn(r, norm=norm), rtol=1e-9,
+                               atol=1e-11)
+  np.testing.assert_allclose(_g(sp.fft.ihfft2(r[0])),
+                             sfft.ihfft2(r[0]), rtol=1e-9, atol=1e-11)
+
+
+def test_fht_ifht():
+  import scipy.fft as sfft
+  rng = np.random.default_rng(9)
+  a = rng.standard_normal(64) * np.exp(-0.1 * np.arange(64))
+  for mu, offset, bias in [(0.0, 0.0, 0.0), (2.0, 0.3, 0.0),
+                           (0.5, 0.0, 0.1), (1.0, 0.2, -0.2)]:
+    ours = _g(sp.fft.fht(a, 0.05, mu, offset=offset, bias=bias))
+    ref = sfft.fht(a, 0.05, mu, offset=offset, bias=bias)
+    np.testing.assert_allclose(ours, ref, rtol=1e-9, atol=1e-12)
+    back = _g(sp.fft.ifht(ref, 0.05, mu, offset=offset, bias=bias))
+    bref = sfft.ifht(ref, 0.05, mu, offset=offset, bias=bias)
+    np.testing.assert_allclose(back, bref, rtol=1e-9, atol=1e-12)
+  # batched (2-D) input
+  ab = np.stack([a, a * 2.0])
+  np.testing.assert_allclose(_g(sp.fft.fht(ab, 0.05, 1.0)),
+                             sfft.fht(ab, 0.05, 1.0), rtol=1e-9)
+  # low-ringing offset helper (host re-export)
+  off = sp.fft.fhtoffset(0.05, 1.0, initial=0.1)
+  assert np.isfinite(off)
+  assert sp.fft.next_fast_len(1000) >= 1000

@@ -89,6 +89,14 @@ OUT_OF_SCOPE = {
     "spatial.transform": {
         "test": "scipy's bundled test runner",
     },
+    "fft": {
+        "test": "scipy's bundled test runner",
+        "register_backend": "scipy uarray backend plumbing — XLA owns "
+            "transform execution",
+        "set_backend": "scipy uarray backend plumbing",
+        "set_global_backend": "scipy uarray backend plumbing",
+        "skip_backend": "scipy uarray backend plumbing",
+    },
     "cluster.vq": {
         "array_namespace": "leaked array-api-compat internal",
         "check_random_state": "leaked scipy._lib internal",
@@ -202,6 +210,11 @@ def _spatial_mod():
   return scipy.spatial
 
 
+def _fft_mod():
+  import scipy.fft
+  return scipy.fft
+
+
 def _cluster_mod():
   import scipy.cluster
   import scipy.cluster.vq  # noqa: F401
@@ -228,6 +241,7 @@ def _sp_namespaces():
        sp.spatial.distance, True),
       ("spatial.transform", _spatial_mod().transform,
        sp.spatial.transform, True),
+      ("fft", _fft_mod(), sp.fft, True),
       ("cluster.vq", _cluster_mod().vq, sp.cluster.vq, True),
       ("cluster.hierarchy", _cluster_mod().hierarchy,
        sp.cluster.hierarchy, True),
