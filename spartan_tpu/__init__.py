@@ -94,6 +94,7 @@ from spartan_tpu import special  # noqa: E402  (scipy.special surface)
 from spartan_tpu import stats  # noqa: E402  (scipy.stats surface)
 from spartan_tpu import spatial  # noqa: E402  (scipy.spatial surface)
 from spartan_tpu import cluster  # noqa: E402  (scipy.cluster surface)
+from spartan_tpu import interpolate  # noqa: E402  (scipy.interpolate)
 from spartan_tpu import csgraph  # noqa: E402  (scipy.sparse.csgraph)
 sparse.csgraph = csgraph  # the scipy idiom: sp.sparse.csgraph.dijkstra(...)
 from spartan_tpu import scipy_linalg  # noqa: E402  (scipy.linalg surface)
@@ -114,5 +115,5 @@ __all__ = ["initialize", "shutdown", "FLAGS", "util", "TileExtent", "Tiling",
            "grad", "value_and_grad", "jvp", "hessian", "hvp", "minimize", "sgd_train",
            "checkpoint", "from_file", "load", "save", "sparse", "linalg", "fft", "random",
            "sparse_linalg", "scipy_linalg", "optimize", "integrate", "signal", "ndimage",
-           "special", "stats", "spatial", "cluster",
+           "special", "stats", "spatial", "cluster", "interpolate",
            "SparseArray", "sparse_diagonal", "sprandn"] + list(_builtin_all)
