@@ -1853,3 +1853,920 @@ def bisplev(x, y, tck, dx=0, dy=0):
     return Z.reshape(xs + ys) if (xs or ys) else Z.reshape(())
 
   return sp.map([C, X, Yq], kern)
+
+
+# =====================================================================
+# regular-grid interpolation (device)
+# =====================================================================
+
+class RegularGridInterpolator:
+  """scipy RegularGridInterpolator — 'linear'/'nearest' are one fused
+  2^d-corner gather kernel; 'slinear'/'cubic'/'quintic' precompute the
+  tensor-product B-spline coefficient tensor on device (per-axis
+  collocation solves) and evaluate with per-axis basis matrices folded
+  on the MXU.  'pchip' is the host boundary (nonlinear per-axis
+  estimates, recursive evaluation)."""
+
+  _SPLINE_K = {"slinear": 1, "cubic": 3, "quintic": 5}
+
+  def __init__(self, points, values, method="linear",
+               bounds_error=True, fill_value=np.nan, *, solver=None,
+               solver_args=None):
+    self.grid = tuple(np.asarray(_asfloat_np(p)) for p in points)
+    for i, p in enumerate(self.grid):
+      if p.ndim != 1 or p.shape[0] < 2:
+        raise ValueError(f"points[{i}] must be 1-D with >= 2 points")
+      if not (np.diff(p) > 0).all():
+        if (np.diff(p) < 0).all():
+          raise ValueError("descending grids not supported; flip "
+                           "points and values")
+        raise ValueError(f"points[{i}] must be strictly ascending")
+    V = sp.lazify(values)
+    d = len(self.grid)
+    if tuple(V.shape[:d]) != tuple(p.shape[0] for p in self.grid):
+      raise ValueError("values shape does not match the grid")
+    self.values = V
+    self.method = method
+    self.bounds_error = bounds_error
+    self.fill_value = fill_value
+    self._d = d
+    if method not in ("linear", "nearest", "pchip") and \
+       method not in self._SPLINE_K:
+      raise ValueError(f"method {method!r} is not defined")
+    if method in self._SPLINE_K:
+      k = self._SPLINE_K[method]
+      for i, p in enumerate(self.grid):
+        if p.shape[0] <= k:
+          raise ValueError(f"{method} needs > {k} points per axis")
+
+  def _spline_coef_expr(self, k):
+    """Tensor-product spline coefficients: solve the 1-D collocation
+    system along each grid axis in turn (device dense solves)."""
+    grids = self.grid
+    d = self._d
+
+    def kern(vv):
+      vv = _f(vv)
+      C = vv
+      for a in range(d):
+        t = _default_knots(grids[a], k, None)
+        tj = jnp.asarray(t, C.dtype)
+        xj = jnp.asarray(grids[a], C.dtype)
+        A = _basis_matrix(tj, k, xj)
+        Cm = jnp.moveaxis(C, a, 0)
+        sol = jnp.linalg.solve(A, Cm.reshape(Cm.shape[0], -1))
+        C = jnp.moveaxis(sol.reshape(Cm.shape), 0, a)
+      return C
+    return sp.map([self.values], kern)
+
+  def __call__(self, xi, method=None, *, nu=None):
+    method = self.method if method is None else method
+    if method == "pchip":
+      _host_notice("RegularGridInterpolator(method='pchip')")
+      import scipy.interpolate as _si
+      ref = _si.RegularGridInterpolator(
+          self.grid, _np(self.values), method="pchip",
+          bounds_error=self.bounds_error, fill_value=self.fill_value)
+      return ref(_np(xi))
+    XI = sp.lazify(xi)
+    xshape = XI.shape
+    d = self._d
+    if d > 1:
+      if not xshape or xshape[-1] != d:
+        raise ValueError(f"query last dim {xshape[-1] if xshape else 0}"
+                         f" != grid ndim {d}")
+      qshape = xshape[:-1]
+    else:
+      qshape = xshape if (not xshape or xshape[-1] != 1) else \
+          xshape[:-1]
+    grids = self.grid
+    fillv = self.fill_value
+
+    if self.bounds_error:
+      qc = np.asarray(_np(xi), float).reshape(-1, d) if d > 1 else \
+          np.asarray(_np(xi), float).reshape(-1, 1)
+      for a in range(d):
+        if (qc[:, a] < grids[a][0]).any() or \
+           (qc[:, a] > grids[a][-1]).any():
+          raise ValueError(f"one of the requested xi is out of bounds "
+                           f"in dimension {a}")
+
+    if method in self._SPLINE_K:
+      k = self._SPLINE_K[method]
+      C = self._spline_coef_expr(k)
+      knots = [_default_knots(g, k, None) for g in grids]
+
+      def kern(cc, q):
+        cc = _f(cc)
+        q = _f(q).reshape(-1, d) if d > 1 else _f(q).reshape(-1, 1)
+        nq = q.shape[0]
+        R = cc
+        # fold axis 0 first with a (nq, nc) matmul, then the rest with
+        # batched gathers kept dense (per-query basis rows)
+        out = None
+        # sequential fold keeping the query dim in front
+        Bs = []
+        for a in range(d):
+          tj = jnp.asarray(knots[a], cc.dtype)
+          Bs.append(_basis_matrix(tj, k, q[:, a]))
+        R = jnp.einsum("qi,i...->q...", Bs[0], cc)
+        for a in range(1, d):
+          R = jnp.einsum("qi,qi...->q...", Bs[a], R)
+        res = R
+        if fillv is not None:
+          outside = jnp.zeros((nq,), bool)
+          for a in range(d):
+            outside |= (q[:, a] < grids[a][0]) | (q[:, a] > grids[a][-1])
+          res = jnp.where(
+              outside.reshape((nq,) + (1,) * (res.ndim - 1)),
+              jnp.asarray(fillv, res.dtype), res)
+        return res.reshape(qshape + res.shape[1:])
+      return sp.map([C, XI], kern)
+
+    def kern(vv, q):
+      vv = _f(vv)
+      q = _f(q).reshape(-1, d) if d > 1 else _f(q).reshape(-1, 1)
+      nq = q.shape[0]
+      idx, frac = [], []
+      for a in range(d):
+        ga = jnp.asarray(grids[a], vv.dtype)
+        na = ga.shape[0]
+        ia = jnp.clip(jnp.searchsorted(ga, q[:, a], side="right") - 1,
+                      0, na - 2)
+        idx.append(ia)
+        frac.append((q[:, a] - ga[ia]) / (ga[ia + 1] - ga[ia]))
+      if method == "nearest":
+        sel = tuple(jnp.where(frac[a] >= 0.5, idx[a] + 1, idx[a])
+                    for a in range(d))
+        res = vv[sel]
+      else:  # linear
+        res = 0.0
+        for corner in range(2 ** d):
+          w = 1.0
+          sel = []
+          for a in range(d):
+            bit = (corner >> a) & 1
+            sel.append(idx[a] + bit)
+            w = w * (frac[a] if bit else (1.0 - frac[a]))
+          wb = w.reshape((nq,) + (1,) * (vv.ndim - d))
+          res = res + vv[tuple(sel)] * wb
+      if fillv is not None:
+        outside = jnp.zeros((nq,), bool)
+        for a in range(d):
+          outside |= (q[:, a] < grids[a][0]) | (q[:, a] > grids[a][-1])
+        res = jnp.where(
+            outside.reshape((nq,) + (1,) * (res.ndim - 1)),
+            jnp.asarray(fillv, res.dtype), res)
+      return res.reshape(qshape + res.shape[1:])
+    return sp.map([self.values, XI], kern)
+
+
+def interpn(points, values, xi, method="linear", bounds_error=True,
+            fill_value=np.nan):
+  """Multidimensional grid interpolation on device (RGI methods +
+  'splinef2d' through the host boundary)."""
+  if method == "splinef2d":
+    _host_notice("interpn(method='splinef2d')")
+    import scipy.interpolate as _si
+    return _si.interpn(tuple(np.asarray(_asfloat_np(p))
+                             for p in points), _np(values), _np(xi),
+                       method="splinef2d", bounds_error=bounds_error,
+                       fill_value=fill_value)
+  rgi = RegularGridInterpolator(points, values, method=method,
+                                bounds_error=bounds_error,
+                                fill_value=fill_value)
+  return rgi(xi)
+
+
+# =====================================================================
+# scattered N-D interpolation
+# =====================================================================
+
+class NearestNDInterpolator:
+  """Nearest-neighbour scattered interpolation: one MXU pairwise-
+  distance pass + argmin gather (the sp.spatial KDTree brute pattern)."""
+
+  def __init__(self, x, y, rescale=False, tree_options=None):
+    self._x = sp.lazify(x)
+    self._y = sp.lazify(y)
+    if len(self._x.shape) != 2:
+      raise ValueError("x must be (n, d)")
+    self._rescale = rescale
+
+  def __call__(self, *args):
+    if len(args) == 1:
+      Q = sp.lazify(args[0])
+    else:
+      cols = [sp.lazify(a) for a in args]
+      Q = sp.map(cols, lambda *cs: jnp.stack(
+          [jnp.ravel(_f(c)) for c in cs], axis=-1))
+    qshape = Q.shape[:-1]
+    resc = self._rescale
+
+    def kern(xx, yy, qq):
+      xx, qq = _f(xx), _f(qq).reshape(-1, xx.shape[1])
+      if resc:
+        lo = xx.min(0)
+        span = xx.max(0) - lo
+        span = jnp.where(span == 0, 1.0, span)
+        xx = (xx - lo) / span
+        qq = (qq - lo) / span
+      d2 = ((qq * qq).sum(-1)[:, None] + (xx * xx).sum(-1)[None, :]
+            - 2.0 * jnp.matmul(qq, xx.T, precision="highest"))
+      i = jnp.argmin(d2, axis=1)
+      res = yy[i]
+      return res.reshape(qshape + res.shape[1:])
+    return sp.map([self._x, self._y, Q], kern)
+
+
+def griddata(points, values, xi, method="linear", fill_value=np.nan,
+             rescale=False):
+  """Scattered-data interpolation: 'nearest' is the device MXU path;
+  'linear'/'cubic' are the Qhull host boundary (simplex walks)."""
+  if method == "nearest":
+    interp = NearestNDInterpolator(
+        np.atleast_2d(_asfloat_np(points)).reshape(
+            len(_np(values)), -1), values, rescale=rescale)
+    if isinstance(xi, tuple):
+      return interp(*xi)
+    xia = sp.lazify(xi)
+    if len(xia.shape) == 1:
+      xia = sp.map([xia], lambda a: _f(a)[:, None])
+    return interp(xia)
+  _host_notice(f"griddata(method={method!r})")
+  import scipy.interpolate as _si
+  pts = _np(points) if not isinstance(points, tuple) else \
+      tuple(_np(p) for p in points)
+  xq = _np(xi) if not isinstance(xi, tuple) else \
+      tuple(_np(p) for p in xi)
+  return _si.griddata(pts, _np(values), xq, method=method,
+                      fill_value=fill_value, rescale=rescale)
+
+
+# =====================================================================
+# RBF interpolation (pure MXU: kernel matrices + dense solve)
+# =====================================================================
+
+_RBF_KERNELS = {
+    "linear": lambda r: -r,
+    "thin_plate_spline": lambda r: jnp.where(
+        r == 0, 0.0, r * r * jnp.log(jnp.where(r == 0, 1.0, r))),
+    "cubic": lambda r: r ** 3,
+    "quintic": lambda r: -r ** 5,
+    "multiquadric": lambda r: -jnp.sqrt(r * r + 1.0),
+    "inverse_multiquadric": lambda r: 1.0 / jnp.sqrt(r * r + 1.0),
+    "inverse_quadratic": lambda r: 1.0 / (r * r + 1.0),
+    "gaussian": lambda r: jnp.exp(-r * r),
+}
+
+# minimum polynomial degree required for conditional positive
+# definiteness (scipy's table)
+_RBF_MIN_DEGREE = {
+    "linear": 0, "thin_plate_spline": 1, "cubic": 1, "quintic": 2,
+    "multiquadric": 0, "inverse_multiquadric": -1,
+    "inverse_quadratic": -1, "gaussian": -1,
+}
+_RBF_SCALE_INVARIANT = {"linear", "thin_plate_spline", "cubic",
+                        "quintic"}
+
+
+def _monomial_powers(d, degree):
+  """All exponent tuples with total degree <= degree (static)."""
+  import itertools
+  out = []
+  for total in range(degree + 1):
+    for combo in itertools.combinations_with_replacement(
+        range(d), total):
+      p = [0] * d
+      for c in combo:
+        p[c] += 1
+      out.append(tuple(p))
+  return out
+
+
+def _pdist_mat(a, b):
+  d2 = ((a * a).sum(-1)[:, None] + (b * b).sum(-1)[None, :]
+        - 2.0 * jnp.matmul(a, b.T, precision="highest"))
+  return jnp.sqrt(jnp.maximum(d2, 0.0))
+
+
+class RBFInterpolator:
+  """scipy RBFInterpolator, fully on device: the (n+p)×(n+p) saddle
+  system assembles from one MXU pairwise-distance pass and solves with
+  ``jnp.linalg.solve``; evaluation is one cross-kernel matmul.
+  ``neighbors=`` (local stencils) is the host boundary."""
+
+  def __init__(self, y, d, neighbors=None, smoothing=0.0,
+               kernel="thin_plate_spline", epsilon=None, degree=None):
+    if neighbors is not None:
+      _host_notice("RBFInterpolator(neighbors=...)")
+      import scipy.interpolate as _si
+      self._host = _si.RBFInterpolator(
+          _asfloat_np(y), _asfloat_np(d), neighbors=neighbors,
+          smoothing=smoothing, kernel=kernel, epsilon=epsilon,
+          degree=degree)
+      return
+    self._host = None
+    if kernel not in _RBF_KERNELS:
+      raise ValueError(f"unknown kernel {kernel!r}")
+    if epsilon is None:
+      if kernel in _RBF_SCALE_INVARIANT:
+        epsilon = 1.0
+      else:
+        raise ValueError(f"epsilon is required for kernel {kernel!r}")
+    self.kernel, self.epsilon = kernel, float(epsilon)
+    self._Y = sp.lazify(y)
+    if len(self._Y.shape) != 2:
+      raise ValueError("y must be (n, d)")
+    n, ndim = self._Y.shape
+    self._D = sp.lazify(d)
+    self._dshape = self._D.shape[1:]
+    min_deg = _RBF_MIN_DEGREE[kernel]
+    if degree is None:
+      degree = max(min_deg, 0)
+    degree = int(degree)
+    if degree < min_deg and degree != -1:
+      raise ValueError(f"degree must be >= {min_deg} for {kernel!r}")
+    self.degree = degree
+    self._powers = [] if degree == -1 else _monomial_powers(ndim, degree)
+    npoly = len(self._powers)
+    if n < npoly:
+      raise ValueError("not enough points for the polynomial tail")
+    smo = np.broadcast_to(np.asarray(smoothing, float), (n,)).copy()
+    kf = _RBF_KERNELS[kernel]
+    eps = self.epsilon
+    powers = self._powers
+
+    def kern(yy, dd):
+      yy = _f(yy)
+      dd = _f(dd).reshape(n, -1)
+      K = kf(eps * _pdist_mat(yy, yy)) + jnp.diag(
+          jnp.asarray(smo, yy.dtype))
+      if npoly:
+        # shift/scale the monomial basis for conditioning (scipy does
+        # the same; the interpolant is basis-invariant)
+        mid = 0.5 * (yy.max(0) + yy.min(0))
+        scale = 0.5 * (yy.max(0) - yy.min(0))
+        scale = jnp.where(scale == 0, 1.0, scale)
+        ys = (yy - mid) / scale
+        P = jnp.stack([jnp.prod(ys ** jnp.asarray(p, yy.dtype), -1)
+                       for p in powers], axis=1)
+        A = jnp.concatenate([
+            jnp.concatenate([K, P], axis=1),
+            jnp.concatenate([P.T, jnp.zeros((npoly, npoly), yy.dtype)],
+                            axis=1)], axis=0)
+        rhs = jnp.concatenate(
+            [dd, jnp.zeros((npoly, dd.shape[1]), yy.dtype)], axis=0)
+      else:
+        A, rhs = K, dd
+      return jnp.linalg.solve(A, rhs)
+
+    self._coef = sp.map([self._Y, self._D], kern)
+
+  def __call__(self, x):
+    if self._host is not None:
+      return self._host(_np(x))
+    Q = sp.lazify(x)
+    qshape = Q.shape[:-1]
+    kf = _RBF_KERNELS[self.kernel]
+    eps = self.epsilon
+    powers = self._powers
+    npoly = len(powers)
+    n = self._Y.shape[0]
+    dshape = self._dshape
+
+    def kern(yy, cc, qq):
+      yy, cc = _f(yy), _f(cc)
+      qq = _f(qq).reshape(-1, yy.shape[1])
+      K = kf(eps * _pdist_mat(qq, yy))
+      out = jnp.matmul(K, cc[:n], precision="highest")
+      if npoly:
+        mid = 0.5 * (yy.max(0) + yy.min(0))
+        scale = 0.5 * (yy.max(0) - yy.min(0))
+        scale = jnp.where(scale == 0, 1.0, scale)
+        qs = (qq - mid) / scale
+        P = jnp.stack([jnp.prod(qs ** jnp.asarray(p, yy.dtype), -1)
+                       for p in powers], axis=1)
+        out = out + jnp.matmul(P, cc[n:], precision="highest")
+      return out.reshape(qshape + dshape)
+    return sp.map([self._Y, self._coef, Q], kern)
+
+
+class Rbf:
+  """Legacy scipy Rbf — same MXU assembly/solve; default epsilon is
+  the scipy average-distance heuristic computed on device."""
+
+  _KERNELS = {
+      "multiquadric": lambda r, e: jnp.sqrt((r / e) ** 2 + 1.0),
+      "inverse": lambda r, e: 1.0 / jnp.sqrt((r / e) ** 2 + 1.0),
+      "inverse_multiquadric":
+          lambda r, e: 1.0 / jnp.sqrt((r / e) ** 2 + 1.0),
+      "gaussian": lambda r, e: jnp.exp(-(r / e) ** 2),
+      "linear": lambda r, e: r,
+      "cubic": lambda r, e: r ** 3,
+      "quintic": lambda r, e: r ** 5,
+      "thin_plate": lambda r, e: jnp.where(
+          r == 0, 0.0, r * r * jnp.log(jnp.where(r == 0, 1.0, r))),
+  }
+
+  def __init__(self, *args, **kwargs):
+    arrays = [sp.lazify(a) for a in args]
+    self._X = sp.map(arrays[:-1], lambda *cs: jnp.stack(
+        [jnp.ravel(_f(c)) for c in cs], axis=1))
+    self._d = arrays[-1]
+    self.function = kwargs.pop("function", "multiquadric")
+    self.epsilon = kwargs.pop("epsilon", None)
+    self.smooth = float(kwargs.pop("smooth", 0.0))
+    self.mode = kwargs.pop("mode", "1-D")
+    self.norm = kwargs.pop("norm", "euclidean")
+    if self.norm != "euclidean":
+      raise NotImplementedError("only euclidean norm on device")
+    if _py_callable(self.function):
+      kf0 = self.function
+      kf = lambda r, e: kf0(r)  # noqa: E731  (jax-traceable callable)
+    else:
+      name = self.function.lower()
+      if name not in self._KERNELS:
+        raise ValueError(f"unknown Rbf function {self.function!r}")
+      kf = self._KERNELS[name]
+    self._kf = kf
+    n = self._X.shape[0]
+    eps_given = self.epsilon
+    smooth = self.smooth
+    mode = self.mode
+
+    def kern(xx, dd):
+      xx, dd = _f(xx), _f(dd)
+      r = _pdist_mat(xx, xx)
+      if eps_given is None:
+        # scipy heuristic: average distance between nodes based on a
+        # bounding hypercube
+        lo, hi = xx.min(0), xx.max(0)
+        edges = hi - lo
+        edges = edges[edges > 0] if False else jnp.where(
+            edges == 0, 1.0, edges)
+        e = jnp.power(jnp.prod(edges) / n, 1.0 / xx.shape[1])
+      else:
+        e = jnp.asarray(eps_given, xx.dtype)
+      A = kf(r, e) - smooth * jnp.eye(n, dtype=xx.dtype)
+      rhs = dd.reshape(n, -1) if mode == "1-D" else dd.reshape(n, -1)
+      return jnp.linalg.solve(A, rhs), e
+
+    self._coef = sp.map([self._X, self._d], lambda x, d: kern(x, d)[0])
+    self._eps = sp.map([self._X, self._d], lambda x, d: kern(x, d)[1])
+
+  def __call__(self, *args):
+    pts = [sp.lazify(a) for a in args]
+    qshape = pts[0].shape
+    kf = self._kf
+    dsh = self._d.shape[1:] if self.mode != "1-D" else ()
+
+    def kern(xx, cc, ee, *qs):
+      xx, cc = _f(xx), _f(cc)
+      qq = jnp.stack([jnp.ravel(_f(q)) for q in qs], axis=1)
+      K = kf(_pdist_mat(qq.astype(xx.dtype), xx), ee)
+      out = jnp.matmul(K, cc, precision="highest")
+      return out.reshape(qshape + dsh)
+    return sp.map([self._X, self._coef, self._eps] + pts, kern)
+
+  @property
+  def A(self):
+    _host_notice("Rbf.A")
+    n = self._X.shape[0]
+    xx = _np(self._X)
+    import scipy.spatial.distance as sd
+    r = sd.squareform(sd.pdist(xx))
+    e = float(_np(self._eps))
+    import numpy as _n
+    return _n.asarray(
+        jax.device_get(self._kf(jnp.asarray(r), e))) - \
+        self.smooth * np.eye(n)
+
+
+# =====================================================================
+# global polynomial interpolators (device)
+# =====================================================================
+
+class BarycentricInterpolator:
+  """Barycentric Lagrange interpolation (Berrut–Trefethen): weights
+  and evaluation in one device kernel (O(n^2) weight pass, O(n·nq)
+  eval, capacity-rescaled for overflow safety)."""
+
+  def __init__(self, xi, yi=None, axis=0, *, wi=None, rng=None):
+    self._x = sp.lazify(xi)
+    if len(self._x.shape) != 1:
+      raise ValueError("xi must be 1-D")
+    n = self._x.shape[0]
+    if wi is not None:
+      self._w = sp.lazify(wi)
+    else:
+      def wk(xx):
+        xx = _f(xx)
+        scale = 4.0 / (xx.max() - xx.min())
+        xs = xx * scale
+        diff = xs[:, None] - xs[None, :]
+        diff = diff + jnp.eye(n, dtype=xx.dtype)
+        # log-space magnitude + sign product for overflow safety
+        logw = -jnp.sum(jnp.log(jnp.abs(diff)), axis=1)
+        sign = jnp.prod(jnp.sign(diff), axis=1)
+        logw = logw - logw.max()
+        return sign * jnp.exp(logw)
+      self._w = sp.map([self._x], wk)
+    self.axis = axis
+    self._y = None
+    if yi is not None:
+      self.set_yi(yi, axis=axis)
+
+  def set_yi(self, yi, axis=None):
+    axis = self.axis if axis is None else axis
+    Y = sp.lazify(yi)
+    if axis % max(len(Y.shape), 1) != 0:
+      Y = sp.map([Y], lambda a: jnp.moveaxis(a, axis, 0))
+    self._y = Y
+
+  def __call__(self, x):
+    if self._y is None:
+      raise ValueError("no yi set")
+    Q = sp.lazify(x)
+    qshape = Q.shape
+
+    def kern(xx, ww, yy, qq):
+      xx, ww, yy = _f(xx), _f(ww), _f(yy)
+      q = jnp.ravel(_f(qq))
+      diff = q[:, None] - xx[None, :]
+      exact = diff == 0
+      any_exact = exact.any(axis=1)
+      safe = jnp.where(exact, 1.0, diff)
+      terms = ww[None, :] / safe           # (nq, n)
+      denom = terms.sum(axis=1)
+      num = jnp.tensordot(terms, yy, axes=(1, 0))
+      interp = num / denom.reshape((-1,) + (1,) * (yy.ndim - 1))
+      hit = jnp.tensordot(exact.astype(yy.dtype), yy, axes=(1, 0))
+      res = jnp.where(any_exact.reshape((-1,) + (1,) * (yy.ndim - 1)),
+                      hit, interp)
+      return res.reshape(qshape + yy.shape[1:])
+    return sp.map([self._x, self._w, self._y, Q], kern)
+
+  def derivative(self, x, der=1):
+    _host_notice("BarycentricInterpolator.derivative")
+    import scipy.interpolate as _si
+    ref = _si.BarycentricInterpolator(_np(self._x), _np(self._y),
+                                      axis=0)
+    return ref.derivative(_np(x), der=der)
+
+
+class KroghInterpolator:
+  """Hermite/Newton interpolation via a masked divided-difference
+  triangle (one fori-style static loop, fully vectorized) + Newton
+  Horner evaluation — all device."""
+
+  def __init__(self, xi, yi, axis=0):
+    self._x = sp.lazify(xi)
+    Y = sp.lazify(yi)
+    nd = max(len(Y.shape), 1)
+    if axis % nd != 0:
+      Y = sp.map([Y], lambda a: jnp.moveaxis(a, axis, 0))
+    self._y = Y
+    n = self._x.shape[0]
+    if n > 64:
+      log_info("KroghInterpolator with n=%d: polynomial interpolation "
+               "is ill-conditioned beyond ~20 points", n)
+
+    def ck(xx, yy):
+      xx, yy = _f(xx), _f(yy)
+      # divided differences with Hermite repeats (derivative data):
+      # repeated abscissae take the derivative column scipy-style
+      coefs = [yy[0]]
+      cur = yy
+      fact = 1.0
+      for j in range(1, n):
+        dx = xx[j:] - xx[:-j]
+        same = dx == 0
+        safe = jnp.where(same, 1.0, dx)
+        dxb = safe.reshape((-1,) + (1,) * (yy.ndim - 1))
+        fact = fact * j
+        diff = (cur[1:] - cur[:-1]) / dxb
+        # Hermite case (dx==0) requires derivative inputs; plain data
+        # with distinct xi never hits it
+        cur = jnp.where(same.reshape((-1,) + (1,) * (yy.ndim - 1)),
+                        0.0, diff)
+        coefs.append(cur[0])
+      return jnp.stack(coefs, axis=0)
+    self._c = sp.map([self._x, self._y], ck)
+    self._n = n
+
+  def __call__(self, x):
+    Q = sp.lazify(x)
+    qshape = Q.shape
+    n = self._n
+
+    def kern(xx, cc, qq):
+      xx, cc = _f(xx), _f(cc)
+      q = jnp.ravel(_f(qq))
+      res = jnp.broadcast_to(cc[n - 1],
+                             (q.shape[0],) + cc.shape[1:]).astype(
+          cc.dtype)
+      for j in range(n - 2, -1, -1):
+        t = (q - xx[j]).reshape((-1,) + (1,) * (cc.ndim - 1))
+        res = res * t + cc[j]
+      return res.reshape(qshape + cc.shape[1:])
+    return sp.map([self._x, self._c, Q], kern)
+
+  def derivative(self, x, der=1):
+    return self.derivatives(x, der=der + 1)[der]
+
+  def derivatives(self, x, der=None):
+    _host_notice("KroghInterpolator.derivatives")
+    import scipy.interpolate as _si
+    ref = _si.KroghInterpolator(_np(self._x), _np(self._y), axis=0)
+    return ref.derivatives(_np(x), der=der)
+
+
+class FloaterHormannInterpolator:
+  """Floater–Hormann barycentric rational interpolation: the O(n·d)
+  weight table is static host metadata; evaluation is the same device
+  barycentric kernel."""
+
+  def __init__(self, points, values, *, d=3):
+    x = _asfloat_np(points)
+    n = x.shape[0]
+    d = int(min(d, n - 1))
+    w = np.zeros(n)
+    for i in range(n):
+      lo = max(i - d, 0)
+      hi = min(i, n - 1 - d)
+      s = 0.0
+      for j in range(lo, hi + 1):
+        prod = 1.0
+        for k in range(j, j + d + 1):
+          if k != i:
+            prod /= abs(x[i] - x[k])
+        s += prod
+      w[i] = (-1.0) ** (i - d) * s
+    self._b = BarycentricInterpolator(x, values, wi=w)
+
+  def __call__(self, z):
+    return self._b(z)
+
+
+def barycentric_interpolate(xi, yi, x, axis=0, *, der=0, rng=None):
+  if der != 0:
+    _host_notice("barycentric_interpolate(der!=0)")
+    import scipy.interpolate as _si
+    return _si.barycentric_interpolate(_np(xi), _np(yi), _np(x),
+                                       axis=axis, der=der)
+  return BarycentricInterpolator(xi, yi, axis=axis)(x)
+
+
+def krogh_interpolate(xi, yi, x, der=0, axis=0):
+  if der != 0 and der != [0]:
+    _host_notice("krogh_interpolate(der!=0)")
+    import scipy.interpolate as _si
+    return _si.krogh_interpolate(_np(xi), _np(yi), _np(x), der=der,
+                                 axis=axis)
+  return KroghInterpolator(xi, yi, axis=axis)(x)
+
+
+def pchip_interpolate(xi, yi, x, der=0, axis=0):
+  P = PchipInterpolator(xi, yi, axis=axis)
+  if np.isscalar(der) or isinstance(der, int):
+    return P(x, nu=der)
+  return [P(x, nu=d) for d in der]
+
+
+# =====================================================================
+# N-D piecewise polynomials / tensor B-splines (device evaluation)
+# =====================================================================
+
+class NdPPoly:
+  """N-D tensor-product power-basis piecewise polynomial: per-axis
+  searchsorted + one flattened corner-block gather + nested static
+  Horner, all in one device kernel (scipy.interpolate.NdPPoly)."""
+
+  def __init__(self, c, x, extrapolate=None):
+    self.x = tuple(np.asarray(_asfloat_np(xa)) for xa in x)
+    self.c = sp.lazify(c)
+    d = len(self.x)
+    cshape = self.c.shape
+    self._d = d
+    self._ks = tuple(cshape[a] - 1 for a in range(d))
+    for a, xa in enumerate(self.x):
+      if cshape[d + a] != xa.shape[0] - 1:
+        raise ValueError(f"axis {a}: {cshape[d + a]} pieces vs "
+                         f"{xa.shape[0] - 1} intervals")
+    self.extrapolate = True if extrapolate is None else bool(extrapolate)
+
+  @classmethod
+  def construct_fast(cls, c, x, extrapolate=None):
+    return cls(c, x, extrapolate=extrapolate)
+
+  def __call__(self, x, nu=None, extrapolate=None):
+    extra = self.extrapolate if extrapolate is None else extrapolate
+    if nu is None:
+      nu = (0,) * self._d
+    nu = tuple(int(v) for v in nu)
+    Q = sp.lazify(x)
+    qshape = Q.shape[:-1] if len(Q.shape) > 1 else ()
+    d = self._d
+    ks = self._ks
+    grids = self.x
+    msizes = tuple(g.shape[0] - 1 for g in grids)
+
+    def kern(cc, qq):
+      cc = _f(cc)
+      q = _f(qq).reshape(-1, d)
+      nq = q.shape[0]
+      idx, ts = [], []
+      for a in range(d):
+        ga = jnp.asarray(grids[a], cc.dtype)
+        ia = jnp.clip(jnp.searchsorted(ga, q[:, a], side="right") - 1,
+                      0, msizes[a] - 2 + 1)
+        ia = jnp.clip(ia, 0, msizes[a] - 1)
+        idx.append(ia)
+        ts.append(q[:, a] - ga[ia])
+      # flatten the grid axes of c and gather the per-query blocks
+      powers = cc.shape[:d]
+      trailing = cc.shape[2 * d:]
+      cf = cc.reshape(powers + (-1,) + trailing)
+      flat = idx[0]
+      for a in range(1, d):
+        flat = flat * msizes[a] + idx[a]
+      blk = jnp.take(cf, flat, axis=d)  # (k1+1..kd+1, nq, *tr)
+      # nested Horner with per-axis derivative factors
+      res = blk
+      for a in range(d - 1, -1, -1):
+        k, nua = ks[a], nu[a]
+        t = ts[a].reshape((nq,) + (1,) * (res.ndim - a - 2))
+        if nua > k:
+          res = jnp.zeros(res.shape[:a] + res.shape[a + 1:],
+                          res.dtype)[..., :0].sum(-1) if False else \
+              res.sum(axis=a) * 0.0
+          continue
+        acc = res[(slice(None),) * a + (0,)] * _falling(k, nua)
+        for j in range(1, k + 1 - nua):
+          acc = acc * t + res[(slice(None),) * a + (j,)] * \
+              _falling(k - j, nua)
+        res = acc
+      if extra is False:
+        outside = jnp.zeros((nq,), bool)
+        for a in range(d):
+          outside |= (q[:, a] < grids[a][0]) | (q[:, a] > grids[a][-1])
+        res = jnp.where(
+            outside.reshape((nq,) + (1,) * (res.ndim - 1)),
+            jnp.nan, res)
+      return res.reshape(qshape + trailing)
+    return sp.map([self.c, Q], kern)
+
+  def _to_scipy(self):
+    import scipy.interpolate as _si
+    return _si.NdPPoly(np.asarray(_np(self.c), float), self.x,
+                       extrapolate=self.extrapolate)
+
+  def derivative(self, nu):
+    _host_notice("NdPPoly.derivative")
+    ref = self._to_scipy().derivative(nu)
+    return NdPPoly(ref.c, ref.x, extrapolate=ref.extrapolate)
+
+  def antiderivative(self, nu):
+    _host_notice("NdPPoly.antiderivative")
+    ref = self._to_scipy().antiderivative(nu)
+    return NdPPoly(ref.c, ref.x, extrapolate=ref.extrapolate)
+
+  def integrate(self, ranges, extrapolate=None):
+    _host_notice("NdPPoly.integrate")
+    return self._to_scipy().integrate(ranges, extrapolate=extrapolate)
+
+  def integrate_1d(self, a, b, axis, extrapolate=None):
+    _host_notice("NdPPoly.integrate_1d")
+    ref = self._to_scipy().integrate_1d(a, b, axis,
+                                        extrapolate=extrapolate)
+    if isinstance(ref, np.ndarray):
+      return ref
+    return NdPPoly(ref.c, ref.x, extrapolate=ref.extrapolate)
+
+
+class NdBSpline:
+  """N-D tensor-product B-spline evaluation: per-axis dense basis
+  matrices (vmapped one-hot de Boor) folded on the MXU."""
+
+  def __init__(self, t, c, k, *, extrapolate=None):
+    self.t = tuple(np.asarray(_asfloat_np(ta)) for ta in t)
+    d = len(self.t)
+    self.k = tuple(np.broadcast_to(np.asarray(k, int), (d,)).tolist())
+    self.c = sp.lazify(c)
+    self._d = d
+    self.extrapolate = True if extrapolate is None else bool(extrapolate)
+    for a in range(d):
+      if self.c.shape[a] != self.t[a].shape[0] - self.k[a] - 1:
+        raise ValueError(f"axis {a}: c dim {self.c.shape[a]} != "
+                         f"{self.t[a].shape[0] - self.k[a] - 1}")
+
+  def __call__(self, xi, *, nu=None, extrapolate=None):
+    extra = self.extrapolate if extrapolate is None else bool(extrapolate)
+    if nu is None:
+      nu = (0,) * self._d
+    nu = tuple(int(v) for v in nu)
+    Q = sp.lazify(xi)
+    qshape = Q.shape[:-1] if len(Q.shape) > 1 else ()
+    d = self._d
+    knots, degs = self.t, self.k
+
+    def kern(cc, qq):
+      cc = _f(cc)
+      q = _f(qq).reshape(-1, d)
+      nq = q.shape[0]
+      Bs = []
+      for a in range(d):
+        tj = jnp.asarray(knots[a], cc.dtype)
+        Bs.append(_basis_matrix(tj, degs[a], q[:, a], nu=nu[a],
+                                extrapolate=True))
+      R = jnp.einsum("qi,i...->q...", Bs[0], cc)
+      for a in range(1, d):
+        R = jnp.einsum("qi,qi...->q...", Bs[a], R)
+      if extra is False:
+        outside = jnp.zeros((nq,), bool)
+        for a in range(d):
+          na = knots[a].shape[0] - degs[a] - 1
+          outside |= (q[:, a] < knots[a][degs[a]]) | \
+              (q[:, a] > knots[a][na])
+        R = jnp.where(outside.reshape((nq,) + (1,) * (R.ndim - 1)),
+                      jnp.nan, R)
+      return R.reshape(qshape + R.shape[1:])
+    return sp.map([self.c, Q], kern)
+
+  @classmethod
+  def design_matrix(cls, xvals, t, k, extrapolate=True):
+    _host_notice("NdBSpline.design_matrix")
+    import scipy.interpolate as _si
+    return _si.NdBSpline.design_matrix(
+        _np(xvals), tuple(np.asarray(_np(ta), float) for ta in t), k,
+        extrapolate=extrapolate)
+
+
+# =====================================================================
+# poly1d-returning utilities and the host boundary
+# =====================================================================
+
+def lagrange(x, w):
+  """Returns np.poly1d (the scipy contract) — host."""
+  _host_notice("lagrange")
+  import scipy.interpolate as _si
+  return _si.lagrange(_asfloat_np(x), _asfloat_np(w))
+
+
+def pade(an, m, n=None):
+  _host_notice("pade")
+  import scipy.interpolate as _si
+  return _si.pade(_asfloat_np(an), m, n)
+
+
+def approximate_taylor_polynomial(f, x, degree, scale, order=None):
+  _host_notice("approximate_taylor_polynomial")
+  import scipy.interpolate as _si
+  fn = (lambda v: np.asarray(_np(f(v)))) if _py_callable(f) else f
+  return _si.approximate_taylor_polynomial(fn, x, degree, scale,
+                                           order=order)
+
+
+class interp2d:
+  """Removed in scipy 1.14 — mirrored error (use RectBivariateSpline
+  / RegularGridInterpolator / bisplev)."""
+
+  def __init__(self, *a, **kw):
+    raise NotImplementedError(
+        "`interp2d` has been removed in SciPy 1.14.0 (mirrored here). "
+        "Use RectBivariateSpline for regular grids or "
+        "bisplrep/bisplev for scattered 2-D data.")
+
+
+# host-boundary re-exports: Qhull-based scattered N-D interpolation
+# (sequential simplex walks), sphere/scattered FITPACK fits, AAA
+# greedy rational approximation — the sp.spatial Qhull convention.
+from scipy.interpolate import (  # noqa: E402
+    AAA, BivariateSpline, CloughTocher2DInterpolator,
+    LinearNDInterpolator, LSQBivariateSpline, LSQSphereBivariateSpline,
+    RectSphereBivariateSpline, SmoothBivariateSpline,
+    SmoothSphereBivariateSpline)
+
+_HOST_NAMES = [
+    # re-exported scipy classes (qhull / FITPACK-surface / rational)
+    "AAA", "BivariateSpline", "CloughTocher2DInterpolator",
+    "LinearNDInterpolator", "LSQBivariateSpline",
+    "LSQSphereBivariateSpline", "RectSphereBivariateSpline",
+    "SmoothBivariateSpline", "SmoothSphereBivariateSpline",
+    # host fits with device evaluation (the fit is the algorithm)
+    "UnivariateSpline", "InterpolatedUnivariateSpline",
+    "LSQUnivariateSpline", "RectBivariateSpline",
+    "splrep", "splprep", "bisplrep", "sproot", "insert",
+    "generate_knots", "make_splrep", "make_splprep",
+    "make_smoothing_spline",
+    # poly1d-returning utilities
+    "lagrange", "pade", "approximate_taylor_polynomial",
+    # removed upstream (scipy 1.14); mirrored error stub, runs nothing
+    "interp2d",
+]
+
+__all__ = sorted(n for n in dir()
+                 if not n.startswith("_") and n not in
+                 ("annotations", "jax", "jnp", "lax", "np", "sp",
+                  "Expr", "log_info"))

@@ -125,6 +125,9 @@ OUT_OF_SCOPE = {
             "sp.sparse.issparse",
         "spmatrix": "scipy class-hierarchy base — use sp.sparse.issparse",
     },
+    "interpolate": {
+        "test": "scipy's bundled test runner",
+    },
 }
 
 HOST_BOUNDARY = {
@@ -222,6 +225,11 @@ def _cluster_mod():
   return scipy.cluster
 
 
+def _interpolate_mod():
+  import scipy.interpolate
+  return scipy.interpolate
+
+
 def _sp_namespaces():
   import spartan_tpu as sp
   import scipy.sparse.linalg  # noqa: F401
@@ -246,6 +254,7 @@ def _sp_namespaces():
       ("cluster.hierarchy", _cluster_mod().hierarchy,
        sp.cluster.hierarchy, True),
       ("sparse", scipy.sparse, sp.sparse, True),
+      ("interpolate", _interpolate_mod(), sp.interpolate, True),
   ]
 
 
