@@ -95,6 +95,9 @@ from spartan_tpu import stats  # noqa: E402  (scipy.stats surface)
 from spartan_tpu import spatial  # noqa: E402  (scipy.spatial surface)
 from spartan_tpu import cluster  # noqa: E402  (scipy.cluster surface)
 from spartan_tpu import interpolate  # noqa: E402  (scipy.interpolate)
+from spartan_tpu import constants  # noqa: E402  (scipy.constants)
+from spartan_tpu import differentiate  # noqa: E402  (scipy.differentiate)
+from spartan_tpu import io  # noqa: E402  (scipy.io surface)
 from spartan_tpu import csgraph  # noqa: E402  (scipy.sparse.csgraph)
 sparse.csgraph = csgraph  # the scipy idiom: sp.sparse.csgraph.dijkstra(...)
 from spartan_tpu import scipy_linalg  # noqa: E402  (scipy.linalg surface)

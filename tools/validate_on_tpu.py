@@ -462,3 +462,54 @@ print(f"20. ndimage on TPU: gauss={_eg20:.2e} median={_em20:.2e} "
       f"dilate={_ed20:.2e} fill_holes_diff={_efh20} "
       f"label+sums={_esl20:.2e} zoom={_ez20:.2e} "
       f"({time.time()-t0:.1f}s)", flush=True)
+
+# 21. r5 interpolate surface on chip: Thomas-scan CubicSpline, de Boor
+# B-spline eval, tensor-spline RegularGridInterpolator, MXU
+# RBFInterpolator saddle solve, barycentric weights.  f32 hardware vs
+# scipy f64 host oracles.
+t0 = time.time()
+import scipy.interpolate as _si21
+_r21 = np.random.default_rng(21)
+_x21 = np.linspace(0, 10, 257)
+_y21 = (np.sin(_x21) + 0.1 * _x21).astype(np.float32)
+_q21 = _r21.uniform(0, 10, 20000).astype(np.float32)
+_ecs = np.abs(np.asarray(sp.interpolate.CubicSpline(_x21, _y21)(_q21)
+                         .glom())
+              - _si21.CubicSpline(_x21, _y21.astype(np.float64))(
+                  _q21.astype(np.float64))).max()
+_yp21 = _y21.copy(); _yp21[-1] = _yp21[0]
+_ecp = np.abs(np.asarray(sp.interpolate.CubicSpline(
+    _x21, _yp21, bc_type="periodic")(_q21).glom())
+    - _si21.CubicSpline(_x21, _yp21.astype(np.float64),
+                        bc_type="periodic")(_q21.astype(np.float64))
+    ).max()
+_tck21 = _si21.splrep(_x21[::8], _y21[::8].astype(np.float64), s=0)
+_esp = np.abs(np.asarray(sp.interpolate.splev(_q21, _tck21).glom())
+              - _si21.splev(_q21.astype(np.float64), _tck21)).max()
+_gx21 = np.linspace(0, 1, 33); _gy21 = np.linspace(0, 1, 33)
+_V21 = (np.sin(_gx21 * 5)[:, None]
+        * np.cos(_gy21 * 3)[None, :]).astype(np.float32)
+_qg21 = _r21.uniform(0, 1, (5000, 2)).astype(np.float32)
+_erg = np.abs(np.asarray(sp.interpolate.RegularGridInterpolator(
+    (_gx21, _gy21), _V21, method="cubic", bounds_error=False)(_qg21)
+    .glom())
+    - _si21.RegularGridInterpolator(
+        (_gx21, _gy21), _V21.astype(np.float64), method="cubic",
+        bounds_error=False)(_qg21.astype(np.float64))).max()
+_p21 = _r21.uniform(0, 1, (128, 2)).astype(np.float32)
+_v21 = (np.sin(_p21[:, 0] * 7) + _p21[:, 1]).astype(np.float32)
+_erb = np.abs(np.asarray(sp.interpolate.RBFInterpolator(_p21, _v21)(
+    _qg21[:500]).glom())
+    - _si21.RBFInterpolator(_p21.astype(np.float64),
+                            _v21.astype(np.float64))(
+        _qg21[:500].astype(np.float64))).max()
+_xb21 = np.linspace(-1, 1, 9).astype(np.float32)
+_eba = np.abs(np.asarray(sp.interpolate.BarycentricInterpolator(
+    _xb21, np.cos(_xb21 * 3))(_q21[:100] / 5 - 1).glom())
+    - _si21.BarycentricInterpolator(
+        _xb21.astype(np.float64),
+        np.cos(_xb21.astype(np.float64) * 3))(
+        _q21[:100].astype(np.float64) / 5 - 1)).max()
+print(f"21. interpolate on TPU: cubic={_ecs:.2e} periodic={_ecp:.2e} "
+      f"splev={_esp:.2e} rgi_cubic={_erg:.2e} rbf={_erb:.2e} "
+      f"barycentric={_eba:.2e} ({time.time()-t0:.1f}s)", flush=True)
